@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Star-schema + text-pipeline operators beyond the reference's surface
+  * (prompt: dedup / text analysis / similarity are first-class).
+  *
+  * Scale notes: `agg_pricing_summary` is one scan → partial+final agg
+  * (shuffle carries only 6 grouping cells). `join_revenue_by_region`
+  * broadcasts every dimension (region/nation are tiny at any SF; customer
+  * is the largest broadcast side and stays ≤ ~1.5 GB even at SF 100k — at
+  * true 100 TB the customer join becomes a shuffle join on o_custkey,
+  * which Catalyst/AQE picks automatically once it exceeds the broadcast
+  * threshold; the code does not force a broadcast hint on customer).
+  */
+object AnalyticsExtras {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1-shaped pricing summary over lineitem.
+    "agg_pricing_summary" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Dimension join: orders → customer → nation → region; small dims
+    // broadcast, revenue grouped by region name.
+    "join_revenue_by_region" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val nation = broadcast(Tables(s, dir, "nation"))
+      val region = broadcast(Tables(s, dir, "region"))
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum("o_totalprice"), 4).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name")
+    }),
+
+    // Exact deduplication: content-hash groupBy, keep lowest doc_id.
+    // At 100 TB this is THE canonical shuffle-on-digest dedup; the md5 is
+    // computed map-side so the shuffle key is 32 bytes, not the document.
+    "dedup_exact" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+        .orderBy("keep_id")),
+
+    // Token counting: whitespace tokenizer, per-language totals.
+    "text_token_count" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), "\\s+")).as("toks"))
+        .groupBy("lang")
+        .agg(sum("toks").as("total_tokens"), count(lit(1)).as("docs"))
+        .orderBy("lang")),
+
+    // Quality scoring: stopword ratio from exact integer token counts
+    // (ratio = sum(stopwords)/sum(tokens), division done once on exact
+    // longs so Spark and DuckDB agree bit-for-bit).
+    "text_quality_stopword" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).as("toks"),
+          size(filter(split(col("text"), " "),
+            t => t === "the" || t === "a")).as("sw"))
+        .groupBy("lang")
+        .agg(round(sum("sw").cast("double") / sum("toks"), 4)
+          .as("stopword_ratio"))
+        .orderBy("lang")),
+
+    // Language-ID heuristic on integer arithmetic only (20*sw >= toks
+    // ⇔ stopword ratio ≥ 5%) — deterministic across engines.
+    "text_lang_id" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          when(size(filter(split(col("text"), " "),
+            t => t === "the" || t === "a")) * 20 >=
+            size(split(col("text"), " ")), "en")
+            .otherwise("other").as("lang_guess"))
+        .groupBy("lang_guess").agg(count(lit(1)).as("docs"))
+        .orderBy("lang_guess")),
+
+    // Document fingerprint: md5 over whitespace-normalized lowercase text.
+    "text_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          countDistinct(
+            md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+            .as("n_unique"),
+          count(lit(1)).as("docs"))
+        .orderBy("source"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)
+             AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "join_revenue_by_region" ->
+      """SELECT r_name, round(sum(o_totalprice), 4) AS revenue,
+              count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id,
+              count(*) AS copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "text_token_count" ->
+      """SELECT lang,
+           CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+             AS total_tokens,
+           count(*) AS docs
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "text_quality_stopword" ->
+      """SELECT lang,
+           round(CAST(sum(sw) AS DOUBLE) / sum(toks), 4) AS stopword_ratio
+         FROM (SELECT lang,
+                 len(string_split(text, ' ')) AS toks,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x = 'the' OR x = 'a')) AS sw
+               FROM documents) t
+         GROUP BY lang ORDER BY lang""",
+    "text_lang_id" ->
+      """SELECT CASE WHEN 20 * len(list_filter(string_split(text, ' '),
+                         x -> x = 'the' OR x = 'a'))
+                     >= len(string_split(text, ' '))
+                THEN 'en' ELSE 'other' END AS lang_guess,
+              count(*) AS docs
+         FROM documents GROUP BY lang_guess ORDER BY lang_guess""",
+    "text_fingerprint" ->
+      """SELECT source,
+           count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             AS n_unique,
+           count(*) AS docs
+         FROM documents GROUP BY source ORDER BY source"""
+  )
+}
