@@ -1,0 +1,56 @@
+package graft.mtail
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GoTimeSpec extends AnyFunSuite {
+
+  private def utc(s: String): Long =
+    java.time.Instant.parse(s).toEpochMilli * 1000L
+
+  test("rsyncd layout 2006/01/02 15:04:05") {
+    assert(GoTime.parse("2006/01/02 15:04:05", "2011/02/22 21:50:30", 0)
+      .contains(utc("2011-02-22T21:50:30Z")))
+  }
+
+  test("syslog layout Jan _2 15:04:05 — space-padded day, yearless") {
+    assert(GoTime.parse("Jan _2 15:04:05", "Aug 19 02:14:38", 2019)
+      .contains(utc("2019-08-19T02:14:38Z")))
+    assert(GoTime.parse("Jan _2 15:04:05", "Aug  9 02:14:38", 2019)
+      .contains(utc("2019-08-09T02:14:38Z")))
+  }
+
+  test("apache layout 02/Jan/2006:15:04:05 -0700") {
+    assert(GoTime.parse("02/Jan/2006:15:04:05 -0700",
+      "23/Mar/2018:12:31:01 +0000", 0)
+      .contains(utc("2018-03-23T12:31:01Z")))
+    assert(GoTime.parse("02/Jan/2006:15:04:05 -0700",
+      "21/Feb/2011:05:42:23 -0800", 0)
+      .contains(utc("2011-02-21T13:42:23Z")))
+  }
+
+  test("rfc3339-ish layout with 12-hour field quirk") {
+    // Go keeps a bare 12-hour value as-is when no AM/PM in layout
+    assert(GoTime.parse("2006-01-02T03:04:05-0700",
+      "2018-03-23T10:31:01+0000", 0)
+      .contains(utc("2018-03-23T10:31:01Z")))
+    // hour 13 overflows the 12-hour field → parse failure, like Go
+    assert(GoTime.parse("2006-01-02T03:04:05-0700",
+      "2018-03-23T13:31:01+0000", 0).isEmpty)
+  }
+
+  test("mysql layout 060102 with 2-digit year") {
+    assert(GoTime.parse("060102 15:04:05", "070228 12:01:02", 0)
+      .contains(utc("2007-02-28T12:01:02Z")))
+  }
+
+  test("year-with-layout Jan _2 15:04:05 2006") {
+    assert(GoTime.parse("Jan _2 15:04:05 2006", "Feb 13 23:31:30 2009", 0)
+      .contains(utc("2009-02-13T23:31:30Z")))
+  }
+
+  test("mismatch returns None") {
+    assert(GoTime.parse("2006/01/02", "not-a-date", 0).isEmpty)
+    assert(GoTime.parse("2006/01/02 15:04:05", "2011/02/22", 0).isEmpty)
+    assert(GoTime.parse("01/02", "13/22", 0).isEmpty) // month 13
+  }
+}
