@@ -67,12 +67,13 @@ case class RegexExtractStruct(child: Expression, re2Pattern: String)
     val patRef = ctx.addReferenceObj("pattern", pattern, classOf[Pattern].getName)
     val typesRef = ctx.addReferenceObj("types", capTypes.toArray,
       "org.apache.spark.sql.types.DataType[]")
+    val m = ctx.freshName("matcher")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |java.util.regex.Matcher m = ((java.util.regex.Pattern) $patRef)
+         |java.util.regex.Matcher $m = ((java.util.regex.Pattern) $patRef)
          |  .matcher($c.toString());
          |${ev.value} = graft.functions.RegexExtractStruct.evalMatch(
-         |  m, (org.apache.spark.sql.types.DataType[]) $typesRef);
+         |  $m, (org.apache.spark.sql.types.DataType[]) $typesRef);
        """.stripMargin
     })
   }
