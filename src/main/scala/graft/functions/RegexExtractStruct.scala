@@ -54,32 +54,57 @@ case class RegexExtractStruct(child: Expression, re2Pattern: String)
 
   override def nullable: Boolean = false
 
-  override def nullSafeEval(input: Any): Any = {
-    val line = input.asInstanceOf[UTF8String].toString
-    val m = pattern.matcher(line)
-    RegexExtractStruct.evalMatch(m, capTypes.toArray)
+  /** a null subject (e.g. an unmatched optional group fed to `=~`)
+    * simply doesn't match — never a null struct, so the output is
+    * genuinely non-nullable and parents skip null checks safely.
+    */
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) RegexExtractStruct.noMatch(capTypes.length)
+    else RegexExtractStruct.evalMatch(
+      pattern.matcher(v.asInstanceOf[UTF8String].toString),
+      capTypes.toArray)
   }
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val patRef = ctx.addReferenceObj("pattern", pattern, classOf[Pattern].getName)
+    val patRef = ctx.addReferenceObj("pattern", pattern,
+      classOf[Pattern].getName)
     val typesRef = ctx.addReferenceObj("types", capTypes.toArray,
       "org.apache.spark.sql.types.DataType[]")
-    val m = ctx.freshName("matcher")
-    nullSafeCodeGen(ctx, ev, c => {
-      s"""
-         |java.util.regex.Matcher $m = ((java.util.regex.Pattern) $patRef)
-         |  .matcher($c.toString());
-         |${ev.value} = graft.functions.RegexExtractStruct.evalMatch(
-         |  $m, (org.apache.spark.sql.types.DataType[]) $typesRef);
+    val childGen = child.genCode(ctx)
+    val nullCheck =
+      if (child.nullable) s"${childGen.isNull}" else "false"
+    val code =
+      code"""
+         |${childGen.code}
+         |InternalRow ${ev.value};
+         |if ($nullCheck) {
+         |  ${ev.value} = graft.functions.RegexExtractStruct.noMatch(
+         |    ((org.apache.spark.sql.types.DataType[]) $typesRef).length);
+         |} else {
+         |  ${ev.value} = graft.functions.RegexExtractStruct.evalMatch(
+         |    ((java.util.regex.Pattern) $patRef)
+         |      .matcher(${childGen.value}.toString()),
+         |    (org.apache.spark.sql.types.DataType[]) $typesRef);
+         |}
        """.stripMargin
-    })
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral)
   }
 }
 
 object RegexExtractStruct {
+
+  /** row for "no match": matched=false, all groups null. */
+  def noMatch(nGroups: Int): InternalRow = {
+    val values = new Array[Any](nGroups + 1)
+    values(0) = false
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+  }
 
   /** Shared by interpreted and codegen paths. Unmatched line → row with
     * matched=false and null groups (the struct itself is never null so

@@ -215,6 +215,13 @@ object GoTime {
         ok = num(2, fixed = false, spacePad = false) match {
           case Some(s) if s <= 61 => sec = s; true; case _ => false
         }
+      } else if (layout(li) == ' ') {
+        // Go's skip(): a run of spaces in the layout matches one-or-more
+        // spaces in the value (mysql's "060102  3:04:05" layout vs a
+        // single-space value)
+        while (li < layout.length && layout(li) == ' ') li += 1
+        ok = vi < value.length && value(vi) == ' '
+        while (vi < value.length && value(vi) == ' ') vi += 1
       } else {
         val c = layout(li); adv(1)
         ok = vi < value.length && value(vi) == c

@@ -47,6 +47,11 @@ object Ir {
   final case class Call(fn: String, args: Seq[Expr]) extends Expr
   /** `expr =~ /re2/` (negate for !~); also `subst(/re/, …)` first arg. */
   final case class PatternLit(re2: String) extends Expr
+  /** a bare `/re2/` inside a condition expression: match the input line
+    * (composable: `// + RE && partial == 1 { … }`).
+    */
+  final case class LineMatch(re2: String, negated: Boolean = false)
+      extends Expr
 
   // ---- conditions ----
   sealed trait Cond
@@ -74,6 +79,10 @@ object Ir {
   /** expression statement — `strptime(...)`, `settime(...)`. */
   final case class ExprStmt(e: Expr) extends Stmt
   case object StopStmt extends Stmt
+  /** `next` inside a decorator def — replaced by the decorated block at
+    * parse time; never reaches the PlanBuilder.
+    */
+  case object NextStmt extends Stmt
 
   final case class Program(name: String, decls: Seq[MetricDecl],
       stmts: Seq[Stmt]) {

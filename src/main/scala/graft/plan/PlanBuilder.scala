@@ -13,88 +13,54 @@ import graft.mtail.{Ir, Re2}
 /** Compiles an [[Ir.Program]] into DataFrame aggregation plans — the
   * replacement for the reference's codegen+VM
   * (`internal/runtime/compiler/codegen/codegen.go`,
-  * `internal/runtime/vm/vm.go`): one shared extraction/projection prefix
+  * `internal/runtime/vm/vm.go`): a shared extraction/projection prefix
   * over the line Dataset, then one declarative aggregation branch per
   * exported metric. Catalyst's whole-stage codegen replaces the bytecode
   * interpreter; shuffles on the label tuple replace the shared-memory
   * store.
   *
   * Key semantic mappings (SURVEY.md §2):
-  *  - pattern conds → RegexExtractStruct.matched, nested blocks conjoin;
+  *  - pattern conds → RegexExtractStruct.matched; nested blocks conjoin;
+  *    `expr =~ /re/` matches an arbitrary subject and binds caprefs
+  *    (vm.go:364-373);
   *  - `otherwise` → static ¬(sibling conds) rewrite (vs the VM's runtime
-  *    matched-flag, vm.go:897-902 — equivalent for side-effect-free
-  *    conds);
+  *    matched-flag, vm.go:897-902);
   *  - `stop` → later statements conjoin ¬(stop cond);
-  *  - time register → a threaded nullable timestamp Column, updated by
-  *    strptime/settime in statement order;
+  *  - time register → a threaded nullable timestamp Column updated by
+  *    strptime/settime in statement order; settime may read a metric
+  *    written earlier on the same line (mysql_slowqueries.mtail);
   *  - cross-line metric reads (hidden metrics) → running last-write value
-  *    via a window partitioned by the metric key, with same-line
-  *    statement order resolved statically (site index);
-  *  - counter → sum, gauge/timer/text → max_by(arrival), with the datum
-  *    timestamp = time register at the last update (metric.go:151-181);
-  *  - `del` → cells whose last operation is a delete are dropped, and a
-  *    counter restarts from the delete point (vm.go:778-794);
-  *  - histogram → bucket CASE + per-bucket counts, sum and count
+  *    via a window partitioned by the metric key; same-line statement
+  *    order is resolved statically by site index;
+  *  - counter → sum, gauge/timer/text → max_by(arrival), datum timestamp
+  *    = time register at last update (metric.go:151-181);
+  *  - `del` → cells whose last op is a delete are dropped, counters
+  *    restart after it (vm.go:778-794); `del … after d` is state TTL —
+  *    a batch no-op for final-snapshot semantics;
+  *  - histogram → bucket CASE + per-bucket counts, sum, count
   *    (datum/buckets.go:42-57).
   *
-  * Scale: the extraction prefix is pure narrow projection (codegen'd);
-  * each metric branch shuffles only its label tuple + value; windows for
-  * hidden-state reads shuffle by the metric key (high-cardinality in
-  * practice: pid, client). Nothing collects to the driver.
+  * Pattern structs are emitted inline wherever referenced; duplicates
+  * inside one projection are unified by whole-stage codegen's
+  * subexpression elimination, mirroring the VM's one-Match-per-cond.
+  *
+  * Scale: the extraction prefix is a narrow codegen'd projection; each
+  * metric branch shuffles only its label tuple + value. Windows for
+  * keyed hidden-state reads shuffle by the metric key; key-less scalar
+  * state (mysql_slowqueries' `user`) degenerates to a single-partition
+  * window — inherently sequential in the reference too, which replays a
+  * log single-threaded (runtime.go:199-202).
   */
 final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     defaultYear: Int) {
 
   import Ir._
 
-  // ---------- phase 0: pattern extraction prefix ----------
+  val df: DataFrame = lines
 
-  private val patternCols = mutable.LinkedHashMap[String, (String, Re2.Parsed)]()
+  // ---------- frames: capref scopes ----------
 
-  private def collectPatterns(stmts: Seq[Stmt]): Unit = stmts.foreach {
-    case CondBlock(cond, body, els) =>
-      cond match {
-        case CondPattern(re2, _) => registerPattern(re2)
-        case CondExpr(e) => collectExprPatterns(e)
-        case CondOtherwise =>
-      }
-      collectPatterns(body); collectPatterns(els)
-    case IncStmt(_, keys, delta) =>
-      keys.foreach(collectExprPatterns); collectExprPatterns(delta)
-    case SetStmt(_, keys, v) =>
-      keys.foreach(collectExprPatterns); collectExprPatterns(v)
-    case DelStmt(_, keys, _) => keys.foreach(collectExprPatterns)
-    case ExprStmt(e) => collectExprPatterns(e)
-    case StopStmt =>
-  }
-
-  private def collectExprPatterns(e: Expr): Unit = e match {
-    case Binop("=~" | "!~", l, PatternLit(re2)) =>
-      registerPattern(re2); collectExprPatterns(l)
-    case Binop(_, l, r) => collectExprPatterns(l); collectExprPatterns(r)
-    case Unop(_, x) => collectExprPatterns(x)
-    case Call(_, args) => args.foreach(collectExprPatterns)
-    case MetricRead(_, keys) => keys.foreach(collectExprPatterns)
-    case _ =>
-  }
-
-  private def registerPattern(re2: String): Unit =
-    if (!patternCols.contains(re2)) {
-      val name = s"__m${patternCols.size}"
-      patternCols(re2) = (name, Re2.parse(re2))
-    }
-
-  collectPatterns(program.stmts)
-
-  /** the lines DF with one struct column per distinct pattern. */
-  val df: DataFrame = patternCols.foldLeft(lines) {
-    case (d, (re2, (colName, _))) =>
-      d.withColumn(colName, RegexExtractStruct(col("line"), re2))
-  }
-
-  // ---------- walk state ----------
-
-  private case class Frame(structCol: String, parsed: Re2.Parsed) {
+  private case class Frame(parsed: Re2.Parsed, struct: Column) {
     def resolve(name: String): Option[(Column, DataType)] = {
       val gi = name.toIntOption match {
         case Some(i) => parsed.groups.find(_.index == i)
@@ -106,119 +72,234 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           case Re2.CapFloat => DoubleType
           case Re2.CapString => StringType
         }
-        (col(s"$structCol.g${g.index}"), t)
+        (struct.getField(s"g${g.index}"), t)
       }
     }
+    def matched: Column = struct.getField("matched")
   }
+
+  private def mkFrame(subject: Column, re2: String): Frame =
+    Frame(Re2.parse(re2), RegexExtractStruct(subject, re2))
+
+  // ---------- walk state ----------
 
   sealed trait Op
   case object OpInc extends Op
   case object OpSet extends Op
   case object OpDel extends Op
 
-  /** one metric-update site, with full context captured at walk time. */
+  /** one metric-update site with context captured at walk time. */
   private case class Site(idx: Int, metric: MetricDecl, op: Op,
       cond: Column, keys: Seq[Expr], valueIr: Option[Expr],
       frames: List[Frame], timeReg: Column, afterSeconds: Option[Long])
 
   private val sites = mutable.ArrayBuffer[Site]()
+  private var siteSeq = 0 // shared order for sites AND strptime/settime
   private var timeReg: Column = lit(null).cast(TimestampType)
   private var stopGuard: Column = lit(true)
 
   // ---------- phase 1: walk ----------
 
-  private def condColumn(cond: Cond, frames: List[Frame],
-      siblings: Seq[Column]): (Column, List[Frame]) = cond match {
+  /** Lower a condition to (boolean column, frames-to-push). */
+  private def condToColumn(c: Cond, frames: List[Frame],
+      siblings: Seq[Column]): (Column, List[Frame]) = c match {
     case CondPattern(re2, negated) =>
-      val (colName, parsed) = patternCols(re2)
-      val c = col(s"$colName.matched")
-      (if (negated) !c else c,
-        Frame(colName, parsed) :: frames)
+      val f = mkFrame(col("line"), re2)
+      (if (negated) !f.matched else f.matched,
+        if (negated) frames else f :: frames)
     case CondExpr(e) =>
-      val c = exprColumn(e, frames, timeReg, -1)
-      val bool = irType(e, frames) match {
-        case BooleanType => c
-        case StringType => c.isNotNull && c =!= ""
-        case _ => c =!= lit(0)
-      }
-      (bool, frames)
+      val (bool, pushed) = condExpr(e, frames)
+      (bool, pushed.reverse ::: frames)
     case CondOtherwise =>
       (siblings.reduceOption(_ || _).map(c => !coalesce(c, lit(false)))
         .getOrElse(lit(true)), frames)
   }
+
+  /** Lower a condition EXPRESSION, collecting frames from embedded
+    * pattern matches (bare /re/ and =~) left-to-right.
+    */
+  private def condExpr(e: Expr, frames: List[Frame])
+      : (Column, List[Frame]) = e match {
+    case LineMatch(re2, negated) =>
+      val f = mkFrame(col("line"), re2)
+      (if (negated) !f.matched else f.matched,
+        if (negated) Nil else List(f))
+    case Binop("=~", subj, PatternLit(re2)) =>
+      val f = mkFrame(
+        exprColumn(subj, frames, timeReg, siteSeq).cast(StringType), re2)
+      (f.matched, List(f))
+    case Binop("!~", subj, PatternLit(re2)) =>
+      val f = mkFrame(
+        exprColumn(subj, frames, timeReg, siteSeq).cast(StringType), re2)
+      (!f.matched, Nil)
+    case Binop("&&", l, r) =>
+      val (lc, lf) = condExpr(l, frames)
+      val (rc, rf) = condExpr(r, lf.reverse ::: frames)
+      (lc && rc, lf ++ rf)
+    case Binop("||", l, r) =>
+      val (lc, lf) = condExpr(l, frames)
+      val (rc, rf) = condExpr(r, frames)
+      (lc || rc, lf ++ rf)
+    case Unop("!", x) =>
+      val (xc, _) = condExpr(x, frames)
+      (!xc, Nil)
+    case other =>
+      val cCol = exprColumn(other, frames, timeReg, siteSeq)
+      val bool = irType(other, frames) match {
+        case BooleanType => cCol
+        case StringType => cCol.isNotNull && cCol =!= ""
+        case _ => cCol =!= lit(0)
+      }
+      (bool, Nil)
+  }
+
+  /** null typed caprefs referenced by `e`: evaluating one raises a
+    * runtime error in the VM (S2i of an unmatched/unparseable group) and
+    * aborts the rest of the line (vm.go:97-129).
+    */
+  private def typedCaprefNullCond(e: Expr, frames: List[Frame])
+      : Option[Column] = {
+    val nulls = mutable.ArrayBuffer[Column]()
+    def visit(x: Expr): Unit = x match {
+      case Capref(n) =>
+        frames.view.flatMap(_.resolve(n)).headOption.foreach {
+          case (c, LongType | DoubleType) => nulls += c.isNull
+          case _ =>
+        }
+      case Binop(_, l, r) => visit(l); visit(r)
+      case Unop(_, y) => visit(y)
+      case Call(_, args) => args.foreach(visit)
+      case MetricRead(_, keys) => keys.foreach(visit)
+      case _ =>
+    }
+    visit(e)
+    nulls.reduceOption(_ || _)
+  }
+
+  /** record that executing under `execCond` errors when `nullCond` —
+    * later statements on that line are skipped, like after `stop`.
+    */
+  private def abortOn(execCond: Column, nullCond: Option[Column]): Unit =
+    nullCond.foreach { nc =>
+      stopGuard = stopGuard && !coalesce(execCond && nc, lit(false))
+    }
 
   private def walk(stmts: Seq[Stmt], frames: List[Frame],
       cond: Column): Unit = {
     val siblings = mutable.ArrayBuffer[Column]()
     stmts.foreach {
       case CondBlock(c, body, els) =>
-        val (condCol, newFrames) = condColumn(c, frames, siblings.toSeq)
+        val (condCol, newFrames) = condToColumn(c, frames, siblings.toSeq)
         c match {
           case CondOtherwise =>
           case _ => siblings += (cond && condCol)
         }
+        c match {
+          case CondExpr(e) =>
+            abortOn(cond && stopGuard, typedCaprefNullCond(e, frames))
+          case _ =>
+        }
         walk(body, newFrames, cond && condCol)
-        if (els.nonEmpty) walk(els, frames, cond && !coalesce(condCol, lit(false)))
+        if (els.nonEmpty)
+          walk(els, frames, cond && !coalesce(condCol, lit(false)))
       case IncStmt(m, keys, delta) =>
-        sites += Site(sites.size, program.decl(m), OpInc,
-          cond && stopGuard, keys, Some(delta), frames, timeReg, None)
+        val siteCond = cond && stopGuard
+        sites += Site(nextSeq(), program.decl(m), OpInc,
+          siteCond, keys, Some(delta), frames, timeReg, None)
+        abortOn(siteCond, typedCaprefNullCond(
+          keys.foldLeft(delta)((a, k) => Binop("+", a, k)), frames))
       case SetStmt(m, keys, v) =>
-        sites += Site(sites.size, program.decl(m), OpSet,
-          cond && stopGuard, keys, Some(v), frames, timeReg, None)
+        val siteCond = cond && stopGuard
+        sites += Site(nextSeq(), program.decl(m), OpSet,
+          siteCond, keys, Some(v), frames, timeReg, None)
+        abortOn(siteCond, typedCaprefNullCond(
+          keys.foldLeft(v)((a, k) => Binop("+", a, k)), frames))
       case DelStmt(m, keys, after) =>
-        sites += Site(sites.size, program.decl(m), OpDel,
+        sites += Site(nextSeq(), program.decl(m), OpDel,
           cond && stopGuard, keys, None, frames, timeReg, after)
       case ExprStmt(Call("strptime", Seq(arg, StrLit(layout)))) =>
+        val seq = nextSeq()
+        val execCond = cond && stopGuard
         val parsedTs = GoStrptime(
-          exprColumn(arg, frames, timeReg, -1).cast(StringType),
+          exprColumn(arg, frames, timeReg, seq).cast(StringType),
           layout, defaultYear)
-        timeReg = when(cond && stopGuard && parsedTs.isNotNull, parsedTs)
+        timeReg = when(execCond && parsedTs.isNotNull, parsedTs)
           .otherwise(timeReg)
+        // a failed strptime is a runtime error → abort the line
+        abortOn(execCond, Some(parsedTs.isNull))
       case ExprStmt(Call("settime", Seq(arg))) =>
-        val ts = timestamp_seconds(exprColumn(arg, frames, timeReg, -1))
-        timeReg = when(cond && stopGuard && ts.isNotNull, ts)
-          .otherwise(timeReg)
+        val seq = nextSeq()
+        val execCond = cond && stopGuard
+        val ts = timestamp_seconds(
+          exprColumn(arg, frames, timeReg, seq).cast(LongType))
+        timeReg = when(execCond && ts.isNotNull, ts).otherwise(timeReg)
+        abortOn(execCond, typedCaprefNullCond(arg, frames))
       case ExprStmt(e) =>
-        // other expression statements have no plan-level effect in batch
-        val _ = e
+        val _ = e // no other expression statement has a batch effect
       case StopStmt =>
         stopGuard = stopGuard && !coalesce(cond, lit(false))
+      case NextStmt =>
+        throw new IllegalArgumentException(
+          "`next` outside a decorator def")
     }
   }
 
-  walk(program.stmts, Nil, lit(true))
+  private def nextSeq(): Int = { val s = siteSeq; siteSeq += 1; s }
 
-  // ---------- typing (IR-level, mirrors checker's unification result) ----
+  // ---------- typing (IR-level, mirrors checker unification result) ----
 
+  // NOTE: declared before the walk() invocations below — conds evaluated
+  // during the walk (`user == ""`) already consult metricType.
   private val metricTypeMemo = mutable.Map[String, DataType]()
 
-  def metricType(name: String): DataType = metricTypeMemo.getOrElseUpdate(name, {
-    val decl = program.decl(name)
-    decl.kind match {
-      case Text => StringType
-      case Histogram => DoubleType
-      case _ =>
-        metricTypeMemo(name) = LongType // cycle guard: default Int
-        val ts = sites.filter(s => s.metric.name == name && s.op != OpDel)
-          .map(s => irType(s.valueIr.get, s.frames))
-        if (ts.contains(StringType)) StringType
-        else if (ts.contains(DoubleType)) DoubleType
-        else LongType
-    }
-  })
+  /** complete site list from the first walk pass; metric reads resolve
+    * against this so a read sees write sites that appear LATER in the
+    * program text (mysql_slowqueries' `partial` reset).
+    */
+  private var resolvedSites: Seq[Site] = Seq.empty
+  private def allSites: Seq[Site] =
+    if (resolvedSites.nonEmpty) resolvedSites else sites.toSeq
+
+  // pass 1: collect sites (cond/read lowering is provisional)
+  walk(program.stmts, Nil, lit(true))
+  // pass 2: rebuild with the full site list visible to metric reads
+  resolvedSites = sites.toSeq
+  sites.clear()
+  siteSeq = 0
+  timeReg = lit(null).cast(TimestampType)
+  stopGuard = lit(true)
+  metricTypeMemo.clear()
+  walk(program.stmts, Nil, lit(true))
+
+  def metricType(name: String): DataType =
+    metricTypeMemo.getOrElseUpdate(name, {
+      val decl = program.decl(name)
+      decl.kind match {
+        case Text => StringType
+        case Histogram => DoubleType
+        case _ =>
+          metricTypeMemo(name) = LongType // cycle guard: default Int
+          val ts = allSites
+            .filter(s => s.metric.name == name && s.op != OpDel)
+            .map(s => irType(s.valueIr.get, s.frames))
+          if (ts.contains(StringType)) StringType
+          else if (ts.contains(DoubleType)) DoubleType
+          else LongType
+      }
+    })
 
   private def irType(e: Expr, frames: List[Frame]): DataType = e match {
     case StrLit(_) => StringType
     case IntLit(_) => LongType
     case FloatLit(_) => DoubleType
-    case PatternLit(_) => StringType
+    case PatternLit(_) | LineMatch(_, _) => BooleanType
     case Capref(n) =>
       frames.view.flatMap(_.resolve(n)).headOption.map(_._2)
         .getOrElse(StringType)
     case MetricRead(m, _) => metricType(m)
     case Binop(op, l, r) => op match {
-      case "<" | "<=" | ">" | ">=" | "==" | "!=" | "&&" | "||" | "=~" | "!~" =>
-        BooleanType
+      case "<" | "<=" | ">" | ">=" | "==" | "!=" | "&&" | "||" | "=~" |
+        "!~" => BooleanType
       case "+" if irType(l, frames) == StringType ||
         irType(r, frames) == StringType => StringType
       case _ =>
@@ -241,8 +322,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   // ---------- phase 2: expression lowering ----------
 
   /** Lower an IR expression to a Column. `siteIdx` bounds same-line
-    * metric reads (a read at site i sees same-line writes from sites < i);
-    * -1 means "not inside a site" (cond exprs — they see prior lines only).
+    * metric reads: a read at sequence i sees same-line writes from
+    * sites with idx < i.
     */
   private def exprColumn(e: Expr, frames: List[Frame], tReg: Column,
       siteIdx: Int, reading: Set[String] = Set.empty): Column = e match {
@@ -251,14 +332,17 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     case FloatLit(v) => lit(v)
     case PatternLit(_) =>
       throw new IllegalArgumentException("bare pattern in value position")
+    case LineMatch(re2, negated) =>
+      val f = mkFrame(col("line"), re2)
+      if (negated) !f.matched else f.matched
     case Capref(n) =>
       frames.view.flatMap(_.resolve(n)).headOption match {
         case Some((c, _)) => c
         case None => throw new IllegalArgumentException(
           s"unresolved capref $$$n in ${program.name}")
       }
-    case MetricRead(m, keys) => metricReadColumn(m, keys, frames, tReg,
-      siteIdx, reading)
+    case MetricRead(m, keys) =>
+      metricReadColumn(m, keys, frames, tReg, siteIdx, reading)
     case Binop(op, l, r) =>
       lazy val lc = exprColumn(l, frames, tReg, siteIdx, reading)
       lazy val rc = exprColumn(r, frames, tReg, siteIdx, reading)
@@ -266,7 +350,9 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         case "+" => lc + rc
         case "-" => lc - rc
         case "*" => lc * rc
-        case "/" => if (irType(e, frames) == LongType) lc.cast(LongType) / rc.cast(LongType) else lc / rc
+        case "/" =>
+          if (irType(e, frames) == LongType) (lc / rc).cast(LongType)
+          else lc / rc
         case "%" => pmod(lc, rc)
         case "**" =>
           if (irType(e, frames) == LongType) pow(lc, rc).cast(LongType)
@@ -303,6 +389,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       def a(i: Int) = exprColumn(args(i), frames, tReg, siteIdx, reading)
       fn match {
         case "timestamp" =>
+          // seconds, like the VM's Int time values (vm.go:591-598)
           coalesce(unix_timestamp(tReg),
             unix_timestamp(current_timestamp()))
         case "len" => length(a(0)).cast(LongType)
@@ -310,7 +397,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         case "getfilename" => col("filename")
         case "strtol" => args(1) match {
           case IntLit(base) => conv(a(0), base.toInt, 10).cast(LongType)
-          case _ => throw new IllegalArgumentException("strtol base literal")
+          case _ =>
+            throw new IllegalArgumentException("strtol base literal")
         }
         case "subst" => args(0) match {
           case PatternLit(re2) =>
@@ -318,7 +406,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             regexp_replace(a(2), lit(Re2.parse(re2).java),
               lit(java.util.regex.Matcher
                 .quoteReplacement(litString(args(1)))))
-          case _ => replaceLiteral(a(2), a(0), a(1))
+          case _ => replace(a(2), a(0), a(1))
         }
         case "int" => a(0).cast(LongType)
         case "float" => a(0).cast(DoubleType)
@@ -333,9 +421,6 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       s"expected string literal, got $other")
   }
 
-  private def replaceLiteral(s: Column, oldS: Column, newS: Column): Column =
-    org.apache.spark.sql.functions.replace(s, oldS, newS)
-
   /** Cross-line metric read: running last-written value for this key. */
   private def metricReadColumn(metric: String, keys: Seq[Expr],
       frames: List[Frame], tReg: Column, siteIdx: Int,
@@ -343,10 +428,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     if (reading.contains(metric))
       throw new IllegalArgumentException(
         s"cyclic metric read through $metric")
-    val writes = sites.filter(s => s.metric.name == metric)
-      .filter(s => s.op == OpSet || s.op == OpDel).toSeq
+    // del-after sites are TTL hints, not immediate deletes — exclude
+    val writes = allSites.filter(s => s.metric.name == metric)
+      .filter(s => s.op == OpSet ||
+        (s.op == OpDel && s.afterSeconds.isEmpty))
     if (writes.isEmpty) return zeroOf(metricType(metric))
-    if (sites.exists(s => s.metric.name == metric && s.op == OpInc))
+    if (allSites.exists(s => s.metric.name == metric && s.op == OpInc))
       throw new IllegalArgumentException(
         s"reads of '++'-updated metric $metric not supported")
 
@@ -363,8 +450,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       exprColumn(k, frames, tReg, siteIdx, reading).cast(StringType))
     val w = Window.partitionBy(keyCols: _*).orderBy(col("ord"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prevRows = whens(writes).map(c =>
-      last(c, ignoreNulls = true).over(w))
+    val prevRows = whens(writes).map(c => last(c, ignoreNulls = true).over(w))
     val sameLine =
       if (siteIdx < 0) None else whens(writes.filter(_.idx < siteIdx))
     coalesce((sameLine.toSeq ++ prevRows.toSeq :+
@@ -386,8 +472,9 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
   def metricFrame(decl: Ir.MetricDecl): DataFrame = {
     val mSites = sites.filter(_.metric.name == decl.name)
-    val updates = mSites.filter(_.op != OpDel)
+    val updates = mSites.filter(_.op != OpDel).toSeq
     val dels = mSites.filter(_.op == OpDel).filter(_.afterSeconds.isEmpty)
+      .toSeq
     val vt = metricType(decl.name)
 
     def siteFrame(s: Site): DataFrame = {
@@ -396,20 +483,18 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           .as(s"k$i")
       }
       val delta = s.op match {
-        case OpInc => exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx)
-          .cast(vt)
-        case OpSet => exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx)
-          .cast(vt)
         case OpDel => zeroOf(vt)
+        case _ => exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx)
+          .cast(vt)
       }
-      // project BEFORE filtering: delta may contain a cross-line metric
-      // read whose window must see every line, not just this site's
+      // project BEFORE filtering: values/keys may contain cross-line
+      // metric reads whose windows must see every line
       df.select((labelCols :+ delta.as("v") :+
           s.timeReg.as("ts") :+ ordKey(s.idx).as("ordk") :+
           coalesce(s.cond, lit(false)).as("__cond")): _*)
         .filter(col("__cond")).drop("__cond")
-        // a null value means a failed capref conversion — the reference
-        // aborts the line (vm.go:97-129); drop the update
+        // null value = failed capref conversion — the reference aborts
+        // the line (vm.go:97-129); drop the update
         .filter(col("v").isNotNull || lit(s.op == OpDel))
     }
 
@@ -427,7 +512,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             .filter(col("ordk") > col("__del_ord"))
             .drop("__del_ord")
         } else {
-          u.join(delDf, keyNames, "left")
+          u.join(broadcast(delDf), keyNames, "left")
             .filter(col("__del_ord").isNull ||
               col("ordk") > col("__del_ord"))
             .drop("__del_ord")
@@ -438,13 +523,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     val agg: Option[DataFrame] = afterDel.map { u =>
       val aggs = decl.kind match {
         case Ir.Counter =>
-          Seq(sum("v").as("value"), max_by(col("ts"), col("ordk")).as("ts"))
+          Seq(sum("v").as("value"),
+            max_by(col("ts"), col("ordk")).as("ts"))
         case Ir.Histogram =>
           val buckets = decl.buckets
           val bucketCounts = buckets.zipWithIndex.map { case (b, i) =>
-            sum(when(col("v") <= b &&
-              buckets.take(i).foldLeft(lit(true))((acc, lo) =>
-                acc && col("v") > lo), 1L).otherwise(0L)).as(s"bucket_$i")
+            val lower = if (i == 0) lit(true) else col("v") > buckets(i - 1)
+            sum(when(col("v") <= b && lower, 1L).otherwise(0L))
+              .as(s"bucket_$i")
           }
           bucketCounts ++ Seq(
             sum(when(col("v") > buckets.last, 1L).otherwise(0L))
@@ -460,7 +546,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         if (decl.kind == Ir.Counter)
           // never-updated scalar counters export 0 @ epoch-0
           // (codegen.go:109-126; golden/reader.go:107-119); an updated
-          // counter with an unset time register keeps a null ts (the
+          // counter with an unset time register keeps null ts (the
           // VM's zero time.Time)
           g.select(
             coalesce(col("value"), lit(0L).cast(vt)).as("value"),

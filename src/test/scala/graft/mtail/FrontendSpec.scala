@@ -1,0 +1,120 @@
+package graft.mtail
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class FrontendSpec extends AnyFunSuite {
+  import Ir._
+
+  private def parseFile(path: String): Program = {
+    val src = scala.io.Source.fromFile(path).mkString
+    Frontend.parse(src, new java.io.File(path).getName)
+  }
+
+  test("linecount parses") {
+    val p = Frontend.parse(
+      "counter lines_total\n\n/$/ {\n  lines_total++\n}\n", "linecount")
+    assert(p.decls == Seq(MetricDecl(Counter, "lines_total")))
+    assert(p.stmts == Seq(CondBlock(CondPattern("$"),
+      Seq(IncStmt("lines_total")))))
+  }
+
+  test("all reference example programs parse") {
+    // mirror of TestCompileExamplePrograms
+    // (examples_integration_test.go:130-147)
+    val dir = new java.io.File("/root/reference/examples")
+    val files = dir.listFiles().filter(_.getName.endsWith(".mtail")).sorted
+    files.foreach { f =>
+      val p = parseFile(f.getPath)
+      info(s"${f.getName}: ${p.decls.size} metrics, ${p.stmts.size} top stmts")
+      // nocode.mtail is deliberately empty; everything else has content
+      assert(p.decls.nonEmpty || p.stmts.nonEmpty ||
+        f.getName == "nocode.mtail", f.getName)
+    }
+    assert(files.length >= 17)
+  }
+
+  test("decl forms") {
+    val p = Frontend.parse(
+      """counter a by x, y as "a-total" limit 7
+        |hidden gauge g
+        |histogram h by code buckets 0, 1, 2, 4, 8
+        |timer t
+        |text tx
+        |""".stripMargin, "decls")
+    assert(p.decls(0) == MetricDecl(Counter, "a", Seq("x", "y"),
+      Some("a-total"), false, Nil, 7))
+    assert(p.decls(1).hidden && p.decls(1).kind == Gauge)
+    assert(p.decls(2).buckets == Seq(0d, 1d, 2d, 4d, 8d))
+    assert(p.decls(3).kind == Timer)
+    assert(p.decls(4).kind == Text)
+  }
+
+  test("const folding and concat across lines") {
+    val p = Frontend.parse(
+      """counter c
+        |const IP /\d+(\.\d+){3}/
+        |const MATCH_IP /(?P<ip>/ + IP + /)/
+        |// + MATCH_IP {
+        |  c++
+        |}
+        |""".stripMargin, "consts")
+    p.stmts.head match {
+      case CondBlock(CondPattern(re2, _), _, _) =>
+        assert(re2 == """(?P<ip>\d+(\.\d+){3})""")
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("decorator inlining replaces next") {
+    val p = Frontend.parse(
+      """counter c
+        |def deco {
+        |  /x/ {
+        |    next
+        |  }
+        |}
+        |@deco {
+        |  c++
+        |}
+        |""".stripMargin, "deco")
+    assert(p.stmts == Seq(CondBlock(CondPattern("x"),
+      Seq(IncStmt("c")))))
+  }
+
+  test("expr statements, assignment forms, del after") {
+    val p = Frontend.parse(
+      """hidden gauge t
+        |hidden gauge sessions by client
+        |counter total
+        |/^(?P<n>\d+)/ {
+        |  t = $n
+        |  total += t
+        |  settime(t)
+        |  del sessions[$n] after 168h
+        |  stop
+        |}
+        |""".stripMargin, "stmts")
+    val body = p.stmts.head.asInstanceOf[CondBlock].body
+    assert(body(0) == SetStmt("t", Nil, Capref("n")))
+    assert(body(1) == IncStmt("total", Nil, MetricRead("t", Nil)))
+    assert(body(2) == ExprStmt(Call("settime", Seq(MetricRead("t", Nil)))))
+    assert(body(3) == DelStmt("sessions", Seq(Capref("n")),
+      Some(168L * 3600)))
+    assert(body(4) == StopStmt)
+  }
+
+  test("composite conds: pattern && expr, expr match binding") {
+    val p = Frontend.parse(
+      """counter c
+        |hidden gauge partial
+        |/end;$/ && partial == 1 {
+        |  c++
+        |}
+        |""".stripMargin, "conds")
+    p.stmts.head match {
+      case CondBlock(CondExpr(Binop("&&", LineMatch("end;$", false),
+        Binop("==", MetricRead("partial", Nil), IntLit(1)))), _, _) =>
+      case other => fail(s"unexpected: $other")
+    }
+  }
+}

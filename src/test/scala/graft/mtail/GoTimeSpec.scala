@@ -38,9 +38,12 @@ class GoTimeSpec extends AnyFunSuite {
       "2018-03-23T13:31:01+0000", 0).isEmpty)
   }
 
-  test("mysql layout 060102 with 2-digit year") {
-    assert(GoTime.parse("060102 15:04:05", "070228 12:01:02", 0)
+  test("mysql layout 060102 with 2-digit year and space-run matching") {
+    // the real mysql_slowqueries layout: two spaces + 12-hour '3'
+    assert(GoTime.parse("060102  3:04:05", "070228 12:01:02", 0)
       .contains(utc("2007-02-28T12:01:02Z")))
+    assert(GoTime.parse("060102  3:04:05", "070228  2:01:02", 0)
+      .contains(utc("2007-02-28T02:01:02Z")))
   }
 
   test("year-with-layout Jan _2 15:04:05 2006") {
