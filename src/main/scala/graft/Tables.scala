@@ -20,6 +20,9 @@ object Tables {
     // Sub-microsecond precision is dropped — queries that compare or emit
     // event time truncate to seconds on both the Spark and oracle side.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the engine's dialect is mtail's: conversion errors null out and
+    // drop the line (vm.go:97-129), never fail the job
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._

@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object LogLines {
 
-  def batch(spark: SparkSession, paths: String*): DataFrame =
+  def batch(spark: SparkSession, paths: String*): DataFrame = {
+    // mtail dialect: conversion errors null out (vm.go:97-129)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.read.textFile(paths: _*)
       .select(
         input_file_name().as("filename"),
         col("value").as("line"))
       .withColumn("ord", monotonically_increasing_id())
+  }
 
   /** Wrap any (line STRING) DataFrame, e.g. a driver table. */
   def fromLines(df: DataFrame, lineCol: String,

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale text deduplication operators, Spark-first.
+  *
+  * Scale design (100 TB): every pipeline is shingle-explode → map-side
+  * hash → shuffle on a SMALL key (64-bit hash or band id), never on
+  * document bodies. Candidate generation (LSH) reduces the quadratic
+  * verify step to bucket-local pairs; exact verification joins only the
+  * candidate set. Signatures are fixed-width (k longs), so memory per
+  * row is bounded regardless of document size.
+  */
+object Dedup {
+
+  /** distinct word n-grams per document: (id, gram). A doc with
+    * size-n words yields size-n+1 grams; under n words, none.
+    */
+  def wordNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("id"),
+      explode(array_distinct(grams)).as("gram"))
+      .filter(col("gram") =!= "")
+  }
+
+  /** Exact n-gram Jaccard similar pairs: every (a < b) with
+    * |A∩B| / |A∪B| ≥ num/den, computed via a gram-join (shuffle key =
+    * gram hash, never the text).
+    */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, num: Int, den: Int): DataFrame = {
+    val grams = wordNgrams(docs, idCol, textCol, n)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("nset"))
+    val a = grams.as("a")
+    val b = grams.as("b")
+    val common = a.join(b, col("a.gram") === col("b.gram") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("nset", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("nset", "nb"), "doc_b")
+      // integer-exact threshold: common/(na+nb-common) >= num/den
+      .filter(col("common") * den >= (col("na") + col("nb") -
+        col("common")) * num)
+      .select("doc_a", "doc_b", "common", "na", "nb")
+  }
+
+  /** deterministic hash family over a base 64-bit hash: re-hash with the
+    * family index as a seed column (overflow-free under ANSI mode).
+    */
+  private def hashFamily(base: Column, i: Int): Column =
+    xxhash64(lit(i), base)
+
+  /** MinHash signatures: k columns sig_0..sig_{k-1} per id.
+    * One explode + k map-side mins — a single shuffle on id.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val grams = wordNgrams(docs, idCol, textCol, n)
+      .withColumn("h", xxhash64(col("gram")))
+    val mins = (0 until k).map(i =>
+      min(hashFamily(col("h"), i)).as(s"sig_$i"))
+    grams.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup candidate pairs verified by exact Jaccard.
+    * bands × rowsPerBand must equal k. Probability a pair with true
+    * Jaccard s becomes a candidate: 1-(1-s^rows)^bands.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      num: Int = 1, den: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    // band key = hash of the band's signature slice; explode to
+    // (band_idx, band_key, id) and self-join bucket-locally
+    val bandRows = sigs.select(col("id"),
+      posexplode(array((0 until bands).map { bnd =>
+        hash((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => col(s"sig_$i")): _*)
+      }: _*)).as(Seq("band_idx", "band_key")))
+    val l = bandRows.as("l")
+    val r = bandRows.as("r")
+    val candidates = l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .distinct()
+    // exact verify on candidates only
+    val grams = wordNgrams(docs, idCol, textCol, n)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("nset"))
+    val ga = grams.toDF("doc_a", "gram_a")
+    val gb = grams.toDF("doc_b2", "gram_b")
+    candidates
+      .join(ga, Seq("doc_a"))
+      .join(gb, col("doc_b") === col("doc_b2") &&
+        col("gram_a") === col("gram_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("nset", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("nset", "nb"), "doc_b")
+      .filter(col("common") * den >= (col("na") + col("nb") -
+        col("common")) * num)
+      .select("doc_a", "doc_b", "common", "na", "nb")
+  }
+
+  /** 64-bit SimHash per document from token hashes: bit j of the
+    * fingerprint is the sign of Σ_tokens (±1 per token's bit j).
+    */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val summed = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(col(s"b$j") > 0,
+        shiftleft(lit(1L), j)).otherwise(0L))
+    }
+    summed.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. The
+    * band-rotation trick keeps this join bucket-local at scale: 4
+    * 16-bit bands; a pair within distance ≤ 3 shares at least one
+    * exact band.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val fp = simhash64(docs, idCol, textCol)
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band_idx", "band_key")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
+        col("l.simhash").as("fp_a"), col("r.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("dist",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river"),
+    // near-duplicate of 1 (one word changed)
+    (2L, "the quick brown fox jumps over the lazy cat near the river"),
+    // exact duplicate of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river"),
+    // unrelated
+    (4L, "completely different content about spark catalyst planning"),
+    (5L, "another unrelated document mentioning parquet shuffles only")
+  ).toDF("doc_id", "text")
+
+  test("wordNgrams counts") {
+    val g = Dedup.wordNgrams(corpus, "doc_id", "text", 3)
+    // doc 4: 7 words → 5 distinct trigrams
+    assert(g.filter($"id" === 4).count() == 5)
+  }
+
+  test("exact jaccard finds planted near-dups only") {
+    val pairs = Dedup
+      .exactJaccardPairs(corpus, "doc_id", "text", 3, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // exact dup
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH finds the same planted dups") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs distance 0, near-dups small distance") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+      .select($"doc_a", $"doc_b", $"dist").as[(Long, Long, Long)]
+      .collect().toMap2
+    assert(pairs((1L, 3L)) == 0L)
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  implicit class Tuple3Ops(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] =
+      rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  test("LSH recall matches exact jaccard on the real documents table") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // LSH output is a subset (verified exactly) with high recall
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= exact.size * 8 / 10,
+      s"recall too low: ${lsh.size}/${exact.size}")
+  }
+}
