@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Pull-export HTTP endpoints over a [[MetricsStore]] — /metrics
+  * (Prometheus), /json, /varz, /graphite, like the reference's mtail
+  * HTTP mux (`internal/mtail/mtail.go:120`). JDK-built-in server: no
+  * extra dependencies, good enough for a scrape endpoint.
+  */
+final class ExportServer(store: MetricsStore, program: String,
+    keys: Map[String, Seq[String]], port: Int = 0,
+    hostname: String = "localhost") {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  private def handler(f: () => String): HttpHandler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val body = f().getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "text/plain")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      val os = ex.getResponseBody
+      os.write(body)
+      os.close()
+    }
+  }
+
+  server.createContext("/metrics",
+    handler(() => Exporters.prometheus(store.snapshot(), program)))
+  server.createContext("/json",
+    handler(() => Exporters.json(store.snapshot(), program, keys)))
+  server.createContext("/varz",
+    handler(() => Exporters.varz(store.snapshot(), program, hostname)))
+  server.createContext("/graphite",
+    handler(() => Exporters.graphite(store.snapshot(), program)))
+
+  def start(): Int = {
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+}

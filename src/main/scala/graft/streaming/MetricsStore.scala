@@ -1,0 +1,198 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import graft.mtail.Snapshot.{Cell, VFloat, VInt, VStr, Value}
+
+/** Driver-side cumulative metric store for streaming mode — the analogue
+  * of the reference's shared Store (`internal/metrics/store.go:19-23`),
+  * fed by per-microbatch snapshots from `foreachBatch` and served by the
+  * exporters.
+  *
+  * Merge semantics per kind (later batch = later arrival):
+  * counters add, gauges/timers/text take the newer batch's value,
+  * timestamps take the max. Scale note: only final AGGREGATED cells ever
+  * reach the driver — cardinality = number of exported label tuples, not
+  * input rows.
+  */
+final class MetricsStore {
+
+  private val cells = mutable.LinkedHashMap[(String, Map[String, String]),
+    Cell]()
+  private val lock = new Object
+
+  def merge(batch: Seq[Cell]): Unit = lock.synchronized {
+    batch.foreach { c =>
+      val key = (c.name, c.labels)
+      cells.get(key) match {
+        case None => cells(key) = c
+        case Some(prev) =>
+          val merged = c.kind match {
+            case "counter" =>
+              c.copy(value = addValues(prev.value, c.value),
+                tsSec = maxTs(prev.tsSec, c.tsSec))
+            case _ => // gauge / timer / text: newer batch wins
+              c.copy(tsSec = maxTs(prev.tsSec, c.tsSec))
+          }
+          cells(key) = merged
+      }
+    }
+  }
+
+  private def addValues(a: Value, b: Value): Value = (a, b) match {
+    case (VInt(x), VInt(y)) => VInt(x + y)
+    case (VFloat(x), VFloat(y)) => VFloat(x + y)
+    case (VFloat(x), VInt(y)) => VFloat(x + y)
+    case (VInt(x), VFloat(y)) => VFloat(x + y)
+    case (_, n) => n
+  }
+
+  private def maxTs(a: Option[Long], b: Option[Long]): Option[Long] =
+    (a ++ b).reduceOption(_ max _)
+
+  def snapshot(): Seq[Cell] = lock.synchronized { cells.values.toSeq }
+
+  def clear(): Unit = lock.synchronized { cells.clear() }
+}
+
+/** Pure formatters over store cells — ports of the reference's sink
+  * encoders (`internal/exporter/{prometheus,json,varz,graphite,statsd,
+  * collectd}.go`). Each is a total function Seq[Cell] → String, trivially
+  * unit-testable and usable from any transport.
+  */
+object Exporters {
+
+  private def valueString(v: Value): String = v match {
+    case VInt(x) => x.toString
+    case VFloat(x) =>
+      // Go's %v for float64: minimal representation
+      if (x == x.floor && math.abs(x) < 1e15) x.toLong.toString
+      else x.toString
+    case VStr(s) => s
+  }
+
+  /** export.go:161-178: ksep/sep join with replacement of separators. */
+  def formatLabels(name: String, labels: Map[String, String], ksep: String,
+      sep: String, rep: String): String = {
+    if (labels.isEmpty) name
+    else {
+      val parts = labels.toSeq.sortBy(_._1).map { case (k, v) =>
+        val k1 = k.replace(ksep, rep).replace(sep, rep)
+        val v1 = v.replace(ksep, rep).replace(sep, rep)
+        s"$k1$ksep$v1"
+      }
+      name + sep + parts.mkString(sep)
+    }
+  }
+
+  /** Prometheus text exposition (prometheus.go:31-99): one TYPE line per
+    * metric, cells as `name{prog=…,labels…} value`.
+    */
+  def prometheus(cells: Seq[Cell], program: String,
+      omitProgLabel: Boolean = false): String = {
+    val sb = new StringBuilder
+    val byName = cells.groupBy(_.name).toSeq.sortBy(_._1)
+    byName.foreach { case (name, cs) =>
+      val promName = name.replace("-", "_") // noHyphens
+      val promType = cs.head.kind match {
+        case "counter" => "counter"
+        case "gauge" | "timer" => "gauge"
+        case "text" => "gauge" // text is never pushed; pull shows gauge
+        case other => other
+      }
+      sb.append(s"# TYPE $promName $promType\n")
+      cs.foreach { c =>
+        val labels = (if (omitProgLabel) c.labels
+        else c.labels + ("prog" -> program)).toSeq.sortBy(_._1)
+        val labelStr =
+          if (labels.isEmpty) ""
+          else labels.map { case (k, v) => s"""$k="$v"""" }
+            .mkString("{", ",", "}")
+        sb.append(s"$promName$labelStr ${valueString(c.value)}\n")
+      }
+    }
+    sb.toString
+  }
+
+  /** JSON store dump (json.go:17-30): mtail's exact field shape. */
+  def json(cells: Seq[Cell], program: String, keys: Map[String,
+      Seq[String]]): String = {
+    val kindNum = Map("counter" -> 1, "gauge" -> 2, "timer" -> 3,
+      "text" -> 4, "histogram" -> 5)
+    def typNum(v: Value) = v match {
+      case VInt(_) => 0
+      case VFloat(_) => 1
+      case VStr(_) => 2
+    }
+    val groups = cells.groupBy(_.name).toSeq.sortBy(_._1)
+    val metrics = groups.map { case (name, cs) =>
+      val ks = keys.getOrElse(name, Nil)
+      val lvs = cs.map { c =>
+        val labelsJson =
+          if (ks.isEmpty) ""
+          else {
+            val vals = ks.map(k => "\"" + c.labels.getOrElse(k, "") + "\"")
+            s""""Labels": [${vals.mkString(", ")}], """
+          }
+        val tsNanos = c.tsSec.getOrElse(0L) * 1000000000L
+        val vj = c.value match {
+          case VStr(s) => "\"" + s + "\""
+          case other => valueString(other)
+        }
+        s"""{$labelsJson"Value": {"Value": $vj, "Time": $tsNanos}}"""
+      }
+      val keysJson =
+        if (ks.isEmpty) ""
+        else s""""Keys": [${ks.map("\"" + _ + "\"").mkString(", ")}], """
+      s"""{"Name": "$name", "Program": "$program", "Kind": ${
+        kindNum(cs.head.kind)}, "Type": ${typNum(cs.head.value)}, $keysJson"LabelValues": [${
+        lvs.mkString(", ")}]}"""
+    }
+    s"[${metrics.mkString(", ")}]"
+  }
+
+  /** varz (varz.go:18,46-60): `name{sorted_labels,prog=…,instance=…} v`. */
+  def varz(cells: Seq[Cell], program: String, hostname: String,
+      omitProgLabel: Boolean = false): String =
+    cells.map { c =>
+      val s = c.labels.map { case (k, v) => s"$k=$v" }.toSeq.sorted
+      val withProg = if (omitProgLabel) s else s :+ s"prog=$program"
+      val all = withProg :+ s"instance=$hostname"
+      s"${c.name}{${all.mkString(",")}} ${valueString(c.value)}\n"
+    }.mkString
+
+  /** graphite (graphite.go:55-92): `prefix prog.name.labels value ts`. */
+  def graphite(cells: Seq[Cell], program: String,
+      prefix: String = ""): String =
+    cells.filter(_.kind != "text").map { c =>
+      val path = formatLabels(c.name, c.labels, ".", ".", "_")
+      s"$prefix$program.$path ${valueString(c.value)} ${
+        c.tsSec.getOrElse(0L)}\n"
+    }.mkString
+
+  /** statsd (statsd.go:27-41): `prefix prog.name.labels:value|type`. */
+  def statsd(cells: Seq[Cell], program: String,
+      prefix: String = ""): String =
+    cells.filter(_.kind != "text").map { c =>
+      val t = c.kind match {
+        case "counter" => "c"
+        case "timer" => "ms"
+        case _ => "g"
+      }
+      val path = formatLabels(c.name, c.labels, ".", ".", "_")
+      s"$prefix$program.$path:${valueString(c.value)}|$t"
+    }.mkString("\n")
+
+  /** collectd (collectd.go:18,33-50):
+    * PUTVAL "host/prefix mtail-prog/kind-name" interval=n ts:value
+    */
+  def collectd(cells: Seq[Cell], program: String, hostname: String,
+      prefix: String = "", intervalSecs: Long = 60): String =
+    cells.filter(_.kind != "text").map { c =>
+      val kindType = if (c.kind == "timer") "gauge" else c.kind
+      val path = formatLabels(c.name, c.labels, "-", "-", "_")
+      "PUTVAL \"" + hostname + "/" + prefix + "mtail-" + program + "/" +
+        kindType + "-" + path + "\" interval=" + intervalSecs + " " +
+        c.tsSec.getOrElse(0L) + ":" + valueString(c.value) + "\n"
+    }.mkString
+}

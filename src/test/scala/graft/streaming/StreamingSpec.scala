@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.mtail.{Frontend, Snapshot}
+import graft.mtail.Snapshot.{Cell, VInt}
+
+class StreamingSpec extends SparkSpec {
+
+  private val prog = Frontend.parse(
+    """counter lines_total
+      |counter by_op by operation
+      |gauge last_size
+      |/^(?P<op>\w+) (?P<size>\d+)$/ {
+      |  lines_total++
+      |  by_op[$op]++
+      |  last_size = $size
+      |}
+      |""".stripMargin, "stream_test")
+
+  test("microbatches merge like a continuous run") {
+    val runner = new StreamRunner(prog, spark, 0)
+    import spark.implicits._
+    // two batches arriving over time
+    runner.processBatch(Seq("get 10", "put 20").toDF("line"), 0)
+    runner.processBatch(Seq("get 30", "bad line", "get 5").toDF("line"), 1)
+
+    val cells = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells(("lines_total", Map.empty)) == VInt(4))
+    assert(cells(("by_op", Map("operation" -> "get"))) == VInt(3))
+    assert(cells(("by_op", Map("operation" -> "put"))) == VInt(1))
+    // gauge: last write across batches wins
+    assert(cells(("last_size", Map.empty)) == VInt(5))
+  }
+
+  test("structured streaming end-to-end via MemoryStream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val runner = new StreamRunner(prog, spark, 0)
+    val q = runner.start(ms.toDF().select(col("value").as("line")),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    ms.addData("get 1", "put 2", "get 3")
+    q.awaitTermination(30000)
+    val cells = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells(("lines_total", Map.empty)) == VInt(3))
+    assert(cells(("by_op", Map("operation" -> "get"))) == VInt(2))
+  }
+
+  test("exporter formats") {
+    val cells = Seq(
+      Cell("counter", "bytes_total", Map("operation" -> "sent"),
+        VInt(62793673), Some(1298440450L)),
+      Cell("counter", "connections_total", Map.empty, VInt(52),
+        Some(1298411653L)),
+      Cell("gauge", "last_size", Map.empty, VInt(7), None))
+
+    val prom = Exporters.prometheus(cells, "rsyncd.mtail")
+    assert(prom.contains("# TYPE bytes_total counter"))
+    assert(prom.contains(
+      """bytes_total{operation="sent",prog="rsyncd.mtail"} 62793673"""))
+    assert(prom.contains("# TYPE last_size gauge"))
+
+    val varz = Exporters.varz(cells, "rsyncd.mtail", "host1")
+    assert(varz.contains(
+      "bytes_total{operation=sent,prog=rsyncd.mtail,instance=host1} 62793673"))
+
+    val graphite = Exporters.graphite(cells, "rsyncd.mtail")
+    assert(graphite.contains(
+      "rsyncd.mtail.bytes_total.operation.sent 62793673 1298440450"))
+
+    val statsd = Exporters.statsd(cells, "rsyncd.mtail")
+    assert(statsd.contains(
+      "rsyncd.mtail.bytes_total.operation.sent:62793673|c"))
+    assert(statsd.contains("rsyncd.mtail.last_size:7|g"))
+
+    val collectd = Exporters.collectd(cells, "rsyncd.mtail", "host1")
+    assert(collectd.contains("PUTVAL \"host1/mtail-rsyncd.mtail/" +
+      "counter-bytes_total-operation-sent\" interval=60 " +
+      "1298440450:62793673"))
+
+    val json = Exporters.json(cells, "rsyncd.mtail",
+      Map("bytes_total" -> Seq("operation")))
+    assert(json.contains(""""Name": "bytes_total""""))
+    assert(json.contains(""""Kind": 1"""))
+    assert(json.contains(""""Labels": ["sent"]"""))
+  }
+
+  test("export server serves endpoints") {
+    val store = new MetricsStore
+    store.merge(Seq(Cell("counter", "c_total", Map.empty, VInt(9),
+      Some(100L))))
+    val srv = new ExportServer(store, "p.mtail", Map.empty)
+    val port = srv.start()
+    try {
+      def get(path: String): String = {
+        val url = new java.net.URI(s"http://localhost:$port$path").toURL
+        scala.io.Source.fromInputStream(url.openStream()).mkString
+      }
+      assert(get("/metrics").contains("c_total"))
+      assert(get("/json").contains("\"c_total\""))
+      assert(get("/varz").contains("c_total{"))
+    } finally srv.stop()
+  }
+}
