@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsExtras, LlmExtras, MtailSurface}
+import graft.queries.{AnalyticsExtras, EngineQueries, LlmExtras, MtailSurface}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,10 +10,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MtailSurface.queries ++ AnalyticsExtras.queries ++ LlmExtras.queries
+    MtailSurface.queries ++ AnalyticsExtras.queries ++
+      LlmExtras.queries ++ EngineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    MtailSurface.oracle ++ AnalyticsExtras.oracle ++ LlmExtras.oracle
+    MtailSurface.oracle ++ AnalyticsExtras.oracle ++
+      LlmExtras.oracle ++ EngineQueries.oracle
 }

@@ -10,9 +10,12 @@ object Snapshot {
   final case class VFloat(v: Double) extends Value
   final case class VStr(v: String) extends Value
 
-  /** tsSec None ⇔ Go's zero time.Time{} (datum never stamped). */
+  /** tsSec None ⇔ Go's zero time.Time{} (datum never stamped);
+    * buckets: histogram upper-bound → count (plus "count"), else None.
+    */
   final case class Cell(kind: String, name: String,
-      labels: Map[String, String], value: Value, tsSec: Option[Long])
+      labels: Map[String, String], value: Value, tsSec: Option[Long],
+      buckets: Option[Map[String, Long]] = None)
 
   private val varRe =
     """^(counter|gauge|timer|text|histogram) ([^ ]+)(?: \{([^}]+)\})?(?: (\S+))?(?: (.+))?""".r
@@ -85,7 +88,11 @@ object Snapshot {
       val tsSec =
         if (r.isNullAt(r.fieldIndex("ts_micros"))) None
         else Some(Math.floorDiv(r.getAs[Long]("ts_micros"), 1000000L))
-      Cell(kind, name, labels, value, tsSec)
+      val buckets =
+        if (!r.schema.fieldNames.contains("buckets") ||
+          r.isNullAt(r.fieldIndex("buckets"))) None
+        else Some(r.getAs[Map[String, Long]]("buckets"))
+      Cell(kind, name, labels, value, tsSec, buckets)
     }
   }
 

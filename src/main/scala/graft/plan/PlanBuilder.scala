@@ -593,6 +593,15 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
            else lit(null).cast(DoubleType)).as("fval"),
           (if (vt == StringType) col("value")
            else lit(null).cast(StringType)).as("sval"),
+          // histogram cells: bucket upper-bound → count, plus the
+          // observation count ("count" key; sum is in fval)
+          (if (decl.kind == Ir.Histogram && decl.buckets.nonEmpty)
+            map((decl.buckets.zipWithIndex.flatMap { case (b, i) =>
+              Seq(lit(fmtBucket(b)), col(s"bucket_$i"))
+            } ++ Seq(lit("+Inf"), col("bucket_inf"),
+              lit("count"), col("obs_count"))): _*)
+          else lit(null).cast(MapType(StringType, LongType)))
+            .as("buckets"),
           // epoch micros as a long: java.sql.Timestamp round-trips
           // pre-1582 dates through the hybrid Julian calendar
           unix_micros(col("ts")).as("ts_micros"))
@@ -615,4 +624,11 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     case DoubleType => "Float"
     case _ => "String"
   }
+
+  /** bucket bound rendered like Go's %v (histogram.mtail's `buckets 1,
+    * 2, 4` print as 1, 2, 4 — not 1.0).
+    */
+  private def fmtBucket(b: Double): String =
+    if (b == b.floor && math.abs(b) < 1e15) b.toLong.toString
+    else b.toString
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.mtail.{Frontend, LogLines}
+import graft.plan.PlanBuilder
+
+/** The mtail ENGINE itself under the driver's DuckDB gate: synthesize
+  * log lines from the `events` table, run real `.mtail` programs through
+  * Frontend → PlanBuilder → snapshot, and check the exported store
+  * against plain SQL over the same rows. This is the end-to-end proof
+  * that parse→typed-IR→DataFrame-plan produces the semantics the golden
+  * files prove against the reference's own fixtures.
+  */
+object EngineQueries {
+
+  private def lines(s: SparkSession, dir: String, lineExpr:
+      org.apache.spark.sql.Column): DataFrame =
+    LogLines.fromLines(
+      Tables(s, dir, "events").select(lineExpr.as("line")), "line")
+
+  private def run(s: SparkSession, dir: String, src: String,
+      lineExpr: org.apache.spark.sql.Column): DataFrame = {
+    val program = Frontend.parse(src, "engine_query.mtail")
+    new PlanBuilder(program, lines(s, dir, lineExpr), 0).snapshot()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // counters + dimensioned counters + gauge last-write through the
+    // full engine
+    "mtail_engine_counters" -> ((s, dir) => {
+      val src =
+        """counter events_total
+          |counter by_type by t
+          |gauge last_value by t
+          |/^(?P<ts>\S+) type=(?P<t>\w+) value=(?P<v>\d+\.\d+)$/ {
+          |  strptime($ts, "2006-01-02T15:04:05")
+          |  events_total++
+          |  by_type[$t]++
+          |  last_value[$t] = $v
+          |}
+          |""".stripMargin
+      val lineExpr = concat_ws(" ",
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+        concat(lit("type="), col("event_type")),
+        concat(lit("value="), col("value").cast("string")))
+      run(s, dir, src, lineExpr)
+        .select(col("name"),
+          coalesce(element_at(col("labels"), "t"), lit("")).as("label"),
+          coalesce(col("ival").cast("double"), col("fval")).as("val"))
+        .orderBy("name", "label")
+    }),
+
+    // hidden-metric cross-line session pairing through the engine
+    // (rsyncd.mtail's shape over the events stream)
+    "mtail_engine_sessions" -> ((s, dir) => {
+      val src =
+        """hidden gauge signup_at by u
+          |counter pairs
+          |counter delay_total
+          |/^(?P<ts>\d+) (?P<t>\w+) (?P<u>\d+)$/ {
+          |  settime($ts)
+          |  $t == "signup" { signup_at[$u] = timestamp() }
+          |  $t == "purchase" && signup_at[$u] > 0 {
+          |    delay_total += timestamp() - signup_at[$u]
+          |    pairs++
+          |  }
+          |}
+          |""".stripMargin
+      val lineExpr = concat_ws(" ",
+        unix_timestamp(date_trunc("second", col("ts"))).cast("string"),
+        col("event_type"), col("user_id").cast("string"))
+      run(s, dir, src, lineExpr)
+        .select(col("name"), col("ival").as("val"))
+        .orderBy("name")
+    }),
+
+    // histogram observation through the engine: per-label bucket counts
+    "mtail_engine_histogram" -> ((s, dir) => {
+      val src =
+        """histogram lat by t buckets 10, 50, 100, 200
+          |/^type=(?P<t>\w+) value=(?P<v>\d+\.\d+)$/ {
+          |  lat[$t] = $v
+          |}
+          |""".stripMargin
+      val lineExpr = concat_ws(" ",
+        concat(lit("type="), col("event_type")),
+        concat(lit("value="), col("value").cast("string")))
+      run(s, dir, src, lineExpr)
+        .select(element_at(col("labels"), "t").as("label"),
+          explode(col("buckets")).as(Seq("le", "cnt")))
+        .filter(col("cnt") > 0)
+        .orderBy("label", "le")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mtail_engine_counters" ->
+      """SELECT name, label, val FROM (
+           SELECT 'by_type' AS name, event_type AS label,
+                CAST(count(*) AS DOUBLE) AS val
+           FROM events GROUP BY event_type
+           UNION ALL
+           SELECT 'events_total', '', CAST(count(*) AS DOUBLE)
+           FROM events
+           UNION ALL
+           SELECT 'last_value', event_type, max_by(value, event_id)
+           FROM events GROUP BY event_type) t
+         ORDER BY name, label""",
+    "mtail_engine_sessions" ->
+      """WITH t AS (SELECT user_id, event_type, event_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           FROM events),
+         x AS (SELECT user_id, event_type, es,
+             max(CASE WHEN event_type = 'signup' THEN es END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS sg
+           FROM t)
+         SELECT name, val FROM (
+           SELECT 'delay_total' AS name, CAST(sum(es - sg) AS BIGINT)
+                AS val
+           FROM x WHERE event_type = 'purchase' AND sg IS NOT NULL
+           UNION ALL
+           SELECT 'pairs', count(*)
+           FROM x WHERE event_type = 'purchase' AND sg IS NOT NULL) t
+         ORDER BY name""",
+    "mtail_engine_histogram" ->
+      """SELECT label, le, cnt FROM (
+           SELECT event_type AS label,
+             CASE WHEN value <= 10 THEN '10'
+                  WHEN value <= 50 THEN '50'
+                  WHEN value <= 100 THEN '100'
+                  WHEN value <= 200 THEN '200'
+                  ELSE '+Inf' END AS le,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2
+           UNION ALL
+           SELECT event_type, 'count', count(*)
+           FROM events GROUP BY 1) t
+         ORDER BY label, le"""
+  )
+}
