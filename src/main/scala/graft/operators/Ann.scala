@@ -10,17 +10,34 @@ import org.apache.spark.sql.functions._
   * (random-hyperplane signs) is the 100 TB path: bucket by an nBits-bit
   * signature so the candidate join is bucket-local; planes are derived
   * deterministically from xxhash64 so executors need no broadcast state.
+  *
+  * Dot products and norms are UNROLLED element_at sums over a known
+  * dimension: Spark's higher-order functions (aggregate/zip_with) are
+  * CodegenFallback — interpreted per row — while the unrolled form stays
+  * inside whole-stage codegen (~10× on the pair join). The left-assoc
+  * sum keeps the same IEEE fold order as the DuckDB oracle's list_sum.
   */
 object Ann {
 
-  /** cosine(embedding, query) as a Column (double). */
+  /** embedding dimension, read from one row (plan-build-time constant). */
+  def dimOf(embeddings: DataFrame, embCol: String): Int =
+    embeddings.select(size(col(embCol))).head().getInt(0)
+
+  private def dot(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i))
+      .reduceLeft(_ + _)
+
+  private def norm(a: Column, dim: Int): Column =
+    sqrt((1 to dim).map(i => element_at(a, i) * element_at(a, i))
+      .reduceLeft(_ + _))
+
+  /** cosine(embedding, query) against a fixed query vector. */
   def cosine(emb: Column, queryVec: Seq[Double]): Column = {
-    val q = typedLit(queryVec)
-    val dot = aggregate(zip_with(emb, q, (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x * x))
+    val dim = queryVec.length
+    val d = (1 to dim).map(i =>
+      element_at(emb, i) * lit(queryVec(i - 1))).reduceLeft(_ + _)
     val nb = math.sqrt(queryVec.map(x => x * x).sum)
-    dot / (na * lit(nb))
+    d / (norm(emb, dim) * lit(nb))
   }
 
   /** exact top-k by cosine against a fixed query vector. */
@@ -34,17 +51,18 @@ object Ann {
   /** deterministic pseudo-random hyperplane component for (plane, dim):
     * a value in {-1, +1} from xxhash64 — a signed random projection.
     */
-  private def planeSign(plane: Int, d: Column): Column =
-    when(pmod(xxhash64(lit(plane), d), lit(2)) === 0, 1.0).otherwise(-1.0)
+  private def planeSign(plane: Int, d: Int): Column =
+    when(pmod(xxhash64(lit(plane), lit(d)), lit(2)) === 0, 1.0)
+      .otherwise(-1.0)
 
   /** nBits-bit random-hyperplane signature per embedding. */
   def hyperplaneSignature(embeddings: DataFrame, embCol: String,
       idCol: String, nBits: Int): DataFrame = {
+    val dim = dimOf(embeddings, embCol)
+    val e = col(embCol).cast("array<double>")
     val projections = (0 until nBits).map { p =>
-      // projection_p = Σ_d emb[d] * sign(hash(p, d))
-      aggregate(zip_with(col(embCol).cast("array<double>"),
-        sequence(lit(0), size(col(embCol)) - 1),
-        (x, d) => x * planeSign(p, d)), lit(0.0), (acc, x) => acc + x)
+      (1 to dim).map(d => element_at(e, d) * planeSign(p, d - 1))
+        .reduceLeft(_ + _)
     }
     val sig = projections.zipWithIndex.foldLeft(lit(0L)) {
       case (acc, (proj, p)) =>
@@ -53,24 +71,24 @@ object Ann {
     embeddings.select(col(idCol), col(embCol), sig.as("lsh_sig"))
   }
 
+  private def pairCos(embCol: String, dim: Int): Column = {
+    val a = col(s"l.$embCol").cast("array<double>")
+    val b = col(s"r.$embCol").cast("array<double>")
+    dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+  }
+
   /** LSH-bucketed near-neighbour pairs: same signature bucket, then
     * exact cosine ≥ threshold within the bucket.
     */
   def lshNearDupPairs(embeddings: DataFrame, embCol: String,
       idCol: String, nBits: Int, threshold: Double): DataFrame = {
+    val dim = dimOf(embeddings, embCol)
     val sigs = hyperplaneSignature(embeddings, embCol, idCol, nBits)
     val l = sigs.as("l")
     val r = sigs.as("r")
-    val pairDot = aggregate(
-      zip_with(col(s"l.$embCol").cast("array<double>"),
-        col(s"r.$embCol").cast("array<double>"), (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x)
-    def norm(side: String) = sqrt(aggregate(
-      col(s"$side.$embCol").cast("array<double>"), lit(0.0),
-      (acc, x) => acc + x * x))
     l.join(r, col("l.lsh_sig") === col("r.lsh_sig") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
-      .withColumn("cos", pairDot / (norm("l") * norm("r")))
+      .withColumn("cos", pairCos(embCol, dim))
       .filter(col("cos") >= threshold)
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         col("cos"))
@@ -81,17 +99,11 @@ object Ann {
     */
   def exactNearDupPairs(embeddings: DataFrame, embCol: String,
       idCol: String, threshold: Double): DataFrame = {
+    val dim = dimOf(embeddings, embCol)
     val l = embeddings.as("l")
     val r = embeddings.as("r")
-    val pairDot = aggregate(
-      zip_with(col(s"l.$embCol").cast("array<double>"),
-        col(s"r.$embCol").cast("array<double>"), (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x)
-    def norm(side: String) = sqrt(aggregate(
-      col(s"$side.$embCol").cast("array<double>"), lit(0.0),
-      (acc, x) => acc + x * x))
     l.join(r, col(s"l.$idCol") < col(s"r.$idCol"))
-      .withColumn("cos", pairDot / (norm("l") * norm("r")))
+      .withColumn("cos", pairCos(embCol, dim))
       .filter(col("cos") >= threshold)
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         col("cos"))

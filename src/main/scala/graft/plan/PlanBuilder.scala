@@ -56,7 +56,44 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
   import Ir._
 
-  val df: DataFrame = lines
+  // Pattern structs and strptime results are MATERIALIZED as named
+  // columns: composing them as raw Column trees makes each later site
+  // embed full copies of every earlier struct tree — quadratic plan
+  // size. Materialization is LAZY: pending columns are flushed into a
+  // few dependency-ordered select layers, because a withColumn per
+  // column would trigger a full analyzer pass each time (O(n²) on
+  // 100-site programs like postfix.mtail).
+  private var curDf: DataFrame = lines
+  private var colSeq = 0
+  private val pending = mutable.LinkedHashMap[String, Column]()
+  def df: DataFrame = { flushPending(); curDf }
+
+  private def materialize(c: Column, prefix: String): Column = {
+    val name = s"__${prefix}_$colSeq"
+    colSeq += 1
+    pending(name) = c
+    col(name)
+  }
+
+  private def refsOf(c: Column): Set[String] =
+    org.apache.spark.sql.GraftBridge.expression(c).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }.toSet
+
+  private def flushPending(): Unit = {
+    while (pending.nonEmpty) {
+      val avail = curDf.columns.toSet
+      val (ready, _) = pending.partition { case (_, c) =>
+        refsOf(c).filter(_.startsWith("__")).forall(avail)
+      }
+      if (ready.isEmpty)
+        throw new IllegalStateException("circular materialization")
+      curDf = curDf.select(col("*") +:
+        ready.map { case (n, c) => c.as(n) }.toSeq: _*)
+      ready.keys.foreach(pending.remove)
+    }
+  }
 
   // ---------- frames: capref scopes ----------
 
@@ -78,8 +115,16 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     def matched: Column = struct.getField("matched")
   }
 
+  /** one struct column per distinct (subject, pattern) pair, shared by
+    * the cond and every capref (the VM's one-Match-per-cond).
+    */
+  private val frameMemo = mutable.Map[(String, String), Frame]()
+
   private def mkFrame(subject: Column, re2: String): Frame =
-    Frame(Re2.parse(re2), RegexExtractStruct(subject, re2))
+    frameMemo.getOrElseUpdate((subject.toString, re2), {
+      Frame(Re2.parse(re2),
+        materialize(RegexExtractStruct(subject, re2), "m"))
+    })
 
   // ---------- walk state ----------
 
@@ -179,6 +224,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   /** record that executing under `execCond` errors when `nullCond` —
     * later statements on that line are skipped, like after `stop`.
     */
+  // stopGuard/timeReg stay RAW compositions: their leaves are refs to
+  // materialized struct/strptime columns, so each added term is small,
+  // and single-use alias columns would be re-inlined by CollapseProject
+  // anyway (exploding the optimizer on 100-site programs).
   private def abortOn(execCond: Column, nullCond: Option[Column]): Unit =
     nullCond.foreach { nc =>
       stopGuard = stopGuard && !coalesce(execCond && nc, lit(false))
@@ -196,23 +245,26 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         }
         c match {
           case CondExpr(e) =>
-            abortOn(cond && stopGuard, typedCaprefNullCond(e, frames))
+            // NOTE: abort terms use the plain block cond, NOT
+            // cond && stopGuard — embedding the guard in its own next
+            // term doubles the tree per site (exponential on
+            // postfix.mtail); an already-aborted line is blocked by the
+            // earlier conjunct regardless.
+            abortOn(cond, typedCaprefNullCond(e, frames))
           case _ =>
         }
         walk(body, newFrames, cond && condCol)
         if (els.nonEmpty)
           walk(els, frames, cond && !coalesce(condCol, lit(false)))
       case IncStmt(m, keys, delta) =>
-        val siteCond = cond && stopGuard
         sites += Site(nextSeq(), program.decl(m), OpInc,
-          siteCond, keys, Some(delta), frames, timeReg, None)
-        abortOn(siteCond, typedCaprefNullCond(
+          cond && stopGuard, keys, Some(delta), frames, timeReg, None)
+        abortOn(cond, typedCaprefNullCond(
           keys.foldLeft(delta)((a, k) => Binop("+", a, k)), frames))
       case SetStmt(m, keys, v) =>
-        val siteCond = cond && stopGuard
         sites += Site(nextSeq(), program.decl(m), OpSet,
-          siteCond, keys, Some(v), frames, timeReg, None)
-        abortOn(siteCond, typedCaprefNullCond(
+          cond && stopGuard, keys, Some(v), frames, timeReg, None)
+        abortOn(cond, typedCaprefNullCond(
           keys.foldLeft(v)((a, k) => Binop("+", a, k)), frames))
       case DelStmt(m, keys, after) =>
         sites += Site(nextSeq(), program.decl(m), OpDel,
@@ -220,20 +272,20 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       case ExprStmt(Call("strptime", Seq(arg, StrLit(layout)))) =>
         val seq = nextSeq()
         val execCond = cond && stopGuard
-        val parsedTs = GoStrptime(
+        val parsedTs = materialize(GoStrptime(
           exprColumn(arg, frames, timeReg, seq).cast(StringType),
-          layout, defaultYear)
+          layout, defaultYear), "strp")
         timeReg = when(execCond && parsedTs.isNotNull, parsedTs)
           .otherwise(timeReg)
         // a failed strptime is a runtime error → abort the line
-        abortOn(execCond, Some(parsedTs.isNull))
+        abortOn(cond, Some(parsedTs.isNull))
       case ExprStmt(Call("settime", Seq(arg))) =>
         val seq = nextSeq()
         val execCond = cond && stopGuard
         val ts = timestamp_seconds(
           exprColumn(arg, frames, timeReg, seq).cast(LongType))
         timeReg = when(execCond && ts.isNotNull, ts).otherwise(timeReg)
-        abortOn(execCond, typedCaprefNullCond(arg, frames))
+        abortOn(cond, typedCaprefNullCond(arg, frames))
       case ExprStmt(e) =>
         val _ = e // no other expression statement has a batch effect
       case StopStmt =>
@@ -269,6 +321,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   timeReg = lit(null).cast(TimestampType)
   stopGuard = lit(true)
   metricTypeMemo.clear()
+  curDf = lines // pass-1 materialized columns are provisional too
+  colSeq = 0
+  frameMemo.clear()
+  pending.clear()
   walk(program.stmts, Nil, lit(true))
 
   def metricType(name: String): DataType =

@@ -51,4 +51,19 @@ class ExamplesGoldenSpec extends SparkSpec {
     val pb = new PlanBuilder(program, lines, defaultYear = 0)
     assert(pb.snapshot().columns.nonEmpty)
   }
+
+  test("every example program compiles to a runnable plan") {
+    // beyond the golden set: histogram, timer, rails, postfix,
+    // apache_metrics, … must parse, plan, and execute over sample lines
+    val dir = new java.io.File(s"$ref/examples")
+    val lines = LogLines.batch(spark, s"$testdata/rsyncd.log")
+    dir.listFiles().filter(_.getName.endsWith(".mtail")).sorted
+      .foreach { f =>
+        val program = Frontend.parse(
+          scala.io.Source.fromFile(f).mkString, f.getName)
+        val pb = new PlanBuilder(program, lines, defaultYear = 0)
+        val n = pb.snapshot().count() // execute, not just plan
+        info(s"${f.getName}: $n exported cells")
+      }
+  }
 }

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions: the properties that matter at 100 TB.
+  * Filters reach the parquet scan, scans prune to referenced columns,
+  * small dimensions broadcast, hot paths stay in whole-stage codegen.
+  */
+class PlanCheckSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    val p = planOf("mt_stop_semantics")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(event_type)") ||
+      p.contains("Not(EqualTo(event_type,error))"), p)
+  }
+
+  test("aggregation scans prune to referenced columns") {
+    val p = planOf("mt_counter_by_labels")
+    // only event_type should be read, not props/value/ts
+    assert(p.contains("ReadSchema: struct<event_type:string>"), p)
+  }
+
+  test("pricing summary reads only the 6 referenced lineitem columns") {
+    val p = planOf("agg_pricing_summary")
+    assert(!p.contains("l_shipdate"), p)
+    assert(!p.contains("l_partkey"), p)
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = planOf("join_revenue_by_region")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("partial aggregation happens map-side (two-phase hash agg)") {
+    val p = planOf("mt_counter_add_expr")
+    assert(p.contains("HashAggregate"), p)
+    // partial_sum before the exchange, final after
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("regex extraction query stays in whole-stage codegen") {
+    val df = graft.SparkEntry.queries("mt_regex_extract_typed")(
+      spark, sf("sf0.001"))
+    df.collect() // finalize the AQE plan so codegen markers appear
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // WholeStageCodegen marker
+  }
+
+  test("LSH near-dup join is an equi-join on the signature (no NL join)") {
+    val df = graft.operators.Ann.lshNearDupPairs(
+      graft.Tables(spark, sf("sf0.001"), "embeddings"),
+      "embedding", "vec_id", 8, 0.9)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("HashJoin"), p)
+  }
+}
