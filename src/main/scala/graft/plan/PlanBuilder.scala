@@ -610,7 +610,16 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               .otherwise(col("ts")).as("ts"))
         else g.filter(col("value").isNotNull)
       } else {
-        u.groupBy(keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        val g = u.groupBy(keyNames.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        // `limit N`: keep the N newest cells by datum timestamp
+        // (metric.go:184-198, store.go:160-164). Cell cardinality is
+        // export-sized, so the single-partition window is fine.
+        if (decl.limit > 0) {
+          val w = Window.orderBy(col("ts").desc)
+          g.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= decl.limit).drop("__rn")
+        } else g
       }
     }
 

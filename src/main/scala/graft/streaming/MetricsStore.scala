@@ -104,11 +104,34 @@ object Exporters {
       cs.foreach { c =>
         val labels = (if (omitProgLabel) c.labels
         else c.labels + ("prog" -> program)).toSeq.sortBy(_._1)
-        val labelStr =
-          if (labels.isEmpty) ""
-          else labels.map { case (k, v) => s"""$k="$v"""" }
+        def labelStr(extra: (String, String)*) = {
+          val all = labels ++ extra
+          if (all.isEmpty) ""
+          else all.map { case (k, v) => s"""$k="$v"""" }
             .mkString("{", ",", "}")
-        sb.append(s"$promName$labelStr ${valueString(c.value)}\n")
+        }
+        c.buckets match {
+          case Some(bs) =>
+            // cumulative buckets like the reference's prometheus export
+            // (datum/datum.go:240-259): le="x" counts are cumulative
+            val bounds = bs.keys.filter(k => k != "count" && k != "+Inf")
+              .toSeq.sortBy(_.toDouble)
+            var cum = 0L
+            bounds.foreach { b =>
+              cum += bs(b)
+              sb.append(
+                s"${promName}_bucket${labelStr("le" -> b)} $cum\n")
+            }
+            cum += bs.getOrElse("+Inf", 0L)
+            sb.append(
+              s"${promName}_bucket${labelStr("le" -> "+Inf")} $cum\n")
+            sb.append(s"${promName}_sum${labelStr()} ${
+              valueString(c.value)}\n")
+            sb.append(s"${promName}_count${labelStr()} ${
+              bs.getOrElse("count", 0L)}\n")
+          case None =>
+            sb.append(s"$promName${labelStr()} ${valueString(c.value)}\n")
+        }
       }
     }
     sb.toString
