@@ -1,0 +1,220 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, LinkOption, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `format("graft-tail")` — a DSv2 MicroBatchStream that tails growing
+  * log files with the reference tailer's semantics
+  * (`internal/tailer/logstream/filestream.go:34-239`):
+  *
+  *  - per-file byte offsets advance only past COMPLETE lines (partial
+  *    trailing lines wait for their newline, reader.go:68-95);
+  *  - ROTATION: a changed file identity (inode via fileKey) at the same
+  *    path restarts the offset at 0 (filestream.go:155-163);
+  *  - TRUNCATION: size below the recorded offset restarts at 0
+  *    (filestream.go:178-190);
+  *  - glob patterns discover new files each micro-batch
+  *    (tail.go:186-220);
+  *  - trailing `\r` is stripped (reader.go:85-88).
+  *
+  * Offsets serialize as JSON {path: {key, pos}}, so restarts resume
+  * exactly. Schema: (filename STRING, line STRING).
+  */
+final class TailSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tail"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TailSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new TailTable(properties.get("path"))
+}
+
+object TailSource {
+  val schema: StructType = StructType(Seq(
+    StructField("filename", StringType, nullable = false),
+    StructField("line", StringType, nullable = false)))
+
+  /** glob expansion relative to the pattern's parent dir. */
+  def expand(pattern: String): Seq[Path] = {
+    val p = Paths.get(pattern)
+    val dir = Option(p.getParent).getOrElse(Paths.get("."))
+    if (!Files.isDirectory(dir)) return Nil
+    val matcher = dir.getFileSystem.getPathMatcher(
+      "glob:" + p.getFileName.toString)
+    Files.list(dir).iterator().asScala
+      .filter(f => Files.isRegularFile(f) &&
+        matcher.matches(f.getFileName))
+      .toSeq.sortBy(_.toString)
+  }
+
+  def fileKey(p: Path): String =
+    Option(Files.readAttributes(p, "unix:fileKey",
+      LinkOption.NOFOLLOW_LINKS).get("fileKey"))
+      .map(_.toString).getOrElse(p.toString)
+
+  /** scan back from `size` for the last newline at/after `from`;
+    * returns the exclusive end of the last complete line. */
+  def lastLineEnd(p: Path, from: Long, size: Long): Long = {
+    if (size <= from) return from
+    val raf = new RandomAccessFile(p.toFile, "r")
+    try {
+      var i = size - 1
+      val buf = new Array[Byte](8192)
+      while (i >= from) {
+        val start = math.max(from, i - buf.length + 1)
+        val n = (i - start + 1).toInt
+        raf.seek(start)
+        raf.readFully(buf, 0, n)
+        var j = n - 1
+        while (j >= 0) {
+          if (buf(j) == '\n') return start + j + 1
+          j -= 1
+        }
+        i = start - 1
+      }
+      from
+    } finally raf.close()
+  }
+}
+
+final class TailTable(pathPattern: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-tail($pathPattern)"
+  override def schema(): StructType = TailSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType = TailSource.schema
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream = new TailMicroBatchStream(pathPattern)
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          TailSource.expand(pathPattern).map { p =>
+            TailPartition(p.toString, 0L,
+              Files.size(p)): InputPartition
+          }.toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          new TailReaderFactory
+      }
+    }
+  }
+}
+
+/** offset state per file. */
+final case class FileState(key: String, pos: Long)
+
+final class TailOffset(val state: Map[String, FileState]) extends Offset {
+  override def json(): String =
+    state.toSeq.sortBy(_._1).map { case (p, fs) =>
+      s""""${p.replace("\"", "\\\"")}":{"key":"${fs.key}","pos":${fs.pos}}"""
+    }.mkString("{", ",", "}")
+}
+
+object TailOffset {
+  private val entryRe =
+    """"((?:[^"\\]|\\.)*)":\{"key":"((?:[^"\\]|\\.)*)","pos":(\d+)\}""".r
+  def fromJson(json: String): TailOffset =
+    new TailOffset(entryRe.findAllMatchIn(json).map { m =>
+      m.group(1).replace("\\\"", "\"") ->
+        FileState(m.group(2).replace("\\\"", "\""), m.group(3).toLong)
+    }.toMap)
+}
+
+final class TailMicroBatchStream(pathPattern: String)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = new TailOffset(Map.empty)
+
+  override def latestOffset(): Offset = {
+    val state = mutable.Map[String, FileState]()
+    TailSource.expand(pathPattern).foreach { p =>
+      val key = TailSource.fileKey(p)
+      val size = Files.size(p)
+      state(p.toString) = FileState(key,
+        TailSource.lastLineEnd(p, 0L, size))
+    }
+    new TailOffset(state.toMap)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[TailOffset].state
+    val e = end.asInstanceOf[TailOffset].state
+    e.toSeq.sortBy(_._1).flatMap { case (path, endFs) =>
+      val p = Paths.get(path)
+      if (!Files.exists(p)) None
+      else {
+        val from = s.get(path) match {
+          // rotation (new inode) or truncation → restart at 0
+          case Some(prev) if prev.key == endFs.key &&
+            prev.pos <= endFs.pos => prev.pos
+          case _ => 0L
+        }
+        if (endFs.pos > from)
+          Some(TailPartition(path, from, endFs.pos): InputPartition)
+        else None
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TailReaderFactory
+
+  override def deserializeOffset(json: String): Offset =
+    TailOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class TailPartition(path: String, start: Long, end: Long)
+    extends InputPartition
+
+final class TailReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val tp = partition.asInstanceOf[TailPartition]
+    new PartitionReader[InternalRow] {
+      private val lines: Iterator[String] = {
+        val raf = new RandomAccessFile(tp.path, "r")
+        try {
+          raf.seek(tp.start)
+          val buf = new Array[Byte]((tp.end - tp.start).toInt)
+          raf.readFully(buf)
+          val text = new String(buf, StandardCharsets.UTF_8)
+          // end is always at a line boundary; strip trailing \r per line
+          text.split("\n", -1).iterator.takeWhile(_ => true)
+            .toSeq.dropRight(1).map(l =>
+              if (l.endsWith("\r")) l.dropRight(1) else l).iterator
+        } finally raf.close()
+      }
+      private var current: String = _
+      override def next(): Boolean =
+        if (lines.hasNext) { current = lines.next(); true } else false
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(tp.path),
+          UTF8String.fromString(current))
+      override def close(): Unit = ()
+    }
+  }
+}
