@@ -52,7 +52,13 @@ import graft.mtail.{Ir, Re2}
   * log single-threaded (runtime.go:199-202).
   */
 final class PlanBuilder(program: Ir.Program, lines: DataFrame,
-    defaultYear: Int) {
+    defaultYear: Int,
+    /** carried cross-batch state for streaming mode: metric name →
+      * (joined key string → last written value). Reads fall back to
+      * this between the in-batch window and the zero default; state
+      * cardinality is in-flight sessions, so a broadcast map literal.
+      */
+    initialState: Map[String, Map[String, Any]] = Map.empty) {
 
   import Ir._
 
@@ -478,9 +484,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   }
 
   /** Cross-line metric read: running last-written value for this key. */
+  /** metrics read cross-line anywhere in the program (pass-2 names). */
+  private val readMetricsBuf = mutable.Set[String]()
+  def readMetrics: Set[String] = readMetricsBuf.toSet
+
   private def metricReadColumn(metric: String, keys: Seq[Expr],
       frames: List[Frame], tReg: Column, siteIdx: Int,
       reading: Set[String]): Column = {
+    readMetricsBuf += metric
     if (reading.contains(metric))
       throw new IllegalArgumentException(
         s"cyclic metric read through $metric")
@@ -509,7 +520,17 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     val prevRows = whens(writes).map(c => last(c, ignoreNulls = true).over(w))
     val sameLine =
       if (siteIdx < 0) None else whens(writes.filter(_.idx < siteIdx))
-    coalesce((sameLine.toSeq ++ prevRows.toSeq :+
+    val carried = initialState.get(metric).filter(_.nonEmpty).map { st =>
+      val m = metricType(metric) match {
+        case LongType => typedLit(st.map { case (k, v) =>
+          k -> v.asInstanceOf[Long] })
+        case DoubleType => typedLit(st.map { case (k, v) =>
+          k -> v.asInstanceOf[Double] })
+        case _ => typedLit(st.map { case (k, v) => k -> v.toString })
+      }
+      element_at(m, PlanBuilder.joinKeys(keyCols))
+    }
+    coalesce((sameLine.toSeq ++ prevRows.toSeq ++ carried.toSeq :+
       zeroOf(metricType(metric))): _*)
   }
 
@@ -676,6 +697,50 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       df.sparkSession.emptyDataFrame)
   }
 
+  /** End-of-batch state of every cross-line-read metric, for the
+    * streaming runner to carry into the next batch: metric → (joined
+    * key → last written value), with delete-last keys dropped and the
+    * carried-in state merged underneath.
+    */
+  def finalReadState(): Map[String, Map[String, Any]] = {
+    readMetrics.toSeq.sorted.map { m =>
+      val vt = metricType(m)
+      val writes = sites.filter(s => s.metric.name == m)
+        .filter(s => s.op == OpSet ||
+          (s.op == OpDel && s.afterSeconds.isEmpty)).toSeq
+      val batch: Map[String, (Boolean, Any)] =
+        if (writes.isEmpty) Map.empty
+        else {
+          val frames = writes.map { s =>
+            val keyCol = PlanBuilder.joinKeys(s.keys.map(k =>
+              exprColumn(k, s.frames, s.timeReg, s.idx).cast(StringType)))
+            val valueCol = s.op match {
+              case OpDel => lit(null).cast(vt)
+              case _ => exprColumn(s.valueIr.get, s.frames, s.timeReg,
+                s.idx).cast(vt)
+            }
+            df.select(keyCol.as("k"), valueCol.as("v"),
+              lit(s.op == OpDel).as("is_del"),
+              ordKey(s.idx).as("ordk"),
+              coalesce(s.cond, lit(false)).as("__c"))
+              .filter(col("__c")).drop("__c")
+          }
+          frames.reduce(_ unionAll _)
+            .groupBy("k")
+            .agg(max_by(struct(col("is_del"), col("v")), col("ordk"))
+              .as("last"))
+            .select(col("k"), col("last.is_del"), col("last.v"))
+            .collect().map { r =>
+              r.getString(0) -> (r.getBoolean(1), r.get(2))
+            }.toMap
+        }
+      val carried = initialState.getOrElse(m, Map.empty)
+      val merged = (carried -- batch.keys) ++
+        batch.filter(!_._2._1).map { case (k, (_, v)) => k -> v }
+      m -> merged
+    }.toMap
+  }
+
   private def kindName(k: Ir.Kind): String = k match {
     case Ir.Counter => "counter"
     case Ir.Gauge => "gauge"
@@ -696,4 +761,11 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   private def fmtBucket(b: Double): String =
     if (b == b.floor && math.abs(b) < 1e15) b.toLong.toString
     else b.toString
+}
+
+object PlanBuilder {
+  /** join a metric key tuple into one state-map key (scalars → ""). */
+  def joinKeys(keyCols: Seq[Column]): Column =
+    if (keyCols.isEmpty) lit("")
+    else concat_ws("", keyCols: _*)
 }

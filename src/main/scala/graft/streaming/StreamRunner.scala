@@ -30,6 +30,13 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
 
   val store = new MetricsStore
 
+  /** cross-batch state of cross-line-read metrics (sessions in flight):
+    * carried into the next batch's PlanBuilder so a session opened in
+    * batch N pairs with its close in batch N+k.
+    */
+  @volatile private var carriedState: Map[String, Map[String, Any]] =
+    Map.empty
+
   /** Start over a streaming Dataset with a `line` STRING column (e.g.
     * `spark.readStream.format("text"|"socket")`).
     */
@@ -54,12 +61,14 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
           if (batch.columns.contains("filename")) col("filename")
           else lit(""))
         .withColumn("ord", monotonically_increasing_id())
-      val pb = new PlanBuilder(program, withCols, defaultYear)
+      val pb = new PlanBuilder(program, withCols, defaultYear,
+        carriedState)
       store.merge(Snapshot.collect(pb.snapshot())
         // zero-init rows only describe "never updated" state; don't
         // re-add them every batch
         .filterNot(c => c.kind == "counter" &&
           c.value == Snapshot.VInt(0L) && c.tsSec.contains(0L)))
+      carriedState = pb.finalReadState()
     }
   }
 }

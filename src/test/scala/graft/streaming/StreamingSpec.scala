@@ -51,6 +51,36 @@ class StreamingSpec extends SparkSpec {
     assert(cells(("by_op", Map("operation" -> "get"))) == VInt(2))
   }
 
+  test("cross-batch hidden-metric state: session spans two batches") {
+    import spark.implicits._
+    val prog = Frontend.parse(
+      """hidden gauge start by id
+        |counter session_time
+        |counter sessions
+        |/^(?P<ts>\d+) open (?P<id>\w+)$/ {
+        |  settime($ts)
+        |  start[$id] = timestamp()
+        |}
+        |/^(?P<ts>\d+) close (?P<id>\w+)$/ {
+        |  settime($ts)
+        |  session_time += timestamp() - start[$id]
+        |  sessions++
+        |  del start[$id]
+        |}
+        |""".stripMargin, "xbatch")
+    val runner = new StreamRunner(prog, spark, 0)
+    runner.processBatch(Seq("100 open a", "150 open b").toDF("line"), 0)
+    runner.processBatch(Seq("160 close b").toDF("line"), 1)
+    runner.processBatch(Seq("200 close a", "300 close a").toDF("line"), 2)
+
+    val cells = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    // b: 160-150=10 (cross-batch); a: 200-100=100; second close of a
+    // reads the freshly deleted state → 300-0=300
+    assert(cells(("sessions", Map.empty)) == VInt(3))
+    assert(cells(("session_time", Map.empty)) == VInt(10 + 100 + 300))
+  }
+
   test("exporter formats") {
     val cells = Seq(
       Cell("counter", "bytes_total", Map("operation" -> "sent"),
