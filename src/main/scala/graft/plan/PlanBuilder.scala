@@ -307,8 +307,13 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   // ---------- typing (IR-level, mirrors checker unification result) ----
 
   // NOTE: declared before the walk() invocations below — conds evaluated
-  // during the walk (`user == ""`) already consult metricType.
+  // during the walk (`user == ""`) already consult metricType and
+  // record metric reads.
   private val metricTypeMemo = mutable.Map[String, DataType]()
+
+  /** metrics read cross-line anywhere in the program (pass-2 names). */
+  private val readMetricsBuf = mutable.Set[String]()
+  def readMetrics: Set[String] = readMetricsBuf.toSet
 
   /** complete site list from the first walk pass; metric reads resolve
     * against this so a read sees write sites that appear LATER in the
@@ -484,10 +489,6 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   }
 
   /** Cross-line metric read: running last-written value for this key. */
-  /** metrics read cross-line anywhere in the program (pass-2 names). */
-  private val readMetricsBuf = mutable.Set[String]()
-  def readMetrics: Set[String] = readMetricsBuf.toSet
-
   private def metricReadColumn(metric: String, keys: Seq[Expr],
       frames: List[Frame], tReg: Column, siteIdx: Int,
       reading: Set[String]): Column = {
