@@ -543,10 +543,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
   // ---------- phase 3: per-metric aggregation ----------
 
-  /** ordKey = global line order refined by site index, so same-line
-    * updates resolve in statement order.
+  /** ordKey = (line order, site index) as a lexicographic struct, so
+    * same-line updates resolve in statement order. A struct, not
+    * ord*K+idx arithmetic: monotonically_increasing_id packs the
+    * partition id in the high bits, which a multiply would shift off
+    * at cluster-scale partition counts.
     */
-  private def ordKey(idx: Int): Column = col("ord") * 1024 + lit(idx)
+  private def ordKey(idx: Int): Column =
+    struct(col("ord").as("o"), lit(idx).as("s"))
 
   def metricFrame(decl: Ir.MetricDecl): DataFrame = {
     val mSites = sites.filter(_.metric.name == decl.name)

@@ -55,6 +55,8 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
 
   /** visible for tests: run one microbatch through the plan + merge. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    // mtail dialect: conversion errors null out (vm.go:97-129)
+    batch.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
     if (!batch.isEmpty) {
       val withCols = batch
         .withColumn("filename",
