@@ -418,9 +418,16 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         case "-" => lc - rc
         case "*" => lc * rc
         case "/" =>
-          if (irType(e, frames) == LongType) (lc / rc).cast(LongType)
+          // int div-by-zero is a runtime error (vm.go:675-683) → null,
+          // which drops the update like an aborted line; float division
+          // keeps IEEE semantics
+          if (irType(e, frames) == LongType)
+            when(rc =!= 0, (lc / rc).cast(LongType))
           else lc / rc
-        case "%" => pmod(lc, rc)
+        case "%" =>
+          // Go's % keeps the dividend's sign (not pmod); mod-by-zero
+          // errors → null
+          when(rc =!= 0, lc % rc)
         case "**" =>
           if (irType(e, frames) == LongType) pow(lc, rc).cast(LongType)
           else pow(lc, rc)

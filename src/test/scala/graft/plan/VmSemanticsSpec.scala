@@ -1,0 +1,129 @@
+package graft.plan
+
+import graft.SparkSpec
+import graft.mtail.{Frontend, LogLines, Snapshot}
+import graft.mtail.Snapshot.{VInt, VStr}
+
+/** Behavioural ports of the reference's per-opcode tests
+  * (`internal/runtime/vm/vm_test.go:596-928`) — arithmetic, conversion,
+  * string builtins and error semantics exercised through tiny programs
+  * rather than bytecode.
+  */
+class VmSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(src: String, lines: Seq[String])
+      : Map[(String, Map[String, String]), Snapshot.Value] = {
+    val prog = Frontend.parse(src, "vmsem")
+    val df = LogLines.fromLines(lines.toDF("line"), "line")
+    Snapshot.collect(new PlanBuilder(prog, df, 0).snapshot())
+      .map(c => (c.name, c.labels) -> c.value).toMap
+  }
+
+  test("integer arithmetic incl. pow, shifts, bitwise") {
+    val cells = run(
+      """gauge a
+        |gauge b
+        |gauge c
+        |gauge d
+        |gauge e
+        |gauge f
+        |/^(?P<x>\d+) (?P<y>\d+)$/ {
+        |  a = $x + $y * 2
+        |  b = $x ** 2
+        |  c = $x << 2
+        |  d = $x >> 1
+        |  e = $x & $y
+        |  f = $x | $y
+        |}
+        |""".stripMargin, Seq("6 3"))
+    assert(cells(("a", Map.empty)) == VInt(12))
+    assert(cells(("b", Map.empty)) == VInt(36))
+    assert(cells(("c", Map.empty)) == VInt(24))
+    assert(cells(("d", Map.empty)) == VInt(3))
+    assert(cells(("e", Map.empty)) == VInt(2))
+    assert(cells(("f", Map.empty)) == VInt(7))
+  }
+
+  test("division truncates toward zero; modulo keeps dividend sign") {
+    val cells = run(
+      """gauge q
+        |gauge r
+        |/^(?P<x>\d+) (?P<y>\d+)$/ {
+        |  q = (0 - $x) / $y
+        |  r = (0 - $x) % $y
+        |}
+        |""".stripMargin, Seq("7 3"))
+    assert(cells(("q", Map.empty)) == VInt(-2)) // Go: -7/3 = -2
+    assert(cells(("r", Map.empty)) == VInt(-1)) // Go: -7%3 = -1
+  }
+
+  test("div-by-zero drops the update (runtime error semantics)") {
+    val cells = run(
+      """counter total
+        |gauge bad
+        |/^(?P<x>\d+) (?P<y>\d+)$/ {
+        |  bad = $x / $y
+        |  total++
+        |}
+        |""".stripMargin, Seq("7 0", "8 2"))
+    // the 7/0 line's gauge write is dropped; 8/2 lands
+    assert(cells(("bad", Map.empty)) == VInt(4))
+  }
+
+  test("string builtins: len, tolower, subst literal + regex, strtol") {
+    val cells = run(
+      """gauge l
+        |text low
+        |text sub1
+        |text sub2
+        |gauge hex
+        |/^(?P<s>\S+)$/ {
+        |  l = len($s)
+        |  low = tolower($s)
+        |  sub1 = subst("B", "x", $s)
+        |  sub2 = subst(/[0-9]+/, "#", $s)
+        |  hex = strtol("ff", 16)
+        |}
+        |""".stripMargin, Seq("aB9cB77"))
+    assert(cells(("l", Map.empty)) == VInt(7))
+    assert(cells(("low", Map.empty)) == VStr("ab9cb77"))
+    assert(cells(("sub1", Map.empty)) == VStr("ax9cx77"))
+    assert(cells(("sub2", Map.empty)) == VStr("aB#cB#"))
+    assert(cells(("hex", Map.empty)) == VInt(255))
+  }
+
+  test("comparison coercion and logical ops in conds") {
+    val cells = run(
+      """counter big
+        |counter both
+        |/^(?P<x>\d+)$/ {
+        |  $x > 5 {
+        |    big++
+        |  }
+        |  $x >= 3 && $x <= 7 {
+        |    both++
+        |  }
+        |}
+        |""".stripMargin, Seq("2", "6", "9"))
+    assert(cells(("big", Map.empty)) == VInt(2))
+    assert(cells(("both", Map.empty)) == VInt(1))
+  }
+
+  test("getfilename() and else branches") {
+    val cells = run(
+      """counter named by f
+        |counter odd
+        |counter even
+        |/^(?P<x>\d+)$/ {
+        |  $x % 2 == 1 {
+        |    odd++
+        |  } else {
+        |    even++
+        |  }
+        |}
+        |""".stripMargin, Seq("1", "2", "3"))
+    assert(cells(("odd", Map.empty)) == VInt(2))
+    assert(cells(("even", Map.empty)) == VInt(1))
+  }
+}
