@@ -50,6 +50,45 @@ object AnalyticsExtras {
         .orderBy("r_name")
     }),
 
+    // Date-filtered join (filters push to both parquet scans, dim side
+    // broadcasts): revenue of open orders by priority.
+    "join_filtered_revenue" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "F")
+      val lineitem = Tables(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.05)
+      lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Running per-user cumulative value over event time (window op the
+    // reference lacks — part of the extended analytics surface).
+    "window_running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      Tables(s, dir, "events")
+        .withColumn("running", round(sum("value").over(w), 4))
+        .groupBy("user_id")
+        .agg(round(max("running"), 4).as("final_total"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // exact distinct cardinalities (the approx_count_distinct scale
+    // path swaps in HLL; exact twin keeps the oracle bit-stable)
+    "agg_distinct_users" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("events"))
+        .orderBy("event_type")),
+
     // Exact deduplication: content-hash groupBy, keep lowest doc_id.
     // At 100 TB this is THE canonical shuffle-on-digest dedup; the md5 is
     // computed map-side so the shuffle key is 32 bytes, not the document.
@@ -124,6 +163,26 @@ object AnalyticsExtras {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "join_filtered_revenue" ->
+      """SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus <> 'F' AND l_discount > 0.05
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "window_running_total" ->
+      """SELECT user_id, round(max(running), 4) AS final_total,
+              count(*) AS n
+         FROM (SELECT user_id,
+                 round(sum(value) OVER (PARTITION BY user_id
+                   ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW), 4) AS running
+               FROM events) t
+         GROUP BY user_id ORDER BY user_id""",
+    "agg_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users,
+              count(*) AS events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id,
               count(*) AS copies
