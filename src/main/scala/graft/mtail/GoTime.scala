@@ -141,8 +141,9 @@ object GoTime {
         }
       } else if (rest.startsWith("05")) {
         adv(2)
+        // Go's time.Parse rejects seconds >= 60 ("second out of range")
         ok = num(2, fixed = true, spacePad = false) match {
-          case Some(s) if s <= 61 => sec = s; true; case _ => false
+          case Some(s) if s <= 59 => sec = s; true; case _ => false
         }
       } else if (rest.startsWith("PM")) {
         adv(2)
@@ -212,8 +213,9 @@ object GoTime {
         }
       } else if (rest.startsWith("5")) {
         adv(1)
+        // Go's time.Parse rejects seconds >= 60 ("second out of range")
         ok = num(2, fixed = false, spacePad = false) match {
-          case Some(s) if s <= 61 => sec = s; true; case _ => false
+          case Some(s) if s <= 59 => sec = s; true; case _ => false
         }
       } else if (layout(li) == ' ') {
         // Go's skip(): a run of spaces in the layout matches one-or-more
@@ -238,8 +240,8 @@ object GoTime {
     }
     val effYear = if (hasYear) year else defaultYear
     try {
-      val ldt = LocalDateTime.of(effYear, month, day, hour, min,
-        math.min(sec, 59), nanos)
+      val ldt = LocalDateTime.of(effYear, month, day, hour, min, sec,
+        nanos)
       val epochSec = ldt.toEpochSecond(ZoneOffset.ofTotalSeconds(offsetSec))
       Some(epochSec * 1000000L + nanos / 1000L)
     } catch {

@@ -292,6 +292,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           exprColumn(arg, frames, timeReg, seq).cast(LongType))
         timeReg = when(execCond && ts.isNotNull, ts).otherwise(timeReg)
         abortOn(cond, typedCaprefNullCond(arg, frames))
+      case ExprStmt(c @ Call("strptime" | "settime", _)) =>
+        // argument shapes the cases above didn't match (non-literal
+        // layout, wrong arity): fail at compile time like the reference
+        // checker rather than silently never updating the time register
+        throw new IllegalArgumentException(
+          s"unsupported argument shape in ${program.name}: $c")
       case ExprStmt(e) =>
         val _ = e // no other expression statement has a batch effect
       case StopStmt =>
@@ -597,8 +603,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           .groupBy(keyNames.map(col): _*)
           .agg(max("ordk").as("__del_ord"))
         if (keyNames.isEmpty) {
+          // the global agg emits one row even when no del fired, with
+          // null __del_ord; `ordk > null` is null, so guard like the
+          // keyed branch or every update row is dropped
           u.crossJoin(broadcast(delDf))
-            .filter(col("ordk") > col("__del_ord"))
+            .filter(col("__del_ord").isNull ||
+              col("ordk") > col("__del_ord"))
             .drop("__del_ord")
         } else {
           u.join(broadcast(delDf), keyNames, "left")
@@ -776,7 +786,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 }
 
 object PlanBuilder {
-  /** join a metric key tuple into one state-map key (scalars → ""). */
+  /** join a metric key tuple into one state-map key (scalars → "").
+    * Separator is "\u0001" (an unprintable byte that cannot appear in
+    * label values extracted from text lines), so ("ab","c") never
+    * collides with ("a","bc"). Both writers (finalReadState) and
+    * readers (element_at lookup) go through this one function.
+    */
   def joinKeys(keyCols: Seq[Column]): Column =
     if (keyCols.isEmpty) lit("")
     else concat_ws("", keyCols: _*)

@@ -31,6 +31,14 @@ final class MetricsStore {
             case "counter" =>
               c.copy(value = addValues(prev.value, c.value),
                 tsSec = maxTs(prev.tsSec, c.tsSec))
+            case "histogram" =>
+              // Buckets accumulate over the whole stream like the
+              // reference's datum.Buckets.Observe (datum/buckets.go:42-57):
+              // per-bucket counts and the "count" entry add, sum (the cell
+              // value) adds, timestamps take the max.
+              c.copy(value = addValues(prev.value, c.value),
+                tsSec = maxTs(prev.tsSec, c.tsSec),
+                buckets = addBuckets(prev.buckets, c.buckets))
             case _ => // gauge / timer / text: newer batch wins
               c.copy(tsSec = maxTs(prev.tsSec, c.tsSec))
           }
@@ -45,6 +53,15 @@ final class MetricsStore {
     case (VFloat(x), VInt(y)) => VFloat(x + y)
     case (VInt(x), VFloat(y)) => VFloat(x + y)
     case (_, n) => n
+  }
+
+  private def addBuckets(a: Option[Map[String, Long]],
+      b: Option[Map[String, Long]]): Option[Map[String, Long]] = (a, b) match {
+    case (Some(x), Some(y)) =>
+      Some((x.keySet ++ y.keySet).map { k =>
+        k -> (x.getOrElse(k, 0L) + y.getOrElse(k, 0L))
+      }.toMap)
+    case _ => a.orElse(b)
   }
 
   private def maxTs(a: Option[Long], b: Option[Long]): Option[Long] =

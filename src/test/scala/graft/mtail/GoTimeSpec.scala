@@ -51,6 +51,15 @@ class GoTimeSpec extends AnyFunSuite {
       .contains(utc("2009-02-13T23:31:30Z")))
   }
 
+  test("seconds >= 60 are rejected like Go's range check") {
+    // Go time.Parse: "second out of range" — leap-second :60 included
+    assert(GoTime.parse("2006/01/02 15:04:05", "2011/02/22 21:50:60", 0)
+      .isEmpty)
+    assert(GoTime.parse("2006/01/02 15:04:05", "2011/02/22 21:50:61", 0)
+      .isEmpty)
+    assert(GoTime.parse("060102  3:04:05", "070228 12:01:60", 0).isEmpty)
+  }
+
   test("mismatch returns None") {
     assert(GoTime.parse("2006/01/02", "not-a-date", 0).isEmpty)
     assert(GoTime.parse("2006/01/02 15:04:05", "2011/02/22", 0).isEmpty)

@@ -126,4 +126,57 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("odd", Map.empty)) == VInt(2))
     assert(cells(("even", Map.empty)) == VInt(1))
   }
+
+  test("keyless del that never fires keeps the metric's updates") {
+    // regression: the keyless del branch is a global agg emitting one
+    // row with null __del_ord even when no del fired; without the
+    // isNull guard every update row was dropped
+    val cells = run(
+      """gauge scratch
+        |/^reset$/ {
+        |  del scratch
+        |}
+        |/^(?P<x>\d+)$/ {
+        |  scratch = $x
+        |}
+        |""".stripMargin, Seq("5", "7"))
+    assert(cells(("scratch", Map.empty)) == VInt(7))
+  }
+
+  test("keyless del drops the cell; later updates restart it") {
+    val dropped = run(
+      """gauge scratch
+        |/^reset$/ {
+        |  del scratch
+        |}
+        |/^(?P<x>\d+)$/ {
+        |  scratch = $x
+        |}
+        |""".stripMargin, Seq("5", "reset"))
+    assert(!dropped.contains(("scratch", Map.empty)))
+    val restarted = run(
+      """gauge scratch
+        |/^reset$/ {
+        |  del scratch
+        |}
+        |/^(?P<x>\d+)$/ {
+        |  scratch = $x
+        |}
+        |""".stripMargin, Seq("5", "reset", "9"))
+    assert(restarted(("scratch", Map.empty)) == VInt(9))
+  }
+
+  test("strptime with unsupported argument shape fails at compile") {
+    // the reference checker rejects these at compile time; a silent
+    // no-op would leave the time register never updated
+    intercept[IllegalArgumentException] {
+      run(
+        """counter c
+          |/^(?P<d>.*)$/ {
+          |  strptime($d)
+          |  c++
+          |}
+          |""".stripMargin, Seq("x"))
+    }
+  }
 }

@@ -81,6 +81,26 @@ class StreamingSpec extends SparkSpec {
     assert(cells(("session_time", Map.empty)) == VInt(10 + 100 + 300))
   }
 
+  test("histogram buckets accumulate across batches") {
+    import spark.implicits._
+    val hprog = Frontend.parse(
+      """histogram lat buckets 1, 2, 4
+        |/^v=(?P<v>\d+)$/ {
+        |  lat = $v
+        |}
+        |""".stripMargin, "hist_stream")
+    val runner = new StreamRunner(hprog, spark, 0)
+    runner.processBatch(Seq("v=1", "v=3").toDF("line"), 0)
+    runner.processBatch(Seq("v=2", "v=5", "v=1").toDF("line"), 1)
+
+    val c = runner.store.snapshot().find(_.name == "lat").get
+    // datum.Buckets accumulates over the whole stream
+    // (datum/buckets.go:42-57): batch 2 must not overwrite batch 1
+    assert(c.buckets.get == Map("1" -> 2L, "2" -> 1L, "4" -> 1L,
+      "+Inf" -> 1L, "count" -> 5L))
+    assert(c.value == VInt(12) || c.value == Snapshot.VFloat(12.0))
+  }
+
   test("exporter formats") {
     val cells = Seq(
       Cell("counter", "bytes_total", Map("operation" -> "sent"),
