@@ -48,26 +48,39 @@ object Ann {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
-  /** deterministic pseudo-random hyperplane component for (plane, dim):
-    * a value in {-1, +1} from xxhash64 — a signed random projection.
+  /** deterministic ±1 hyperplane component for (plane, dim index):
+    * splitmix64 finalizer over the pair, computed in plain Scala so the
+    * identical sign constants can be inlined into the Spark plan AND
+    * into generated DuckDB oracle SQL (the plan sees only literals —
+    * constant-folded, no broadcast state, no per-row hash calls).
     */
-  private def planeSign(plane: Int, d: Int): Column =
-    when(pmod(xxhash64(lit(plane), lit(d)), lit(2)) === 0, 1.0)
-      .otherwise(-1.0)
+  def planeSign(plane: Int, d: Int): Int = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L +
+      (d + 1).toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1 else -1
+  }
+
+  /** signed projection of the embedding onto pseudo-random plane p:
+    * a left-associated sum of ±element terms (same IEEE fold order as
+    * the oracle's chain), staying inside whole-stage codegen.
+    */
+  private def projection(e: Column, plane: Int, dim: Int): Column =
+    (1 to dim).map { d =>
+      if (planeSign(plane, d - 1) > 0) element_at(e, d)
+      else -element_at(e, d)
+    }.reduceLeft(_ + _)
 
   /** nBits-bit random-hyperplane signature per embedding. */
   def hyperplaneSignature(embeddings: DataFrame, embCol: String,
       idCol: String, nBits: Int): DataFrame = {
     val dim = dimOf(embeddings, embCol)
     val e = col(embCol).cast("array<double>")
-    val projections = (0 until nBits).map { p =>
-      (1 to dim).map(d => element_at(e, d) * planeSign(p, d - 1))
-        .reduceLeft(_ + _)
-    }
-    val sig = projections.zipWithIndex.foldLeft(lit(0L)) {
-      case (acc, (proj, p)) =>
-        acc.bitwiseOR(when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L))
-    }
+    val sig = (0 until nBits).map { p =>
+      when(projection(e, p, dim) > 0, lit(1L << p)).otherwise(0L)
+    }.reduceLeft(_ + _)
     embeddings.select(col(idCol), col(embCol), sig.as("lsh_sig"))
   }
 
@@ -92,6 +105,50 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         col("cos"))
+  }
+
+  /** Banded (multi-table) hyperplane LSH: nTables signatures of
+    * bitsPerTable bits each; a pair is a candidate when ANY table's
+    * signature matches exactly (the OR-of-ANDs construction, same shape
+    * as MinHash banding). Candidate recall for a pair at angle θ is
+    * 1-(1-(1-θ/π)^bits)^tables — more tables raise recall, more bits
+    * per table sharpen bucket selectivity. Exact cosine verifies every
+    * candidate, so precision is exact; only recall is probabilistic.
+    *
+    * Scale: the candidate join shuffles (table_idx, table_sig, id) —
+    * 20-byte rows, never embeddings; distinct pairs then re-join the
+    * embedding table twice (hash join on id) for the verify step.
+    */
+  def bandedLshNearDupPairs(embeddings: DataFrame, embCol: String,
+      idCol: String, nTables: Int, bitsPerTable: Int,
+      threshold: Double): DataFrame = {
+    val dim = dimOf(embeddings, embCol)
+    val e = col(embCol).cast("array<double>")
+    val tableSigs = (0 until nTables).map { t =>
+      (0 until bitsPerTable).map { p =>
+        when(projection(e, t * bitsPerTable + p, dim) > 0,
+          lit(1L << p)).otherwise(0L)
+      }.reduceLeft(_ + _)
+    }
+    val sigRows = embeddings.select(col(idCol).as("id"),
+      posexplode(array(tableSigs: _*)).as(Seq("table_idx", "table_sig")))
+    val l = sigRows.as("l")
+    val r = sigRows.as("r")
+    val cand = l.join(r, col("l.table_idx") === col("r.table_idx") &&
+        col("l.table_sig") === col("r.table_sig") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val ea = embeddings.select(col(idCol).as("id_a"),
+      col(embCol).as("__ea"))
+    val eb = embeddings.select(col(idCol).as("id_b"),
+      col(embCol).as("__eb"))
+    val a = col("__ea").cast("array<double>")
+    val b = col("__eb").cast("array<double>")
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("cos", dot(a, b, dim) / (norm(a, dim) * norm(b, dim)))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** exact (brute-force) near-dup pairs — the small-SF oracle twin of

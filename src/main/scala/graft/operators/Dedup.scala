@@ -115,49 +115,76 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "na", "nb")
   }
 
-  /** 64-bit SimHash per document from token hashes: bit j of the
-    * fingerprint is the sign of Σ_tokens (±1 per token's bit j).
+  /** 16-bit token sub-hash for SimHash band `b` (0..3): hex chars
+    * [1+4b, 4+4b] of md5(token). md5 produces identical output in Spark
+    * and DuckDB, so the correctness oracle reproduces fingerprints
+    * bit-for-bit — unlike xxhash64, which only Spark can compute.
+    * Both md5 and conv are codegen'd, so the hot path stays in
+    * whole-stage codegen.
     */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String)
+  private def tokenBandHash(tok: Column, b: Int): Column =
+    conv(substring(md5(tok), 1 + 4 * b, 4), 16, 10).cast("long")
+
+  /** SimHash fingerprint as 4 × 16-bit band columns band_0..band_3:
+    * bit j of band b is the sign of Σ_tokens (±1 per bit j of the
+    * token's band-b sub-hash). Keeping the fingerprint banded (instead
+    * of one 64-bit word) gives the LSH join its bucket key directly and
+    * avoids 1<<63 signed-overflow asymmetries between engines.
+    */
+  def simhashBands(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
+    val withH = toks.select(col("id") +: (0 until 4).map(b =>
+      tokenBandHash(col("tok"), b).as(s"h$b")): _*)
+    val bitSums = for { b <- 0 until 4; j <- 0 until 16 } yield
+      sum(when(shiftright(col(s"h$b"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s_${b}_$j")
+    val summed = withH.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      (0 until 16).map { j =>
+        when(col(s"s_${b}_$j") > 0, lit(1L << j)).otherwise(0L)
+      }.reduceLeft(_ + _).as(s"band_$b")
     }
-    val summed = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      acc.bitwiseOR(when(col(s"b$j") > 0,
-        shiftleft(lit(1L), j)).otherwise(0L))
-    }
-    summed.select(col("id"), fp.as("simhash"))
+    summed.select(col("id") +: bandCols: _*)
   }
+
+  /** combined 64-bit SimHash (band_3 .. band_0 packed high-to-low). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    simhashBands(docs, idCol, textCol).select(col("id"),
+      (0 until 4).map(b => shiftleft(col(s"band_$b"), b * 16))
+        .reduceLeft(_ bitwiseOR _).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist. The
     * band-rotation trick keeps this join bucket-local at scale: 4
     * 16-bit bands; a pair within distance ≤ 3 shares at least one
-    * exact band.
+    * exact band (pigeonhole). Candidates are distinct (doc_a, doc_b)
+    * keys only — fingerprints are re-joined after dedup so the shuffle
+    * carries 16-byte rows, not repeated fingerprints.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val fp = simhash64(docs, idCol, textCol)
-    val banded = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+    val fp = simhashBands(docs, idCol, textCol)
+    val banded = fp.select(col("id"),
+      posexplode(array((0 until 4).map(b => col(s"band_$b")): _*))
         .as(Seq("band_idx", "band_key")))
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band_idx") === col("r.band_idx") &&
+    val cand = l.join(r, col("l.band_idx") === col("r.band_idx") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
-        col("l.simhash").as("fp_a"), col("r.simhash").as("fp_b"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .distinct()
-      .withColumn("dist",
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+    val fa = fp.select(col("id").as("doc_a") +:
+      (0 until 4).map(b => col(s"band_$b").as(s"a$b")): _*)
+    val fb = fp.select(col("id").as("doc_b") +:
+      (0 until 4).map(b => col(s"band_$b").as(s"b$b")): _*)
+    cand.join(fa, "doc_a").join(fb, "doc_b")
+      .withColumn("dist", (0 until 4).map(b =>
+        bit_count(col(s"a$b").bitwiseXOR(col(s"b$b"))).cast("long"))
+        .reduceLeft(_ + _))
       .filter(col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
   }

@@ -30,15 +30,30 @@ object LlmExtras {
         .orderBy("doc_a", "doc_b")),
 
     // MinHash+LSH candidates verified by exact Jaccard — the scale path
-    // of dedup_ngram_jaccard (rows-only; recall tested in DedupSpec)
+    // of dedup_ngram_jaccard. Oracled against the exact-pair SQL: the
+    // verify stage is exact (output ⊆ exact pairs) and the banded
+    // signatures are deterministic, with 100% recall on this fixture
+    // (pinned by DedupSpec's recall test).
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
-    // SimHash near-dups within Hamming distance 3 (rows-only)
+    // SimHash near-dups within Hamming distance 3. The md5-band hash
+    // family is computable in DuckDB, so the oracle reproduces the
+    // fingerprints bit-for-bit.
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
+
+    // banded hyperplane LSH near-dup (the ANN scale path): candidates
+    // from 8 tables × 4-bit signatures, exact cosine ≥ 0.4 verify. The
+    // oracle recomputes identical signatures from the same inlined ±1
+    // sign constants.
+    "ann_lsh_near_dup" -> ((s, dir) =>
+      Ann.bandedLshNearDupPairs(embs(s, dir), "embedding", "vec_id",
+          nTables = 8, bitsPerTable = 4, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
+        .orderBy("id_a", "id_b")),
 
     // brute-force cosine top-10 against vec_id=0's embedding
     "ann_cosine_topk" -> ((s, dir) => {
@@ -69,9 +84,13 @@ object LlmExtras {
         .orderBy("format"))
   )
 
-  val oracle: Map[String, String] = Map(
-    "dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id AS id,
+  /** exact n-gram Jaccard pair SQL — also the oracle for the MinHash+
+    * LSH path: its verify stage is exact, so output ⊆ exact pairs, and
+    * recall is 100% on the fixture (deterministic signatures; pinned by
+    * DedupSpec's recall test).
+    */
+  private val exactJaccardSql =
+    """WITH w AS (SELECT doc_id AS id,
                string_split_regex(text, '\s+') AS ws FROM documents),
          g AS (SELECT DISTINCT id,
                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
@@ -84,7 +103,108 @@ object LlmExtras {
               CAST(sa.nset AS BIGINT) AS na, CAST(sb.nset AS BIGINT) AS nb
          FROM c JOIN s sa ON sa.id = doc_a JOIN s sb ON sb.id = doc_b
          WHERE 2 * common >= (sa.nset + sb.nset - common)
-         ORDER BY doc_a, doc_b""",
+         ORDER BY doc_a, doc_b"""
+
+  /** Generated SimHash oracle: reproduces the md5-band fingerprints of
+    * [[Dedup.simhashBands]] bit-for-bit (64 bit-majority sums, 4 16-bit
+    * bands), then the same band-bucket candidate join and Hamming
+    * filter.
+    */
+  private def simhashSql: String = {
+    val hCols = (0 until 4).map(b =>
+      s"CAST('0x' || substr(md5(tok), ${1 + 4 * b}, 4) AS BIGINT) AS h$b")
+      .mkString(",\n             ")
+    val bitSums = (for { b <- 0 until 4; j <- 0 until 16 } yield
+      s"sum(CASE WHEN ((h$b >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s_${b}_$j")
+      .mkString(",\n             ")
+    val bandExprs = (0 until 4).map { b =>
+      (0 until 16).map(j =>
+        s"CASE WHEN s_${b}_$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString("(", " + ", s") AS band_$b")
+    }.mkString(",\n             ")
+    val bandUnion = (0 until 4).map(b =>
+      s"SELECT id, $b AS band_idx, band_$b AS band_key FROM f")
+      .mkString("\n             UNION ALL ")
+    val distExpr = (0 until 4).map(b =>
+      s"bit_count(xor(fa.band_$b, fb.band_$b))").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id AS id,
+               unnest(string_split_regex(text, '\\s+')) AS tok
+             FROM documents),
+         tk AS (SELECT id,
+             $hCols
+           FROM t WHERE tok <> ''),
+         s AS (SELECT id,
+             $bitSums
+           FROM tk GROUP BY id),
+         f AS (SELECT id,
+             $bandExprs
+           FROM s),
+         bands AS ($bandUnion),
+         cand AS (SELECT DISTINCT l.id AS doc_a, r.id AS doc_b
+                  FROM bands l JOIN bands r
+                  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+                     AND l.id < r.id),
+         d AS (SELECT doc_a, doc_b, CAST($distExpr AS BIGINT) AS dist
+               FROM cand JOIN f fa ON fa.id = doc_a
+                         JOIN f fb ON fb.id = doc_b)
+         SELECT doc_a, doc_b, dist FROM d WHERE dist <= 3
+         ORDER BY doc_a, doc_b"""
+  }
+
+  /** Generated banded-hyperplane-LSH oracle: identical ±1 sign
+    * constants (from [[Ann.planeSign]]) inlined as list literals;
+    * list_sum folds left-to-right like Spark's reduceLeft, so sign
+    * decisions agree bit-for-bit. dim=64 matches the testdata
+    * embeddings at every SF.
+    */
+  private def annLshSql(nTables: Int, bitsPerTable: Int, dim: Int,
+      threshold: Double): String = {
+    val signLists = (0 until nTables).flatMap { t =>
+      (0 until bitsPerTable).map { p =>
+        val plane = t * bitsPerTable + p
+        (0 until dim).map(d => Ann.planeSign(plane, d))
+          .mkString(s"[", ",", s"] AS sg_${t}_$p")
+      }
+    }.mkString(",\n             ")
+    val sigDefs = (0 until nTables).map { t =>
+      (0 until bitsPerTable).map { p =>
+        s"""(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+           i -> CAST(embedding[i] AS DOUBLE) * sg_${t}_$p[i])) > 0
+           THEN ${1L << p} ELSE 0 END)"""
+      }.mkString("(", " + ", s") AS sig_$t")
+    }.mkString(",\n             ")
+    val sigUnion = (0 until nTables).map(t =>
+      s"SELECT vec_id, $t AS ti, sig_$t AS sv FROM sig")
+      .mkString("\n             UNION ALL ")
+    def l2(col: String) =
+      s"""sqrt(list_sum(list_transform(range(1, ${dim + 1}),
+         i -> CAST($col[i] AS DOUBLE) * CAST($col[i] AS DOUBLE))))"""
+    s"""WITH signs AS (SELECT
+             $signLists),
+         sig AS (SELECT vec_id,
+             $sigDefs
+           FROM embeddings, signs),
+         bands AS ($sigUnion),
+         cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+                  FROM bands l JOIN bands r
+                  ON l.ti = r.ti AND l.sv = r.sv
+                     AND l.vec_id < r.vec_id),
+         p AS (SELECT id_a, id_b,
+                 list_sum(list_transform(range(1, ${dim + 1}),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)))
+                 / (${l2("a.embedding")} * ${l2("b.embedding")}) AS cos
+               FROM cand JOIN embeddings a ON a.vec_id = id_a
+                         JOIN embeddings b ON b.vec_id = id_b)
+         SELECT id_a, id_b, round(cos, 5) AS cos FROM p
+         WHERE cos >= $threshold ORDER BY id_a, id_b"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_ngram_jaccard" -> exactJaccardSql,
+    "dedup_minhash_lsh" -> exactJaccardSql,
+    "dedup_simhash" -> simhashSql,
+    "ann_lsh_near_dup" -> annLshSql(8, 4, 64, 0.4),
     "ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings
                     WHERE vec_id = 0),

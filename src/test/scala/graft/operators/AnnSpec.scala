@@ -46,6 +46,20 @@ class AnnSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("banded LSH: subset of exact with multi-table recall boost") {
+    val e = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val exact = Ann.exactNearDupPairs(e, "embedding", "vec_id", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Ann.bandedLshNearDupPairs(e, "embedding", "vec_id",
+        nTables = 8, bitsPerTable = 4, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision is exact (verified candidates); recall is 1-(1-p^4)^8
+    // per pair — ≥ ~0.75 at cosine 0.4 and rising steeply with cosine
+    assert(banded.subsetOf(exact))
+    assert(banded.size * 2 >= exact.size,
+      s"recall too low: ${banded.size}/${exact.size}")
+  }
+
   test("multimodal decode stub is deterministic and typed") {
     val meta = Multimodal.decodeMeta(
       Multimodal.demoMedia(spark, sf("sf0.001")), "media_id", "payload")
