@@ -53,12 +53,16 @@ import graft.mtail.{Ir, Re2}
   */
 final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     defaultYear: Int,
-    /** carried cross-batch state for streaming mode: metric name →
-      * (joined key string → last written value). Reads fall back to
-      * this between the in-batch window and the zero default; state
-      * cardinality is in-flight sessions, so a broadcast map literal.
+    /** carried cross-batch state for streaming mode: metric name → a
+      * DISTRIBUTED relation (k STRING, v <metric type>) of last-written
+      * values keyed by the joined label tuple. Reads fall back to it
+      * between the in-batch window and the zero default via a LEFT JOIN
+      * planned per read site — never a driver-side map literal, so plan
+      * size and driver memory are O(1) in state cardinality (millions
+      * of in-flight sessions stay partitioned across executors; AQE
+      * picks broadcast vs shuffle join from the state's actual size).
       */
-    initialState: Map[String, Map[String, Any]] = Map.empty) {
+    initialState: Map[String, DataFrame] = Map.empty) {
 
   import Ir._
 
@@ -72,12 +76,30 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   private var curDf: DataFrame = lines
   private var colSeq = 0
   private val pending = mutable.LinkedHashMap[String, Column]()
+  /** pending carried-state joins: output column name → (line-side key
+    * column, state relation with columns (k, v)). Applied lazily like
+    * pending selects — the key column may reference materialized regex
+    * structs that must be flushed first.
+    */
+  private val pendingJoins =
+    mutable.LinkedHashMap[String, (Column, DataFrame)]()
   def df: DataFrame = { flushPending(); curDf }
 
   private def materialize(c: Column, prefix: String): Column = {
     val name = s"__${prefix}_$colSeq"
     colSeq += 1
     pending(name) = c
+    col(name)
+  }
+
+  /** left-join `state` (k, v) against the line frame on `key`,
+    * yielding the carried value as a named column (null = no state).
+    */
+  private def materializeStateJoin(key: Column, state: DataFrame)
+      : Column = {
+    val name = s"__carry_$colSeq"
+    colSeq += 1
+    pendingJoins(name) = (key, state)
     col(name)
   }
 
@@ -88,16 +110,29 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     }.toSet
 
   private def flushPending(): Unit = {
-    while (pending.nonEmpty) {
+    while (pending.nonEmpty || pendingJoins.nonEmpty) {
       val avail = curDf.columns.toSet
       val (ready, _) = pending.partition { case (_, c) =>
         refsOf(c).filter(_.startsWith("__")).forall(avail)
       }
-      if (ready.isEmpty)
-        throw new IllegalStateException("circular materialization")
-      curDf = curDf.select(col("*") +:
-        ready.map { case (n, c) => c.as(n) }.toSeq: _*)
-      ready.keys.foreach(pending.remove)
+      if (ready.nonEmpty) {
+        curDf = curDf.select(col("*") +:
+          ready.map { case (n, c) => c.as(n) }.toSeq: _*)
+        ready.keys.foreach(pending.remove)
+      } else {
+        val (readyJoins, _) = pendingJoins.partition { case (_, (k, _)) =>
+          refsOf(k).filter(_.startsWith("__")).forall(avail)
+        }
+        if (readyJoins.isEmpty)
+          throw new IllegalStateException("circular materialization")
+        readyJoins.foreach { case (n, (key, state)) =>
+          val st = state.select(col("k").as(s"${n}_k"),
+            col("v").as(n))
+          curDf = curDf.join(st, key === col(s"${n}_k"), "left")
+            .drop(s"${n}_k")
+          pendingJoins.remove(n)
+        }
+      }
     }
   }
 
@@ -342,6 +377,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   colSeq = 0
   frameMemo.clear()
   pending.clear()
+  pendingJoins.clear()
   walk(program.stmts, Nil, lit(true))
 
   def metricType(name: String): DataType =
@@ -534,15 +570,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     val prevRows = whens(writes).map(c => last(c, ignoreNulls = true).over(w))
     val sameLine =
       if (siteIdx < 0) None else whens(writes.filter(_.idx < siteIdx))
-    val carried = initialState.get(metric).filter(_.nonEmpty).map { st =>
-      val m = metricType(metric) match {
-        case LongType => typedLit(st.map { case (k, v) =>
-          k -> v.asInstanceOf[Long] })
-        case DoubleType => typedLit(st.map { case (k, v) =>
-          k -> v.asInstanceOf[Double] })
-        case _ => typedLit(st.map { case (k, v) => k -> v.toString })
-      }
-      element_at(m, PlanBuilder.joinKeys(keyCols))
+    val carried = initialState.get(metric).map { st =>
+      materializeStateJoin(PlanBuilder.joinKeys(keyCols), st)
     }
     coalesce((sameLine.toSeq ++ prevRows.toSeq ++ carried.toSeq :+
       zeroOf(metricType(metric))): _*)
@@ -720,46 +749,51 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   }
 
   /** End-of-batch state of every cross-line-read metric, for the
-    * streaming runner to carry into the next batch: metric → (joined
-    * key → last written value), with delete-last keys dropped and the
-    * carried-in state merged underneath.
+    * streaming runner to carry into the next batch: metric → relation
+    * (k, v) of last written values, with delete-last keys dropped and
+    * the carried-in state anti-joined underneath. Fully distributed —
+    * no collect; the runner localCheckpoints each relation so the next
+    * batch's plan starts from materialized partitions, not the whole
+    * lineage of every previous batch.
     */
-  def finalReadState(): Map[String, Map[String, Any]] = {
-    readMetrics.toSeq.sorted.map { m =>
+  def finalReadStateDfs(): Map[String, DataFrame] = {
+    readMetrics.toSeq.sorted.flatMap { m =>
       val vt = metricType(m)
       val writes = sites.filter(s => s.metric.name == m)
         .filter(s => s.op == OpSet ||
           (s.op == OpDel && s.afterSeconds.isEmpty)).toSeq
-      val batch: Map[String, (Boolean, Any)] =
-        if (writes.isEmpty) Map.empty
-        else {
-          val frames = writes.map { s =>
-            val keyCol = PlanBuilder.joinKeys(s.keys.map(k =>
-              exprColumn(k, s.frames, s.timeReg, s.idx).cast(StringType)))
-            val valueCol = s.op match {
-              case OpDel => lit(null).cast(vt)
-              case _ => exprColumn(s.valueIr.get, s.frames, s.timeReg,
-                s.idx).cast(vt)
-            }
-            df.select(keyCol.as("k"), valueCol.as("v"),
-              lit(s.op == OpDel).as("is_del"),
-              ordKey(s.idx).as("ordk"),
-              coalesce(s.cond, lit(false)).as("__c"))
-              .filter(col("__c")).drop("__c")
+      if (writes.isEmpty) initialState.get(m).map(m -> _)
+      else {
+        val frames = writes.map { s =>
+          val keyCol = PlanBuilder.joinKeys(s.keys.map(k =>
+            exprColumn(k, s.frames, s.timeReg, s.idx).cast(StringType)))
+          val valueCol = s.op match {
+            case OpDel => lit(null).cast(vt)
+            case _ => exprColumn(s.valueIr.get, s.frames, s.timeReg,
+              s.idx).cast(vt)
           }
-          frames.reduce(_ unionAll _)
-            .groupBy("k")
-            .agg(max_by(struct(col("is_del"), col("v")), col("ordk"))
-              .as("last"))
-            .select(col("k"), col("last.is_del"), col("last.v"))
-            .collect().map { r =>
-              r.getString(0) -> (r.getBoolean(1), r.get(2))
-            }.toMap
+          df.select(keyCol.as("k"), valueCol.as("v"),
+            lit(s.op == OpDel).as("is_del"),
+            ordKey(s.idx).as("ordk"),
+            coalesce(s.cond, lit(false)).as("__c"))
+            .filter(col("__c")).drop("__c")
         }
-      val carried = initialState.getOrElse(m, Map.empty)
-      val merged = (carried -- batch.keys) ++
-        batch.filter(!_._2._1).map { case (k, (_, v)) => k -> v }
-      m -> merged
+        val batchLast = frames.reduce(_ unionAll _)
+          .groupBy("k")
+          .agg(max_by(struct(col("is_del"), col("v")), col("ordk"))
+            .as("last"))
+          .select(col("k"), col("last.is_del").as("is_del"),
+            col("last.v").as("v"))
+        val survivors = batchLast.filter(!col("is_del"))
+          .select("k", "v")
+        val merged = initialState.get(m) match {
+          case Some(prev) =>
+            prev.join(batchLast.select("k"), Seq("k"), "left_anti")
+              .unionAll(survivors)
+          case None => survivors
+        }
+        Some(m -> merged)
+      }
     }.toMap
   }
 

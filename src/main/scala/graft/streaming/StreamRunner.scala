@@ -15,12 +15,18 @@ import graft.plan.PlanBuilder
   * Each microbatch runs the full batch PlanBuilder (so within-batch
   * semantics — conds, time register, same-line ordering, windows — are
   * identical to one-shot mode), then merges kind-aware into the store:
-  * counters add, gauges last-write-wins. Cross-BATCH hidden-metric state
-  * (a session opened in batch N, closed in batch N+1) is carried by
-  * [[PlanBuilder]] windows only within a batch; programs needing it
-  * across batches are the `flatMapGroupsWithState` extension noted in
-  * SURVEY §7.7 — the counter/gauge surface (the vast majority of shipped
-  * programs) is exact under this merge.
+  * counters add, gauges last-write-wins.
+  *
+  * Cross-BATCH hidden-metric state (a session opened in batch N,
+  * closed in batch N+k) lives in a DISTRIBUTED carried-state relation
+  * per read metric — (key, last value) partitioned across executors,
+  * localCheckpoint'ed between batches and LEFT-JOINed into the next
+  * batch's plan by [[PlanBuilder]]. Nothing state-sized ever reaches
+  * the driver or the plan tree (no collect, no typedLit), so in-flight
+  * cardinality is bounded by cluster memory, not driver heap: the
+  * foreachBatch analogue of `internal/runtime/vm/vm.go:736-776`'s
+  * Dload/Iget against the shared store. AQE broadcasts the state side
+  * while it is small and falls back to a shuffle join when it grows.
   *
   * Scale: the per-batch plan is the same narrow extraction + small-key
   * shuffles as batch mode; only aggregated cells reach the driver store.
@@ -30,12 +36,13 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
 
   val store = new MetricsStore
 
-  /** cross-batch state of cross-line-read metrics (sessions in flight):
-    * carried into the next batch's PlanBuilder so a session opened in
-    * batch N pairs with its close in batch N+k.
+  /** cross-batch state relations of cross-line-read metrics (sessions
+    * in flight): metric → materialized (k, v) DataFrame.
     */
-  @volatile private var carriedState: Map[String, Map[String, Any]] =
-    Map.empty
+  @volatile private var carriedState: Map[String, DataFrame] = Map.empty
+
+  /** visible for tests: the current carried-state relations. */
+  def carriedStateForTest: Map[String, DataFrame] = carriedState
 
   /** Start over a streaming Dataset with a `line` STRING column (e.g.
     * `spark.readStream.format("text"|"socket")`).
@@ -70,7 +77,14 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
         // re-add them every batch
         .filterNot(c => c.kind == "counter" &&
           c.value == Snapshot.VInt(0L) && c.tsSec.contains(0L)))
-      carriedState = pb.finalReadState()
+      // materialize the new state relations eagerly: the batch
+      // DataFrame is only valid inside this call, and checkpointing
+      // truncates lineage so batch N's plan never re-derives batches
+      // 0..N-1 (old checkpoint RDDs are dropped by the ContextCleaner
+      // once unreferenced)
+      carriedState = pb.finalReadStateDfs().map { case (m, sdf) =>
+        m -> sdf.localCheckpoint(true)
+      }
     }
   }
 }

@@ -81,6 +81,54 @@ class StreamingSpec extends SparkSpec {
     assert(cells(("session_time", Map.empty)) == VInt(10 + 100 + 300))
   }
 
+  test("cross-batch state is a distributed join, not a plan literal") {
+    import spark.implicits._
+    val prog = Frontend.parse(
+      """hidden gauge start by id
+        |counter session_time
+        |/^(?P<ts>\d+) open (?P<id>\w+)$/ {
+        |  settime($ts)
+        |  start[$id] = timestamp()
+        |}
+        |/^(?P<ts>\d+) close (?P<id>\w+)$/ {
+        |  settime($ts)
+        |  session_time += timestamp() - start[$id]
+        |  del start[$id]
+        |}
+        |""".stripMargin, "bigstate")
+    val runner = new StreamRunner(prog, spark, 0)
+    val n = 100000
+    // batch 1: open 1e5 sessions (1e5 in-flight keys)
+    runner.processBatch(
+      spark.range(n).select(concat(lit("100 open k"), col("id"))
+        .as("line")), 0)
+    // batch 2: close 3 of them — the plan must look up carried state
+    // via a JOIN against the state relation; embedding 1e5 keys as a
+    // typedLit map literal would be a plan-size bomb at scale
+    runner.processBatch(
+      Seq("200 close k0", "250 close k77777", "300 close k99999")
+        .toDF("line"), 1)
+
+    val cells = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells(("session_time", Map.empty)) ==
+      VInt((200 - 100) + (250 - 100) + (300 - 100)))
+
+    // plan-size guard: rebuild batch 2's plan directly and check it
+    // stays O(1) in state cardinality and carries no map literal
+    val state = runner.carriedStateForTest
+    assert(state("start").count() == n - 3)
+    val lines2 = Seq("400 close k5").toDF("line")
+      .withColumn("filename", lit(""))
+      .withColumn("ord", monotonically_increasing_id())
+    val pb = new graft.plan.PlanBuilder(prog, lines2, 0, state)
+    val plan = pb.snapshot().queryExecution.optimizedPlan.toString
+    // no state key may appear as a literal in the plan tree
+    assert(!plan.contains("k77777"), "state keys embedded in plan")
+    assert(plan.length < 200000, s"plan blew up: ${plan.length} chars")
+    assert(plan.contains("Join"), "carried state should be a join")
+  }
+
   test("histogram buckets accumulate across batches") {
     import spark.implicits._
     val hprog = Frontend.parse(
