@@ -7,26 +7,32 @@ import org.apache.spark.sql.functions._
   * from FIXTURES.md §1 — (filename, line, ord).
   *
   * `ord` is the arrival-order key used for last-write-wins semantics.
-  * Spark's text source yields rows of a split in file order; for the
-  * single-split files of golden tests `monotonically_increasing_id` is
-  * exactly file order. For multi-split files at scale, order is only
-  * per-split — a custom source carrying (file, byte offset) replaces this
-  * for the streaming/tail path (SURVEY §2.1), where arrival order is the
-  * reference's own ordering anyway.
+  * File reads go through the graft-tail DSv2 source, which emits each
+  * line's BYTE OFFSET: ord = struct(filename, off) is total and
+  * split-invariant, so a file split into any number of partitions (for
+  * parallel scan at scale) replays with exactly single-reader
+  * semantics — unlike `monotonically_increasing_id`, whose order is
+  * only per-split and silently depends on split enumeration order.
+  * Across files, order is lexicographic by filename (deterministic;
+  * the reference's one-shot mode also processes file-by-file).
   */
 object LogLines {
 
   def batch(spark: SparkSession, paths: String*): DataFrame = {
     // mtail dialect: conversion errors null out (vm.go:97-129)
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.read.textFile(paths: _*)
-      .select(
-        input_file_name().as("filename"),
-        col("value").as("line"))
-      .withColumn("ord", monotonically_increasing_id())
+    paths.map { p =>
+      spark.read.format("graft-tail").option("path", p).load()
+    }.reduce(_ unionAll _)
+      .select(col("filename"), col("line"),
+        struct(col("filename").as("f"), col("off").as("o")).as("ord"))
   }
 
-  /** Wrap any (line STRING) DataFrame, e.g. a driver table. */
+  /** Wrap any (line STRING) DataFrame, e.g. a driver table. Row order
+    * here is the source's own enumeration order (per-split ids): driver
+    * tables have no inherent arrival order, so the caller's layout IS
+    * the order.
+    */
   def fromLines(df: DataFrame, lineCol: String,
       filename: String = ""): DataFrame =
     df.select(lit(filename).as("filename"), col(lineCol).as("line"))

@@ -49,7 +49,73 @@ final class TailSource extends TableProvider with DataSourceRegister {
 object TailSource {
   val schema: StructType = StructType(Seq(
     StructField("filename", StringType, nullable = false),
-    StructField("line", StringType, nullable = false)))
+    StructField("line", StringType, nullable = false),
+    StructField("off", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+
+  /** Iterate complete lines whose START byte lies in [start, end),
+    * reading past `end` to finish a line that straddles it. `start` may
+    * fall mid-line: ownership-by-start means the straddler belongs to
+    * the PREVIOUS range, so we scan from start-1 for the first newline
+    * (if byte start-1 is itself '\n', the line starting exactly at
+    * `start` is correctly kept). Emits (absolute line-start offset,
+    * line) with trailing \r stripped; an unterminated final line is
+    * dropped (complete-lines-only, reader.go:68-95). This single reader
+    * serves both the streaming scan (whose ranges are always at line
+    * boundaries) and split batch scans of arbitrary byte ranges.
+    */
+  def readRange(path: String, start: Long, end: Long)
+      : Iterator[(Long, String)] = {
+    val raf = new RandomAccessFile(path, "r")
+    var ls = 0L
+    if (start > 0) {
+      raf.seek(start - 1)
+      val buf = new Array[Byte](8192)
+      var pos = start - 1
+      var found = -1L
+      var n = raf.read(buf)
+      while (found < 0 && n > 0) {
+        var j = 0
+        while (found < 0 && j < n) {
+          if (buf(j) == '\n') found = pos + j
+          j += 1
+        }
+        pos += n
+        if (found < 0) n = raf.read(buf)
+      }
+      if (found < 0) { raf.close(); return Iterator.empty }
+      ls = found + 1
+    }
+    if (ls >= end) { raf.close(); return Iterator.empty }
+    raf.seek(ls)
+    val in = new java.io.BufferedInputStream(
+      java.nio.channels.Channels.newInputStream(raf.getChannel), 1 << 16)
+    new Iterator[(Long, String)] {
+      private var curStart = ls
+      private var nextLine: (Long, String) = _
+      private var done = false
+      advance()
+      private def advance(): Unit = {
+        nextLine = null
+        if (done || curStart >= end) { finish(); return }
+        val bb = new java.io.ByteArrayOutputStream(256)
+        var b = in.read()
+        while (b != -1 && b != '\n') { bb.write(b); b = in.read() }
+        if (b == -1) { finish(); return } // unterminated tail → held back
+        val bytes = bb.toByteArray
+        val s = new String(bytes, StandardCharsets.UTF_8)
+        val line = if (s.endsWith("\r")) s.dropRight(1) else s
+        nextLine = (curStart, line)
+        curStart += bytes.length + 1
+      }
+      private def finish(): Unit =
+        if (!done) { done = true; raf.close() }
+      override def hasNext: Boolean = nextLine != null
+      override def next(): (Long, String) = {
+        val r = nextLine; advance(); r
+      }
+    }
+  }
 
   /** glob expansion relative to the pattern's parent dir. */
   def expand(pattern: String): Seq[Path] = {
@@ -108,10 +174,18 @@ final class TailTable(pathPattern: String) extends Table with SupportsRead {
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream = new TailMicroBatchStream(pathPattern)
       override def toBatch: Batch = new Batch {
+        // files split into byte ranges for parallelism — SAFE because
+        // each line carries its byte offset as the ordering key, so
+        // split boundaries cannot reorder last-write-wins semantics
+        // (unlike monotonically_increasing_id, which is per-split only)
+        private val split = math.max(1L << 16,
+          options.getLong("maxSplitBytes", 128L << 20))
         override def planInputPartitions(): Array[InputPartition] =
-          TailSource.expand(pathPattern).map { p =>
-            TailPartition(p.toString, 0L,
-              Files.size(p)): InputPartition
+          TailSource.expand(pathPattern).flatMap { p =>
+            val size = Files.size(p)
+            (0L until size by split).map(s =>
+              TailPartition(p.toString, s,
+                math.min(s + split, size)): InputPartition)
           }.toArray
         override def createReaderFactory(): PartitionReaderFactory =
           new TailReaderFactory
@@ -195,25 +269,13 @@ final class TailReaderFactory extends PartitionReaderFactory {
       : PartitionReader[InternalRow] = {
     val tp = partition.asInstanceOf[TailPartition]
     new PartitionReader[InternalRow] {
-      private val lines: Iterator[String] = {
-        val raf = new RandomAccessFile(tp.path, "r")
-        try {
-          raf.seek(tp.start)
-          val buf = new Array[Byte]((tp.end - tp.start).toInt)
-          raf.readFully(buf)
-          val text = new String(buf, StandardCharsets.UTF_8)
-          // end is always at a line boundary; strip trailing \r per line
-          text.split("\n", -1).iterator.takeWhile(_ => true)
-            .toSeq.dropRight(1).map(l =>
-              if (l.endsWith("\r")) l.dropRight(1) else l).iterator
-        } finally raf.close()
-      }
-      private var current: String = _
+      private val lines = TailSource.readRange(tp.path, tp.start, tp.end)
+      private var current: (Long, String) = _
       override def next(): Boolean =
         if (lines.hasNext) { current = lines.next(); true } else false
       override def get(): InternalRow =
         InternalRow(UTF8String.fromString(tp.path),
-          UTF8String.fromString(current))
+          UTF8String.fromString(current._2), current._1)
       override def close(): Unit = ()
     }
   }

@@ -69,7 +69,12 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
         .withColumn("filename",
           if (batch.columns.contains("filename")) col("filename")
           else lit(""))
-        .withColumn("ord", monotonically_increasing_id())
+        // graft-tail batches carry byte offsets → total per-file order;
+        // other sources (socket, memory) fall back to split order
+        .withColumn("ord",
+          if (batch.columns.contains("off"))
+            struct(col("filename").as("f"), col("off").as("o"))
+          else monotonically_increasing_id())
       val pb = new PlanBuilder(program, withCols, defaultYear,
         carriedState)
       store.merge(Snapshot.collect(pb.snapshot())

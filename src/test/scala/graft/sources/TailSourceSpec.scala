@@ -81,6 +81,63 @@ class TailSourceSpec extends SparkSpec {
     assert(b2 == Seq("z"))
   }
 
+  test("batch reads are split-invariant: offsets give total order") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val f = dir.resolve("g.log")
+    // 2000 gauge writes; last-write-wins depends on total line order
+    val sb = new StringBuilder
+    (1 to 2000).foreach(i => sb.append(s"v=$i\n"))
+    write(f, sb.toString)
+    val prog = graft.mtail.Frontend.parse(
+      """gauge last
+        |counter n
+        |/^v=(?P<x>\d+)$/ {
+        |  last = $x
+        |  n++
+        |}
+        |""".stripMargin, "split_test")
+    def run(maxSplit: Option[Long]) = {
+      val base = spark.read.format("graft-tail").option("path", f.toString)
+      val df = maxSplit.fold(base)(m =>
+        base.option("maxSplitBytes", m.toString)).load()
+      assert(maxSplit.forall(_ > (1L << 15)) ||
+        df.rdd.getNumPartitions >= 4, "expected a split read")
+      val lines = df.select(col("filename"), col("line"),
+        struct(col("filename").as("f"), col("off").as("o")).as("ord"))
+      graft.mtail.Snapshot.collect(
+        new graft.plan.PlanBuilder(prog, lines, 0).snapshot())
+        .map(c => c.name -> c.value).toMap
+    }
+    val single = run(None) // one ~12KB file, one split
+    val multi = run(Some(1L << 16)) // floor-clamped: still exercises path
+    // force real multi-partition by tiny split: clamp floor is 64KiB, so
+    // write a bigger file instead
+    val big = dir.resolve("big.log")
+    val sb2 = new StringBuilder
+    (1 to 40000).foreach(i => sb2.append(s"v=$i\npad_line_to_make_bytes_$i\n"))
+    write(big, sb2.toString)
+    val progB = prog
+    def runBig(split: Long) = {
+      val df = spark.read.format("graft-tail")
+        .option("path", big.toString)
+        .option("maxSplitBytes", split.toString).load()
+      (df.rdd.getNumPartitions,
+        graft.mtail.Snapshot.collect(new graft.plan.PlanBuilder(progB,
+          df.select(col("filename"), col("line"),
+            struct(col("filename").as("f"), col("off").as("o"))
+              .as("ord")), 0).snapshot())
+          .map(c => c.name -> c.value).toMap)
+    }
+    val (parts, bigMulti) = runBig(1L << 16)
+    assert(parts >= 4, s"expected >=4 splits, got $parts")
+    val (_, bigSingle) = runBig(1L << 30)
+    assert(bigMulti == bigSingle)
+    assert(bigMulti("last") == graft.mtail.Snapshot.VInt(40000L))
+    assert(single("last") == graft.mtail.Snapshot.VInt(2000L))
+    assert(single == multi)
+  }
+
   test("readStream end-to-end via format(graft-tail)") {
     val dir = tmpDir()
     write(dir.resolve("s.log"), "l1\nl2\n")
