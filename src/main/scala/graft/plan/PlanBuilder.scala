@@ -774,18 +774,20 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           }
           df.select(keyCol.as("k"), valueCol.as("v"),
             lit(s.op == OpDel).as("is_del"),
+            // last-write event time, for `del … after d` state expiry
+            unix_timestamp(s.timeReg).as("ts"),
             ordKey(s.idx).as("ordk"),
             coalesce(s.cond, lit(false)).as("__c"))
             .filter(col("__c")).drop("__c")
         }
         val batchLast = frames.reduce(_ unionAll _)
           .groupBy("k")
-          .agg(max_by(struct(col("is_del"), col("v")), col("ordk"))
-            .as("last"))
+          .agg(max_by(struct(col("is_del"), col("v"), col("ts")),
+            col("ordk")).as("last"))
           .select(col("k"), col("last.is_del").as("is_del"),
-            col("last.v").as("v"))
+            col("last.v").as("v"), col("last.ts").as("ts"))
         val survivors = batchLast.filter(!col("is_del"))
-          .select("k", "v")
+          .select("k", "v", "ts")
         val merged = initialState.get(m) match {
           case Some(prev) =>
             prev.join(batchLast.select("k"), Seq("k"), "left_anti")

@@ -70,6 +70,35 @@ final class MetricsStore {
   def snapshot(): Seq[Cell] = lock.synchronized { cells.values.toSeq }
 
   def clear(): Unit = lock.synchronized { cells.clear() }
+
+  /** GC pass — the analogue of the reference store's expiry loop
+    * (`internal/metrics/store.go:156-203`): removes cells whose
+    * `del … after d` TTL has lapsed since their last update, and trims
+    * metrics declared `limit N` to the N newest cells by datum
+    * timestamp (`metric.go:184-198`). `nowSec` is stream time (max
+    * observed event time) rather than the reference's wall clock, so
+    * replays of historical logs expire deterministically; the two
+    * coincide when timestamps are ingest times. Returns cells removed.
+    */
+  def gc(nowSec: Long, ttlSeconds: Map[String, Long],
+      limits: Map[String, Int]): Int = lock.synchronized {
+    var removed = 0
+    ttlSeconds.foreach { case (name, ttl) =>
+      val expired = cells.keys
+        .filter { case (n, _) => n == name }
+        .filter(k => cells(k).tsSec.exists(_ + ttl <= nowSec)).toSeq
+      expired.foreach { k => cells.remove(k); removed += 1 }
+    }
+    limits.foreach { case (name, n) =>
+      val ks = cells.keys.filter(_._1 == name).toSeq
+      if (ks.size > n) {
+        val drop = ks.sortBy(k => cells(k).tsSec.getOrElse(0L))
+          .dropRight(n)
+        drop.foreach { k => cells.remove(k); removed += 1 }
+      }
+    }
+    removed
+  }
 }
 
 /** Pure formatters over store cells — ports of the reference's sink

@@ -44,6 +44,30 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
   /** visible for tests: the current carried-state relations. */
   def carriedStateForTest: Map[String, DataFrame] = carriedState
 
+  /** `del m[..] after d` TTLs by metric DECL name (min over sites),
+    * from a statement walk — the per-cell Expiry of `ExpireDatum`
+    * (`internal/metrics/metric.go:223-234`) keyed per metric.
+    */
+  private val ttlByDecl: Map[String, Long] = {
+    val buf = scala.collection.mutable.Map[String, Long]()
+    def walk(ss: Seq[Ir.Stmt]): Unit = ss.foreach {
+      case Ir.CondBlock(_, body, els) => walk(body); walk(els)
+      case Ir.DelStmt(m, _, Some(d)) =>
+        buf(m) = buf.get(m).fold(d)(math.min(_, d))
+      case _ =>
+    }
+    walk(program.stmts)
+    buf.toMap
+  }
+  private val ttlByExport: Map[String, Long] =
+    ttlByDecl.map { case (m, d) => program.decl(m).exportName -> d }
+  private val limitByExport: Map[String, Int] =
+    program.decls.filter(_.limit > 0)
+      .map(d => d.exportName -> d.limit).toMap
+
+  /** stream time: max event timestamp observed across batches. */
+  @volatile private var maxEventSec: Long = Long.MinValue
+
   /** Start over a streaming Dataset with a `line` STRING column (e.g.
     * `spark.readStream.format("text"|"socket")`).
     */
@@ -77,7 +101,8 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
           else monotonically_increasing_id())
       val pb = new PlanBuilder(program, withCols, defaultYear,
         carriedState)
-      store.merge(Snapshot.collect(pb.snapshot())
+      val cells = Snapshot.collect(pb.snapshot())
+      store.merge(cells
         // zero-init rows only describe "never updated" state; don't
         // re-add them every batch
         .filterNot(c => c.kind == "counter" &&
@@ -87,9 +112,33 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       // truncates lineage so batch N's plan never re-derives batches
       // 0..N-1 (old checkpoint RDDs are dropped by the ContextCleaner
       // once unreferenced)
-      carriedState = pb.finalReadStateDfs().map { case (m, sdf) =>
+      val newState = pb.finalReadStateDfs().map { case (m, sdf) =>
         m -> sdf.localCheckpoint(true)
       }
+      // stream time: max event timestamp across exported cells AND
+      // hidden-state last writes (hidden metrics never reach the store)
+      val stateMax = newState.values.flatMap { sdf =>
+        Option(sdf.agg(max(col("ts"))).head().get(0))
+          .map(_.asInstanceOf[Long])
+      }
+      maxEventSec = (cells.flatMap(_.tsSec) ++ stateMax)
+        .foldLeft(maxEventSec)(_ max _)
+      // `del … after d` metrics drop state keys whose last write is
+      // older than d in stream time — the store's GC analogue for
+      // in-flight hidden state, so a long stream's state volume is
+      // bounded by its TTL window. Applied as a lazy filter over the
+      // checkpointed relation; expired rows vanish physically at the
+      // next batch's checkpoint.
+      carriedState = newState.map { case (m, sdf) =>
+        m -> ttlByDecl.get(m).filter(_ => maxEventSec > Long.MinValue)
+          .map(ttl => sdf.filter(col("ts").isNull ||
+            col("ts") > maxEventSec - ttl))
+          .getOrElse(sdf)
+      }
+      // store-level GC: TTL expiry + limit trim (store.go:156-203)
+      if (maxEventSec > Long.MinValue &&
+        (ttlByExport.nonEmpty || limitByExport.nonEmpty))
+        store.gc(maxEventSec, ttlByExport, limitByExport)
     }
   }
 }

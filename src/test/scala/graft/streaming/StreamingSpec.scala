@@ -129,6 +129,74 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("Join"), "carried state should be a join")
   }
 
+  test("del-after TTL expires store cells in stream time") {
+    import spark.implicits._
+    val prog = Frontend.parse(
+      """gauge seen by ip
+        |/^(?P<ts>\d+) hit (?P<ip>\S+)$/ {
+        |  settime($ts)
+        |  seen[$ip] = timestamp()
+        |  del seen[$ip] after 2m
+        |}
+        |""".stripMargin, "ttl_test")
+    val runner = new StreamRunner(prog, spark, 0)
+    runner.processBatch(Seq("100 hit a").toDF("line"), 0)
+    runner.processBatch(Seq("150 hit b").toDF("line"), 1)
+    runner.processBatch(Seq("300 hit c").toDF("line"), 2)
+    // stream time 300: a (100+120 ≤ 300) and b (150+120 ≤ 300) have
+    // lapsed their 2m TTL; c survives
+    val ips = runner.store.snapshot().filter(_.name == "seen")
+      .map(_.labels("ip")).toSet
+    assert(ips == Set("c"))
+  }
+
+  test("del-after TTL bounds carried hidden state; expired reads zero") {
+    import spark.implicits._
+    val prog = Frontend.parse(
+      """hidden gauge start by id
+        |counter session_time
+        |/^(?P<ts>\d+) open (?P<id>\w+)$/ {
+        |  settime($ts)
+        |  start[$id] = timestamp()
+        |  del start[$id] after 2m
+        |}
+        |/^(?P<ts>\d+) close (?P<id>\w+)$/ {
+        |  settime($ts)
+        |  session_time += timestamp() - start[$id]
+        |}
+        |""".stripMargin, "ttl_state")
+    val runner = new StreamRunner(prog, spark, 0)
+    runner.processBatch(Seq("100 open a").toDF("line"), 0)
+    runner.processBatch(Seq("400 open b").toDF("line"), 1)
+    // a's state (ts 100) lapsed its TTL at stream time 400
+    assert(runner.carriedStateForTest("start")
+      .select("k").collect().map(_.getString(0)).toSet == Set("b"))
+    // a close on the expired key reads a fresh zero datum, like the
+    // reference after ExpireDatum removal
+    runner.processBatch(Seq("450 close a").toDF("line"), 2)
+    val cells = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells(("session_time", Map.empty)) == VInt(450))
+  }
+
+  test("limit N holds the newest N cells across batches") {
+    import spark.implicits._
+    val prog = Frontend.parse(
+      """counter hits by page limit 2
+        |/^(?P<ts>\d+) (?P<page>\w+)$/ {
+        |  settime($ts)
+        |  hits[$page]++
+        |}
+        |""".stripMargin, "limit_stream")
+    val runner = new StreamRunner(prog, spark, 0)
+    runner.processBatch(Seq("100 alpha").toDF("line"), 0)
+    runner.processBatch(Seq("200 beta").toDF("line"), 1)
+    runner.processBatch(Seq("300 gamma").toDF("line"), 2)
+    val pages = runner.store.snapshot().filter(_.name == "hits")
+      .map(_.labels("page")).toSet
+    assert(pages == Set("beta", "gamma")) // newest 2 by datum ts
+  }
+
   test("histogram buckets accumulate across batches") {
     import spark.implicits._
     val hprog = Frontend.parse(
