@@ -183,6 +183,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   private var siteSeq = 0 // shared order for sites AND strptime/settime
   private var timeReg: Column = lit(null).cast(TimestampType)
   private var stopGuard: Column = lit(true)
+  /** true where a runtime error aborted the line (vm.go:97-129) —
+    * feeds prog_runtime_errors_total.
+    */
+  private var abortCond: Column = lit(false)
 
   // ---------- phase 1: walk ----------
 
@@ -272,6 +276,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   private def abortOn(execCond: Column, nullCond: Option[Column]): Unit =
     nullCond.foreach { nc =>
       stopGuard = stopGuard && !coalesce(execCond && nc, lit(false))
+      abortCond = abortCond || coalesce(execCond && nc, lit(false))
     }
 
   private def walk(stmts: Seq[Stmt], frames: List[Frame],
@@ -373,6 +378,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   timeReg = lit(null).cast(TimestampType)
   stopGuard = lit(true)
   metricTypeMemo.clear()
+  abortCond = lit(false)
   curDf = lines // pass-1 materialized columns are provisional too
   colSeq = 0
   frameMemo.clear()
@@ -747,6 +753,21 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     frames.flatten.reduceOption(_ unionAll _).getOrElse(
       df.sparkSession.emptyDataFrame)
   }
+
+  /** Per-file self-instrumentation counts for this batch — the
+    * runtime's own metrics (`internal/runtime/runtime.go:33`
+    * lines_total, `internal/tailer/logstream/reader.go:17`
+    * log_lines_total, `internal/runtime/vm/vm.go:33,97-129`
+    * prog_runtime_errors_total): one row per filename with total lines
+    * and lines aborted by a runtime error. A single map-side-combined
+    * aggregation over the already-projected line frame — no extra scan
+    * of the source at scale.
+    */
+  def instrumentation(): DataFrame =
+    df.groupBy(col("filename"))
+      .agg(count(lit(1)).as("lines"),
+        sum(when(coalesce(abortCond, lit(false)), 1L).otherwise(0L))
+          .as("errors"))
 
   /** End-of-batch state of every cross-line-read metric, for the
     * streaming runner to carry into the next batch: metric → relation

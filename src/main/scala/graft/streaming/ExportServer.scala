@@ -12,7 +12,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   */
 final class ExportServer(store: MetricsStore, program: String,
     keys: Map[String, Seq[String]], port: Int = 0,
-    hostname: String = "localhost") {
+    hostname: String = "localhost",
+    /** runtime self-instrumentation cells, appended to /metrics and
+      * served alone on /debug/vars-style /internalz (runtime.go:33).
+      */
+    internal: Option[MetricsStore] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -27,8 +31,14 @@ final class ExportServer(store: MetricsStore, program: String,
     }
   }
 
+  private def internalProm(): String =
+    internal.map(s => Exporters.prometheus(s.snapshot(), "mtail",
+      omitProgLabel = true)).getOrElse("")
+
   server.createContext("/metrics",
-    handler(() => Exporters.prometheus(store.snapshot(), program)))
+    handler(() => Exporters.prometheus(store.snapshot(), program) +
+      internalProm()))
+  server.createContext("/internalz", handler(() => internalProm()))
   server.createContext("/json",
     handler(() => Exporters.json(store.snapshot(), program, keys)))
   server.createContext("/varz",

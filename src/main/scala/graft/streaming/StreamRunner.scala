@@ -36,6 +36,14 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
 
   val store = new MetricsStore
 
+  /** runtime self-instrumentation (lines_total, log_lines_total,
+    * prog_runtime_errors_total) — a separate store because the
+    * reference keeps these in the expvar namespace, distinct from
+    * program metrics (a program may legitimately declare its own
+    * `lines_total`).
+    */
+  val internalStore = new MetricsStore
+
   /** cross-batch state relations of cross-line-read metrics (sessions
     * in flight): metric → materialized (k, v) DataFrame.
     */
@@ -139,6 +147,20 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       if (maxEventSec > Long.MinValue &&
         (ttlByExport.nonEmpty || limitByExport.nonEmpty))
         store.gc(maxEventSec, ttlByExport, limitByExport)
+      // self-instrumentation: per-file line/error counts this batch
+      val instr = pb.instrumentation().collect()
+      val totalLines = instr.map(_.getAs[Long]("lines")).sum
+      val totalErrs = instr.map(_.getAs[Long]("errors")).sum
+      internalStore.merge(
+        Seq(Snapshot.Cell("counter", "lines_total", Map.empty,
+          Snapshot.VInt(totalLines), None)) ++
+        instr.toSeq.map(r => Snapshot.Cell("counter", "log_lines_total",
+          Map("logfile" -> r.getAs[String]("filename")),
+          Snapshot.VInt(r.getAs[Long]("lines")), None)) ++
+        (if (totalErrs > 0)
+          Seq(Snapshot.Cell("counter", "prog_runtime_errors_total",
+            Map("prog" -> program.name), Snapshot.VInt(totalErrs), None))
+        else Nil))
     }
   }
 }

@@ -129,6 +129,44 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("Join"), "carried state should be a join")
   }
 
+  test("self-instrumentation: lines_total and runtime error counts") {
+    import spark.implicits._
+    val prog = Frontend.parse(
+      """counter c
+        |/^(?P<d>\S+) x$/ {
+        |  strptime($d, "2006-01-02")
+        |  c++
+        |}
+        |""".stripMargin, "instr_test")
+    val runner = new StreamRunner(prog, spark, 0)
+    // 4 lines: 2 good, 1 strptime runtime error (aborts the line, so
+    // c++ is skipped), 1 not matching at all (not an error)
+    runner.processBatch(Seq("2020-01-02 x", "nope x", "2020-01-03 x",
+      "zzz").toDF("line"), 0)
+    runner.processBatch(Seq("bad x").toDF("line"), 1)
+
+    val cells = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells(("c", Map.empty)) == VInt(2))
+    val internal = runner.internalStore.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(internal(("lines_total", Map.empty)) == VInt(5))
+    assert(internal(("log_lines_total", Map("logfile" -> ""))) == VInt(5))
+    assert(internal(("prog_runtime_errors_total",
+      Map("prog" -> "instr_test"))) == VInt(2))
+
+    // exported beside program metrics on /metrics
+    val srv = new ExportServer(runner.store, "instr_test", Map.empty,
+      internal = Some(runner.internalStore))
+    val port = srv.start()
+    try {
+      val url = new java.net.URI(s"http://localhost:$port/metrics").toURL
+      val body = scala.io.Source.fromInputStream(url.openStream()).mkString
+      assert(body.contains("prog_runtime_errors_total"))
+      assert(body.contains("lines_total"))
+    } finally srv.stop()
+  }
+
   test("del-after TTL expires store cells in stream time") {
     import spark.implicits._
     val prog = Frontend.parse(
