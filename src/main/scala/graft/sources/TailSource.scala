@@ -43,7 +43,8 @@ final class TailSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new TailTable(properties.get("path"))
+    new TailTable(properties.get("path"),
+      Option(properties.get("ignoreRegex")))
 }
 
 object TailSource {
@@ -117,16 +118,23 @@ object TailSource {
     }
   }
 
-  /** glob expansion relative to the pattern's parent dir. */
-  def expand(pattern: String): Seq[Path] = {
+  /** glob expansion relative to the pattern's parent dir; files whose
+    * NAME matches `ignoreRegex` are skipped — the reference's
+    * -ignore_filename_regex_pattern filter (`internal/tailer/
+    * tail.go:222-253`).
+    */
+  def expand(pattern: String,
+      ignoreRegex: Option[String] = None): Seq[Path] = {
     val p = Paths.get(pattern)
     val dir = Option(p.getParent).getOrElse(Paths.get("."))
     if (!Files.isDirectory(dir)) return Nil
     val matcher = dir.getFileSystem.getPathMatcher(
       "glob:" + p.getFileName.toString)
+    val ignore = ignoreRegex.map(_.r)
     Files.list(dir).iterator().asScala
       .filter(f => Files.isRegularFile(f) &&
-        matcher.matches(f.getFileName))
+        matcher.matches(f.getFileName) &&
+        !ignore.exists(_.findFirstIn(f.getFileName.toString).isDefined))
       .toSeq.sortBy(_.toString)
   }
 
@@ -160,7 +168,9 @@ object TailSource {
   }
 }
 
-final class TailTable(pathPattern: String) extends Table with SupportsRead {
+final class TailTable(pathPattern: String,
+    ignoreRegex: Option[String] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-tail($pathPattern)"
   override def schema(): StructType = TailSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -172,7 +182,8 @@ final class TailTable(pathPattern: String) extends Table with SupportsRead {
     override def build(): Scan = new Scan {
       override def readSchema(): StructType = TailSource.schema
       override def toMicroBatchStream(checkpointLocation: String)
-          : MicroBatchStream = new TailMicroBatchStream(pathPattern)
+          : MicroBatchStream =
+        new TailMicroBatchStream(pathPattern, ignoreRegex)
       override def toBatch: Batch = new Batch {
         // files split into byte ranges for parallelism — SAFE because
         // each line carries its byte offset as the ordering key, so
@@ -181,7 +192,7 @@ final class TailTable(pathPattern: String) extends Table with SupportsRead {
         private val split = math.max(1L << 16,
           options.getLong("maxSplitBytes", 128L << 20))
         override def planInputPartitions(): Array[InputPartition] =
-          TailSource.expand(pathPattern).flatMap { p =>
+          TailSource.expand(pathPattern, ignoreRegex).flatMap { p =>
             val size = Files.size(p)
             (0L until size by split).map(s =>
               TailPartition(p.toString, s,
@@ -214,14 +225,15 @@ object TailOffset {
     }.toMap)
 }
 
-final class TailMicroBatchStream(pathPattern: String)
+final class TailMicroBatchStream(pathPattern: String,
+    ignoreRegex: Option[String] = None)
     extends MicroBatchStream {
 
   override def initialOffset(): Offset = new TailOffset(Map.empty)
 
   override def latestOffset(): Offset = {
     val state = mutable.Map[String, FileState]()
-    TailSource.expand(pathPattern).foreach { p =>
+    TailSource.expand(pathPattern, ignoreRegex).foreach { p =>
       val key = TailSource.fileKey(p)
       val size = Files.size(p)
       state(p.toString) = FileState(key,

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.SparkSpec
+
+class PushLineSourceSpec extends SparkSpec {
+
+  private def startQuery(pattern: String, name: String): StreamingQuery =
+    LogSources.open(spark, pattern)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+
+  private def awaitRows(table: String, want: Int,
+      timeoutMs: Long = 30000): Seq[(String, String)] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var rows = Seq.empty[(String, String)]
+    while (rows.size < want && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      rows = spark.sql(s"SELECT filename, line FROM $table ORDER BY off")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+    rows
+  }
+
+  test("udp datagram source end-to-end, partial lines carry over") {
+    val sock = new DatagramSocket(0)
+    val port = sock.getLocalPort
+    sock.close() // free it for the source to bind
+    val q = startQuery(s"udp://localhost:$port", "udpmem")
+    try {
+      Thread.sleep(500) // let the receiver bind
+      val c = new DatagramSocket()
+      def send(s: String): Unit = {
+        val b = s.getBytes(UTF_8)
+        c.send(new DatagramPacket(b, b.length,
+          InetAddress.getByName("localhost"), port))
+      }
+      send("alpha\nbe")
+      send("ta\ngamma\n") // "be"+"ta" joins across datagrams
+      c.close()
+      val rows = awaitRows("udpmem", 3)
+      assert(rows.map(_._2) == Seq("alpha", "beta", "gamma"))
+      assert(rows.head._1 == s"udp://localhost:$port")
+    } finally q.stop()
+  }
+
+  test("tcp listening source accepts writers") {
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val q = startQuery(s"tcp://localhost:$port", "tcpmem")
+    try {
+      Thread.sleep(500)
+      val c = new Socket("localhost", port)
+      c.getOutputStream.write("one\ntwo\r\n".getBytes(UTF_8))
+      c.getOutputStream.flush()
+      c.close()
+      val rows = awaitRows("tcpmem", 2)
+      assert(rows.map(_._2) == Seq("one", "two")) // \r stripped
+    } finally q.stop()
+  }
+
+  test("fifo (named pipe) source end-to-end") {
+    val dir = Files.createTempDirectory("fifosrc")
+    val fifo = dir.resolve("in.pipe")
+    val mk = new ProcessBuilder("mkfifo", fifo.toString).start()
+    assert(mk.waitFor() == 0, "mkfifo failed")
+    val q = startQuery(s"fifo://$fifo", "fifomem")
+    try {
+      Thread.sleep(500) // reader end open, blocking for a writer
+      val out = Files.newOutputStream(fifo)
+      out.write("pipe line 1\npipe line 2\n".getBytes(UTF_8))
+      out.close()
+      val rows = awaitRows("fifomem", 2)
+      assert(rows.map(_._2) == Seq("pipe line 1", "pipe line 2"))
+      // fifo reopens for a second writer (fifostream semantics)
+      val out2 = Files.newOutputStream(fifo)
+      out2.write("pipe line 3\n".getBytes(UTF_8))
+      out2.close()
+      assert(awaitRows("fifomem", 3).map(_._2).contains("pipe line 3"))
+    } finally q.stop()
+  }
+
+  test("glob ignore-regex filters discovered files") {
+    val dir = Files.createTempDirectory("ignoresrc")
+    Files.write(dir.resolve("app.log"), "keep\n".getBytes(UTF_8))
+    Files.write(dir.resolve("app.log.gz"), "skip\n".getBytes(UTF_8))
+    val all = TailSource.expand(s"$dir/*")
+    assert(all.size == 2)
+    val filtered = TailSource.expand(s"$dir/*", Some("\\.gz$"))
+    assert(filtered.map(_.getFileName.toString) == Seq("app.log"))
+    // through the DSv2 option as well
+    val rows = spark.read.format("graft-tail")
+      .option("path", s"$dir/*")
+      .option("ignoreRegex", "\\.gz$").load()
+      .collect().map(_.getString(1)).toSeq
+    assert(rows == Seq("keep"))
+  }
+
+  test("scheme dispatch: file patterns route to graft-tail") {
+    val dir = Files.createTempDirectory("dispatch")
+    Files.write(dir.resolve("d.log"), "x\n".getBytes(UTF_8))
+    val df = LogSources.open(spark, s"$dir/*.log")
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("filename", "line", "off"))
+  }
+}
