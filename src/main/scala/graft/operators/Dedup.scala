@@ -32,10 +32,30 @@ object Dedup {
   /** Exact n-gram Jaccard similar pairs: every (a < b) with
     * |A∩B| / |A∪B| ≥ num/den, computed via a gram-join (shuffle key =
     * gram hash, never the text).
+    *
+    * SKEW GUARD: a gram present in K documents contributes K² rows to
+    * the self-join — one boilerplate phrase shared by 10⁶ documents is
+    * a job-killer at scale. `maxDocFreq > 0` drops grams with document
+    * frequency above the cap BEFORE the join, and computes Jaccard
+    * consistently over the filtered gram sets (sizes and intersections
+    * both exclude capped grams). High-df grams carry almost no
+    * similarity signal — they connect everything — so the capped
+    * measure ranks near-duplicates the same way; 0 (the default) keeps
+    * the exact measure for oracle comparison. The LSH path
+    * ([[minhashLshPairs]]) remains the designated 100 TB route.
     */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, num: Int, den: Int): DataFrame = {
-    val grams = wordNgrams(docs, idCol, textCol, n)
+      n: Int, num: Int, den: Int, maxDocFreq: Int = 0): DataFrame = {
+    val allGrams = wordNgrams(docs, idCol, textCol, n)
+    val grams =
+      if (maxDocFreq <= 0) allGrams
+      else {
+        val rare = allGrams.groupBy("gram")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq)
+          .select("gram")
+        allGrams.join(rare, "gram")
+      }
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("nset"))
     val a = grams.as("a")
     val b = grams.as("b")

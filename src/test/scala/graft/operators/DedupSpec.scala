@@ -53,6 +53,39 @@ class DedupSpec extends SparkSpec {
       rows.map(r => (r._1, r._2) -> r._3).toMap
   }
 
+  test("gram-df cap drops join-exploding grams, keeps planted dups") {
+    // every doc shares one universal trigram ("shared boiler plate"),
+    // which alone would connect all 2+k docs pairwise (K² join rows);
+    // docs 1/2 additionally share their real content
+    val skewed = (Seq(
+      (1L, "shared boiler plate alpha beta gamma delta"),
+      (2L, "shared boiler plate alpha beta gamma delta"),
+      (3L, "shared boiler plate totally different text one"),
+      (4L, "shared boiler plate other unrelated words two")) ++
+      (5L to 40L).map(i =>
+        (i, s"shared boiler plate unique$i filler$i content$i end$i")))
+      .toDF("doc_id", "text")
+    // uncapped: the universal gram inflates common counts everywhere
+    val uncapped = Dedup
+      .exactJaccardPairs(skewed, "doc_id", "text", 3, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    // capped at df≤4: the universal trigram (df=40) is excluded from
+    // the join AND the set sizes; true dups survive on their content
+    val capped = Dedup
+      .exactJaccardPairs(skewed, "doc_id", "text", 3, 1, 2,
+        maxDocFreq = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists(p => p._1 >= 5L && p._2 >= 5L),
+      "filler docs must not pair once the universal gram is capped")
+    // default (cap off) is unchanged — the oracle-compared behavior
+    val default = Dedup
+      .exactJaccardPairs(skewed, "doc_id", "text", 3, 1, 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(default == uncapped)
+  }
+
   test("LSH recall matches exact jaccard on the real documents table") {
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")
     val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 1, 2)
