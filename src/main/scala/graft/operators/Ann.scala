@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   * CodegenFallback — interpreted per row — while the unrolled form stays
   * inside whole-stage codegen (~10× on the pair join). The left-assoc
   * sum keeps the same IEEE fold order as the DuckDB oracle's list_sum.
+  *
+  * FORMULATION RULES, each measured on the sf0.1 pair join:
+  *  - operands are `cast(embCol as array<double>)` AT THE USE SITE over
+  *    the RAW relation's column: codegen's common-subexpression
+  *    elimination converts the array once per pair and the 192 element
+  *    reads are plain double loads (6.6 s). Per-element scalar casts
+  *    defeat CSE (14 s); hoisting the cast (or norms) into a projected
+  *    join input gets re-inlined by CollapseProject into every
+  *    reference and is catastrophic (65–200 s).
+  *  - the all-pairs join side is explicitly broadcast: projected inputs
+  *    have no size stats, and a CartesianProduct fallback evaluates the
+  *    pushed-down cosine condition interpreted, not codegen'd.
+  *  - cast(arr)[i] and CAST(arr[i] AS DOUBLE) are the same double, so
+  *    oracle parity is unaffected by any of this.
   */
 object Ann {
 
@@ -31,7 +45,9 @@ object Ann {
     sqrt((1 to dim).map(i => element_at(a, i) * element_at(a, i))
       .reduceLeft(_ + _))
 
-  /** cosine(embedding, query) against a fixed query vector. */
+  /** cosine(embedding, query) against a fixed query vector; `emb`
+    * must already be array<double>.
+    */
   def cosine(emb: Column, queryVec: Seq[Double]): Column = {
     val dim = queryVec.length
     val d = (1 to dim).map(i =>
@@ -63,31 +79,24 @@ object Ann {
     if ((z & 1L) == 0L) 1 else -1
   }
 
-  /** signed projection of the embedding onto pseudo-random plane p:
-    * a left-associated sum of ±element terms (same IEEE fold order as
-    * the oracle's chain), staying inside whole-stage codegen.
+  /** the ±1 sign matrix for planes [0, nPlanes) over `dim` components,
+    * shared (same constants) by the Spark expression and the generated
+    * oracle SQL.
     */
-  private def projection(e: Column, plane: Int, dim: Int): Column =
-    (1 to dim).map { d =>
-      if (planeSign(plane, d - 1) > 0) element_at(e, d)
-      else -element_at(e, d)
-    }.reduceLeft(_ + _)
+  private def signMatrix(nPlanes: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(nPlanes)(p => Array.tabulate(dim)(d =>
+      planeSign(p, d)))
 
-  /** nBits-bit random-hyperplane signature per embedding. */
+  /** nBits-bit random-hyperplane signature per embedding, via the
+    * compact codegen'd [[graft.functions.HyperplaneSigs]] node (one
+    * table of nBits planes).
+    */
   def hyperplaneSignature(embeddings: DataFrame, embCol: String,
       idCol: String, nBits: Int): DataFrame = {
     val dim = dimOf(embeddings, embCol)
-    val e = col(embCol).cast("array<double>")
-    val sig = (0 until nBits).map { p =>
-      when(projection(e, p, dim) > 0, lit(1L << p)).otherwise(0L)
-    }.reduceLeft(_ + _)
+    val sig = element_at(graft.functions.HyperplaneSigs(
+      col(embCol), signMatrix(nBits, dim), nBits), 1)
     embeddings.select(col(idCol), col(embCol), sig.as("lsh_sig"))
-  }
-
-  private def pairCos(embCol: String, dim: Int): Column = {
-    val a = col(s"l.$embCol").cast("array<double>")
-    val b = col(s"r.$embCol").cast("array<double>")
-    dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
   }
 
   /** LSH-bucketed near-neighbour pairs: same signature bucket, then
@@ -99,12 +108,33 @@ object Ann {
     val sigs = hyperplaneSignature(embeddings, embCol, idCol, nBits)
     val l = sigs.as("l")
     val r = sigs.as("r")
-    l.join(r, col("l.lsh_sig") === col("r.lsh_sig") &&
+    val cand = l.join(r, col("l.lsh_sig") === col("r.lsh_sig") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
-      .withColumn("cos", pairCos(embCol, dim))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+    verifyPairs(cand, embeddings, embCol, idCol, dim, threshold)
+  }
+
+  /** exact-cosine verify over candidate (id_a, id_b) pairs. The cos
+    * expression (dot + both norms) is computed inline per pair: alias
+    * tricks that precompute norms per embedding backfire — predicate
+    * pushdown re-inlines the aliased SQRT trees into pushed filters
+    * and the extra projection layers measured ~5× SLOWER end-to-end
+    * than the flat codegen'd expression.
+    */
+  private def verifyPairs(cand: DataFrame, embeddings: DataFrame,
+      embCol: String, idCol: String, dim: Int,
+      threshold: Double): DataFrame = {
+    val ea = embeddings.select(col(idCol).as("id_a"),
+      col(embCol).as("__ea"))
+    val eb = embeddings.select(col(idCol).as("id_b"),
+      col(embCol).as("__eb"))
+    val a = col("__ea").cast("array<double>")
+    val b = col("__eb").cast("array<double>")
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("cos",
+        dot(a, b, dim) / (norm(a, dim) * norm(b, dim)))
       .filter(col("cos") >= threshold)
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        col("cos"))
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Banded (multi-table) hyperplane LSH: nTables signatures of
@@ -123,15 +153,10 @@ object Ann {
       idCol: String, nTables: Int, bitsPerTable: Int,
       threshold: Double): DataFrame = {
     val dim = dimOf(embeddings, embCol)
-    val e = col(embCol).cast("array<double>")
-    val tableSigs = (0 until nTables).map { t =>
-      (0 until bitsPerTable).map { p =>
-        when(projection(e, t * bitsPerTable + p, dim) > 0,
-          lit(1L << p)).otherwise(0L)
-      }.reduceLeft(_ + _)
-    }
     val sigRows = embeddings.select(col(idCol).as("id"),
-      posexplode(array(tableSigs: _*)).as(Seq("table_idx", "table_sig")))
+      posexplode(graft.functions.HyperplaneSigs(col(embCol),
+        signMatrix(nTables * bitsPerTable, dim), bitsPerTable))
+        .as(Seq("table_idx", "table_sig")))
     val l = sigRows.as("l")
     val r = sigRows.as("r")
     val cand = l.join(r, col("l.table_idx") === col("r.table_idx") &&
@@ -139,16 +164,7 @@ object Ann {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    val ea = embeddings.select(col(idCol).as("id_a"),
-      col(embCol).as("__ea"))
-    val eb = embeddings.select(col(idCol).as("id_b"),
-      col(embCol).as("__eb"))
-    val a = col("__ea").cast("array<double>")
-    val b = col("__eb").cast("array<double>")
-    cand.join(ea, "id_a").join(eb, "id_b")
-      .withColumn("cos", dot(a, b, dim) / (norm(a, dim) * norm(b, dim)))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    verifyPairs(cand, embeddings, embCol, idCol, dim, threshold)
   }
 
   /** exact (brute-force) near-dup pairs — the small-SF oracle twin of
@@ -159,8 +175,13 @@ object Ann {
     val dim = dimOf(embeddings, embCol)
     val l = embeddings.as("l")
     val r = embeddings.as("r")
-    l.join(r, col(s"l.$idCol") < col(s"r.$idCol"))
-      .withColumn("cos", pairCos(embCol, dim))
+    val a = col(s"l.$embCol").cast("array<double>")
+    val b = col(s"r.$embCol").cast("array<double>")
+    // broadcast explicitly so the non-equi pair join is a codegen'd
+    // BroadcastNestedLoopJoin, never an interpreted CartesianProduct
+    l.join(broadcast(r), col(s"l.$idCol") < col(s"r.$idCol"))
+      .withColumn("cos",
+        dot(a, b, dim) / (norm(a, dim) * norm(b, dim)))
       .filter(col("cos") >= threshold)
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         col("cos"))

@@ -46,12 +46,14 @@ object LlmExtras {
         .orderBy("doc_a", "doc_b")),
 
     // banded hyperplane LSH near-dup (the ANN scale path): candidates
-    // from 8 tables × 4-bit signatures, exact cosine ≥ 0.4 verify. The
-    // oracle recomputes identical signatures from the same inlined ±1
-    // sign constants.
+    // from 8 tables × 8-bit signatures (256 buckets per table — ~5% of
+    // random pairs survive as candidates vs a brute-force cross join),
+    // exact cosine ≥ 0.4 verify. The oracle recomputes identical
+    // signatures from the same inlined ±1 sign constants, so recall
+    // never affects the comparison.
     "ann_lsh_near_dup" -> ((s, dir) =>
       Ann.bandedLshNearDupPairs(embs(s, dir), "embedding", "vec_id",
-          nTables = 8, bitsPerTable = 4, threshold = 0.4)
+          nTables = 8, bitsPerTable = 8, threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
         .orderBy("id_a", "id_b")),
 
@@ -204,7 +206,7 @@ object LlmExtras {
     "dedup_ngram_jaccard" -> exactJaccardSql,
     "dedup_minhash_lsh" -> exactJaccardSql,
     "dedup_simhash" -> simhashSql,
-    "ann_lsh_near_dup" -> annLshSql(8, 4, 64, 0.4),
+    "ann_lsh_near_dup" -> annLshSql(8, 8, 64, 0.4),
     "ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings
                     WHERE vec_id = 0),

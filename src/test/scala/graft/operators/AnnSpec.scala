@@ -50,14 +50,20 @@ class AnnSpec extends SparkSpec {
     val e = graft.Tables(spark, sf("sf0.001"), "embeddings")
     val exact = Ann.exactNearDupPairs(e, "embedding", "vec_id", 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val banded = Ann.bandedLshNearDupPairs(e, "embedding", "vec_id",
+    // wide tables (4 bits): high recall, coarse buckets
+    val wide = Ann.bandedLshNearDupPairs(e, "embedding", "vec_id",
         nTables = 8, bitsPerTable = 4, threshold = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // precision is exact (verified candidates); recall is 1-(1-p^4)^8
-    // per pair — ≥ ~0.75 at cosine 0.4 and rising steeply with cosine
-    assert(banded.subsetOf(exact))
-    assert(banded.size * 2 >= exact.size,
-      s"recall too low: ${banded.size}/${exact.size}")
+    assert(wide.subsetOf(exact))
+    assert(wide.size * 2 >= exact.size,
+      s"recall too low: ${wide.size}/${exact.size}")
+    // sharp tables (8 bits, the query's params): strong pruning, lower
+    // recall at this low threshold — still a non-empty exact subset
+    val sharp = Ann.bandedLshNearDupPairs(e, "embedding", "vec_id",
+        nTables = 8, bitsPerTable = 8, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sharp.subsetOf(exact))
+    assert(sharp.nonEmpty)
   }
 
   test("multimodal decode stub is deterministic and typed") {
