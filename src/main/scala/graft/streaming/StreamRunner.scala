@@ -34,6 +34,12 @@ import graft.plan.PlanBuilder
 final class StreamRunner(program: Ir.Program, spark: SparkSession,
     defaultYear: Int) {
 
+  /** current program; swapped atomically by [[reload]] between
+    * microbatches (the reference's SIGHUP reload,
+    * `internal/runtime/runtime.go:311-332`).
+    */
+  @volatile private var prog: Ir.Program = program
+
   val store = new MetricsStore
 
   /** runtime self-instrumentation (lines_total, log_lines_total,
@@ -54,9 +60,10 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
 
   /** `del m[..] after d` TTLs by metric DECL name (min over sites),
     * from a statement walk — the per-cell Expiry of `ExpireDatum`
-    * (`internal/metrics/metric.go:223-234`) keyed per metric.
+    * (`internal/metrics/metric.go:223-234`) keyed per metric. A def so
+    * [[reload]]ed programs are reflected; the walk is trivial.
     */
-  private val ttlByDecl: Map[String, Long] = {
+  private def ttlByDecl: Map[String, Long] = {
     val buf = scala.collection.mutable.Map[String, Long]()
     def walk(ss: Seq[Ir.Stmt]): Unit = ss.foreach {
       case Ir.CondBlock(_, body, els) => walk(body); walk(els)
@@ -64,14 +71,35 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
         buf(m) = buf.get(m).fold(d)(math.min(_, d))
       case _ =>
     }
-    walk(program.stmts)
+    walk(prog.stmts)
     buf.toMap
   }
-  private val ttlByExport: Map[String, Long] =
-    ttlByDecl.map { case (m, d) => program.decl(m).exportName -> d }
-  private val limitByExport: Map[String, Int] =
-    program.decls.filter(_.limit > 0)
+  private def ttlByExport: Map[String, Long] =
+    ttlByDecl.map { case (m, d) => prog.decl(m).exportName -> d }
+  private def limitByExport: Map[String, Int] =
+    prog.decls.filter(_.limit > 0)
       .map(d => d.exportName -> d.limit).toMap
+
+  /** Live program reload between microbatches — the Spark shape of the
+    * reference's SIGHUP/filesystem reload (`runtime.go:311-332` +
+    * store migration `store.go:33-98`): the new program is compiled
+    * against an empty probe frame FIRST, so a broken program is
+    * rejected (exception) and the old one keeps running. Store cells
+    * persist across the swap (same-name metrics continue cumulating —
+    * the reference's label-value migration); carried hidden state is
+    * kept only for metrics still declared with the same value type,
+    * and dropped otherwise.
+    */
+  def reload(newProgram: Ir.Program): Unit = synchronized {
+    val probe = graft.mtail.LogLines.fromLines(
+      spark.range(0).selectExpr("CAST('' AS STRING) AS line"), "line")
+    val pb = new PlanBuilder(newProgram, probe, defaultYear)
+    carriedState = carriedState.filter { case (m, sdf) =>
+      newProgram.decls.exists(_.name == m) &&
+        sdf.schema("v").dataType == pb.metricType(m)
+    }
+    prog = newProgram
+  }
 
   /** stream time: max event timestamp observed across batches. */
   @volatile private var maxEventSec: Long = Long.MinValue
@@ -107,7 +135,7 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
           if (batch.columns.contains("off"))
             struct(col("filename").as("f"), col("off").as("o"))
           else monotonically_increasing_id())
-      val pb = new PlanBuilder(program, withCols, defaultYear,
+      val pb = new PlanBuilder(prog, withCols, defaultYear,
         carriedState)
       val cells = Snapshot.collect(pb.snapshot())
       store.merge(cells
@@ -159,7 +187,7 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
           Snapshot.VInt(r.getAs[Long]("lines")), None)) ++
         (if (totalErrs > 0)
           Seq(Snapshot.Cell("counter", "prog_runtime_errors_total",
-            Map("prog" -> program.name), Snapshot.VInt(totalErrs), None))
+            Map("prog" -> prog.name), Snapshot.VInt(totalErrs), None))
         else Nil))
     }
   }

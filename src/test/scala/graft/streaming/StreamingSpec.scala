@@ -129,6 +129,47 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("Join"), "carried state should be a join")
   }
 
+  test("live reload swaps the program; bad programs are rejected") {
+    import spark.implicits._
+    val v1 = Frontend.parse(
+      """counter hits
+        |/^hit/ {
+        |  hits++
+        |}
+        |""".stripMargin, "reload_test")
+    val runner = new StreamRunner(v1, spark, 0)
+    runner.processBatch(Seq("hit a", "miss").toDF("line"), 0)
+    // v2 adds a labelled counter; `hits` keeps cumulating in the store
+    val v2 = Frontend.parse(
+      """counter hits
+        |counter by_kind by k
+        |/^hit (?P<k>\w+)/ {
+        |  hits++
+        |  by_kind[$k]++
+        |}
+        |""".stripMargin, "reload_test")
+    runner.reload(v2)
+    runner.processBatch(Seq("hit a", "hit b").toDF("line"), 1)
+    val cells = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells(("hits", Map.empty)) == VInt(3))
+    assert(cells(("by_kind", Map("k" -> "a"))) == VInt(1))
+    // a broken program is rejected at reload; the old one keeps running
+    intercept[Exception] {
+      runner.reload(Frontend.parse(
+        """counter c
+          |/^(?P<d>.*)$/ {
+          |  strptime($d)
+          |  c++
+          |}
+          |""".stripMargin, "reload_bad"))
+    }
+    runner.processBatch(Seq("hit c").toDF("line"), 2)
+    val after = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(after(("hits", Map.empty)) == VInt(4)) // v2 still active
+  }
+
   test("self-instrumentation: lines_total and runtime error counts") {
     import spark.implicits._
     val prog = Frontend.parse(
