@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.mtail.{Frontend, Ir, LogLines}
+import graft.plan.PlanBuilder
+import graft.sources.LogSources
+import graft.streaming.{ExportServer, PushExporter, StreamRunner}
+
+/** User-facing facade — the library shape of the reference binary's two
+  * modes (`mtail -one_shot` and the daemon): compile `.mtail` source,
+  * run it over logs, export metrics. Everything here is a thin
+  * composition of the public pieces (Frontend → PlanBuilder /
+  * StreamRunner → exporters); use those directly for anything bespoke.
+  */
+object Graft {
+
+  /** compile program source (the reference's compile path; throws on
+    * parse or plan errors like the checker).
+    */
+  def compile(source: String, name: String): Ir.Program =
+    Frontend.parse(source, name)
+
+  /** One-shot mode (`mtail -one_shot -logs …`): run the program over
+    * file patterns and return the final metric store as a DataFrame
+    * (program, name, kind, type, labels, ival, fval, sval, buckets,
+    * ts_micros — one row per cell). Reads are parallel byte-range
+    * splits with total per-file line order.
+    */
+  def oneShot(spark: SparkSession, programSource: String,
+      programName: String, paths: Seq[String],
+      defaultYear: Int = java.time.Year.now.getValue): DataFrame = {
+    val prog = compile(programSource, programName)
+    new PlanBuilder(prog, LogLines.batch(spark, paths: _*), defaultYear)
+      .snapshot()
+  }
+
+  /** Daemon mode handle: the runner (stores), streaming query, pull
+    * server, and a push scheduler (register targets on `push`, then
+    * `push.start(intervalMillis)`) — stop() tears all down.
+    */
+  final case class Tail(runner: StreamRunner, query: StreamingQuery,
+      server: ExportServer, port: Int, push: PushExporter) {
+    def reload(source: String, name: String): Unit =
+      runner.reload(Frontend.parse(source, name))
+    def stop(): Unit = {
+      push.stop()
+      query.stop()
+      server.stop()
+    }
+  }
+
+  /** Tail mode (the daemon): follow a log source pattern — file glob,
+    * `udp://`, `tcp://`, `unix://`, `unixgram://`, `fifo://`, `-` —
+    * run the program per micro-batch and serve /metrics (+/json,
+    * /varz, /internalz) on `port`. Push sinks: register targets on the
+    * returned handle's `push` and start its ticker.
+    */
+  def tail(spark: SparkSession, programSource: String,
+      programName: String, sourcePattern: String, port: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      defaultYear: Int = java.time.Year.now.getValue,
+      ignoreRegex: Option[String] = None): Tail = {
+    val prog = compile(programSource, programName)
+    val runner = new StreamRunner(prog, spark, defaultYear)
+    val keys = prog.decls.map(d => d.exportName -> d.keys).toMap
+    val server = new ExportServer(runner.store, programName, keys, port,
+      internal = Some(runner.internalStore))
+    val boundPort = server.start()
+    val query = runner.start(
+      LogSources.open(spark, sourcePattern, ignoreRegex), trigger)
+    val push = new PushExporter(runner.store, programName,
+      internal = Some(runner.internalStore))
+    Tail(runner, query, server, boundPort, push)
+  }
+}

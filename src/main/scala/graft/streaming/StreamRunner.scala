@@ -91,14 +91,25 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
     * and dropped otherwise.
     */
   def reload(newProgram: Ir.Program): Unit = synchronized {
-    val probe = graft.mtail.LogLines.fromLines(
-      spark.range(0).selectExpr("CAST('' AS STRING) AS line"), "line")
-    val pb = new PlanBuilder(newProgram, probe, defaultYear)
-    carriedState = carriedState.filter { case (m, sdf) =>
-      newProgram.decls.exists(_.name == m) &&
-        sdf.schema("v").dataType == pb.metricType(m)
+    try {
+      val probe = graft.mtail.LogLines.fromLines(
+        spark.range(0).selectExpr("CAST('' AS STRING) AS line"), "line")
+      val pb = new PlanBuilder(newProgram, probe, defaultYear)
+      carriedState = carriedState.filter { case (m, sdf) =>
+        newProgram.decls.exists(_.name == m) &&
+          sdf.schema("v").dataType == pb.metricType(m)
+      }
+      prog = newProgram
+      internalStore.merge(Seq(Snapshot.Cell("counter",
+        "prog_loads_total", Map("prog" -> newProgram.name),
+        Snapshot.VInt(1), None)))
+    } catch {
+      case e: Exception =>
+        internalStore.merge(Seq(Snapshot.Cell("counter",
+          "prog_load_errors_total", Map("prog" -> newProgram.name),
+          Snapshot.VInt(1), None)))
+        throw e
     }
-    prog = newProgram
   }
 
   /** stream time: max event timestamp observed across batches. */

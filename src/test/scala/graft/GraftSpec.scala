@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.streaming.Trigger
+
+class GraftSpec extends SparkSpec {
+
+  private val src =
+    """counter lines_total
+      |counter by_op by op
+      |/^(?P<op>\w+) \d+$/ {
+      |  lines_total++
+      |  by_op[$op]++
+      |}
+      |""".stripMargin
+
+  test("oneShot: compile + run over files, snapshot out") {
+    val dir = Files.createTempDirectory("graftone")
+    Files.write(dir.resolve("a.log"),
+      "get 1\nput 2\nget 3\n".getBytes(UTF_8))
+    val snap = Graft.oneShot(spark, src, "facade.mtail",
+      Seq(s"$dir/*.log"))
+    val cells = snap.collect().map(r =>
+      (r.getAs[String]("name"),
+        Option(r.getAs[Map[String, String]]("labels"))
+          .getOrElse(Map.empty)) -> r.getAs[Long]("ival")).toMap
+    assert(cells(("lines_total", Map.empty)) == 3L)
+    assert(cells(("by_op", Map("op" -> "get"))) == 2L)
+  }
+
+  test("tail: daemon mode serves /metrics and reloads") {
+    val dir = Files.createTempDirectory("grafttail")
+    Files.write(dir.resolve("t.log"), "get 1\n".getBytes(UTF_8))
+    val t = Graft.tail(spark, src, "facade.mtail", s"$dir/*.log",
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      def metrics(): String = {
+        val url = new java.net.URI(
+          s"http://localhost:${t.port}/metrics").toURL
+        scala.io.Source.fromInputStream(url.openStream()).mkString
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (!metrics().contains("by_op{op=\"get\"")
+        && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(metrics().contains("""by_op{op="get",prog="facade.mtail"} 1"""))
+      // internal metrics appear beside program metrics
+      assert(metrics().contains("lines_total"))
+
+      // live reload: v2 introduces a new metric, proving the swap
+      t.reload(
+        """counter reloaded_total
+          |/^put/ {
+          |  reloaded_total++
+          |}
+          |""".stripMargin, "facade.mtail")
+      Files.write(dir.resolve("t.log"),
+        "put 9\n".getBytes(UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+      val d2 = System.currentTimeMillis() + 30000
+      while (!metrics().contains("reloaded_total")
+        && System.currentTimeMillis() < d2) Thread.sleep(250)
+      assert(metrics().contains("reloaded_total"))
+    } finally t.stop()
+  }
+}
