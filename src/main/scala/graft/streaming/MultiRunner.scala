@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.mtail.Ir
+
+/** Fan-out: ONE source stream feeding EVERY loaded program — the
+  * reference's runtime loop, where each log line is dispatched to all
+  * compiled programs (`internal/runtime/runtime.go:284-304`). Each
+  * program keeps its own [[StreamRunner]] (store, carried state,
+  * instrumentation); the shared micro-batch is persisted once so N
+  * programs don't re-read the source N times, then released.
+  */
+final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
+    defaultYear: Int) {
+
+  val runners: Map[String, StreamRunner] =
+    programs.map(p => p.name -> new StreamRunner(p, spark,
+      defaultYear)).toMap
+
+  def start(lines: DataFrame,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      queryName: String = "graft-multi"): StreamingQuery =
+    lines.writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId)
+      }
+      .start()
+
+  /** visible for tests: one micro-batch through every program. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val shared = batch.persist()
+    try runners.values.foreach(_.processBatch(shared, batchId))
+    finally shared.unpersist()
+  }
+}

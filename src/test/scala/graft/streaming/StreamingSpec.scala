@@ -129,6 +129,30 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("Join"), "carried state should be a join")
   }
 
+  test("fan-out: one source batch feeds every program") {
+    import spark.implicits._
+    val p1 = Frontend.parse(
+      """counter gets
+        |/^get/ {
+        |  gets++
+        |}
+        |""".stripMargin, "p1")
+    val p2 = Frontend.parse(
+      """counter all_lines
+        |// {
+        |  all_lines++
+        |}
+        |""".stripMargin, "p2")
+    val multi = new MultiRunner(Seq(p1, p2), spark, 0)
+    multi.processBatch(Seq("get a", "put b", "get c").toDF("line"), 0)
+    val c1 = multi.runners("p1").store.snapshot()
+      .map(c => c.name -> c.value).toMap
+    val c2 = multi.runners("p2").store.snapshot()
+      .map(c => c.name -> c.value).toMap
+    assert(c1("gets") == VInt(2))
+    assert(c2("all_lines") == VInt(3))
+  }
+
   test("live reload swaps the program; bad programs are rejected") {
     import spark.implicits._
     val v1 = Frontend.parse(
