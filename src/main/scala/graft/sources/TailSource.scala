@@ -65,58 +65,72 @@ object TailSource {
     * serves both the streaming scan (whose ranges are always at line
     * boundaries) and split batch scans of arbitrary byte ranges.
     */
-  def readRange(path: String, start: Long, end: Long)
-      : Iterator[(Long, String)] = {
-    val raf = new RandomAccessFile(path, "r")
-    var ls = 0L
-    if (start > 0) {
-      raf.seek(start - 1)
-      val buf = new Array[Byte](8192)
-      var pos = start - 1
-      var found = -1L
-      var n = raf.read(buf)
-      while (found < 0 && n > 0) {
-        var j = 0
-        while (found < 0 && j < n) {
-          if (buf(j) == '\n') found = pos + j
-          j += 1
+  /** iterator over (line-start offset, line) that also exposes close()
+    * so an abandoned partition reader releases the file handle.
+    */
+  final class LineRangeIterator(path: String, start: Long, end: Long)
+      extends Iterator[(Long, String)] with AutoCloseable {
+    private val raf = new RandomAccessFile(path, "r")
+    private var done = false
+    private var nextLine: (Long, String) = _
+    private var curStart = 0L
+    private var in: java.io.BufferedInputStream = _
+
+    locally {
+      var ls = 0L
+      var empty = false
+      if (start > 0) {
+        raf.seek(start - 1)
+        val buf = new Array[Byte](8192)
+        var pos = start - 1
+        var found = -1L
+        var n = raf.read(buf)
+        while (found < 0 && n > 0) {
+          var j = 0
+          while (found < 0 && j < n) {
+            if (buf(j) == '\n') found = pos + j
+            j += 1
+          }
+          pos += n
+          if (found < 0) n = raf.read(buf)
         }
-        pos += n
-        if (found < 0) n = raf.read(buf)
+        if (found < 0) empty = true else ls = found + 1
       }
-      if (found < 0) { raf.close(); return Iterator.empty }
-      ls = found + 1
-    }
-    if (ls >= end) { raf.close(); return Iterator.empty }
-    raf.seek(ls)
-    val in = new java.io.BufferedInputStream(
-      java.nio.channels.Channels.newInputStream(raf.getChannel), 1 << 16)
-    new Iterator[(Long, String)] {
-      private var curStart = ls
-      private var nextLine: (Long, String) = _
-      private var done = false
-      advance()
-      private def advance(): Unit = {
-        nextLine = null
-        if (done || curStart >= end) { finish(); return }
-        val bb = new java.io.ByteArrayOutputStream(256)
-        var b = in.read()
-        while (b != -1 && b != '\n') { bb.write(b); b = in.read() }
-        if (b == -1) { finish(); return } // unterminated tail → held back
-        val bytes = bb.toByteArray
-        val s = new String(bytes, StandardCharsets.UTF_8)
-        val line = if (s.endsWith("\r")) s.dropRight(1) else s
-        nextLine = (curStart, line)
-        curStart += bytes.length + 1
-      }
-      private def finish(): Unit =
-        if (!done) { done = true; raf.close() }
-      override def hasNext: Boolean = nextLine != null
-      override def next(): (Long, String) = {
-        val r = nextLine; advance(); r
+      if (empty || ls >= end) close()
+      else {
+        curStart = ls
+        raf.seek(ls)
+        in = new java.io.BufferedInputStream(
+          java.nio.channels.Channels.newInputStream(raf.getChannel),
+          1 << 16)
+        advance()
       }
     }
+
+    private def advance(): Unit = {
+      nextLine = null
+      if (done || curStart >= end) { close(); return }
+      val bb = new java.io.ByteArrayOutputStream(256)
+      var b = in.read()
+      while (b != -1 && b != '\n') { bb.write(b); b = in.read() }
+      if (b == -1) { close(); return } // unterminated tail → held back
+      val bytes = bb.toByteArray
+      val s = new String(bytes, StandardCharsets.UTF_8)
+      val line = if (s.endsWith("\r")) s.dropRight(1) else s
+      nextLine = (curStart, line)
+      curStart += bytes.length + 1
+    }
+
+    override def hasNext: Boolean = nextLine != null
+    override def next(): (Long, String) = {
+      val r = nextLine; advance(); r
+    }
+    override def close(): Unit =
+      if (!done) { done = true; raf.close() }
   }
+
+  def readRange(path: String, start: Long, end: Long): LineRangeIterator =
+    new LineRangeIterator(path, start, end)
 
   /** glob expansion relative to the pattern's parent dir; files whose
     * NAME matches `ignoreRegex` are skipped — the reference's
@@ -288,7 +302,7 @@ final class TailReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow =
         InternalRow(UTF8String.fromString(tp.path),
           UTF8String.fromString(current._2), current._1)
-      override def close(): Unit = ()
+      override def close(): Unit = lines.close()
     }
   }
 }
