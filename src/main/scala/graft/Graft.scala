@@ -68,8 +68,11 @@ object Graft {
     val server = new ExportServer(runner.store, programName, keys, port,
       internal = Some(runner.internalStore))
     val boundPort = server.start()
-    val query = runner.start(
-      LogSources.open(spark, sourcePattern, ignoreRegex), trigger)
+    // a failed query start must not leak the bound HTTP port
+    val query =
+      try runner.start(
+        LogSources.open(spark, sourcePattern, ignoreRegex), trigger)
+      catch { case e: Throwable => server.stop(); throw e }
     val push = new PushExporter(runner.store, programName,
       internal = Some(runner.internalStore))
     Tail(runner, query, server, boundPort, push)

@@ -75,6 +75,18 @@ object HyperplaneSigs {
       bitsPerTable: Int, elementIsFloat: Boolean): GenericArrayData = {
     val nTables = signs.length / bitsPerTable
     val out = new Array[Long](nTables)
+    // ragged or null-element rows: the unrolled element_at form (and
+    // the DuckDB oracle's e[i]) yields a NULL projection sum for such
+    // rows, which the `CASE WHEN proj > 0` lowers to bit 0 — match
+    // that by emitting all-zero signatures instead of reading out of
+    // bounds
+    val dim = signs(0).length
+    if (arr.numElements() < dim) return new GenericArrayData(out)
+    var chk = 0
+    while (chk < dim) {
+      if (arr.isNullAt(chk)) return new GenericArrayData(out)
+      chk += 1
+    }
     var t = 0
     while (t < nTables) {
       var sig = 0L

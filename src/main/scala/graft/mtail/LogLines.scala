@@ -23,7 +23,10 @@ object LogLines {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     paths.map { p =>
       spark.read.format("graft-tail").option("path", p).load()
-    }.reduce(_ unionAll _)
+    }.reduceOption(_ unionAll _)
+      .getOrElse( // zero paths: an empty line frame, not a crash
+        spark.range(0).select(lit("").as("filename"), lit("").as("line"),
+          lit(0L).as("off")))
       .select(col("filename"), col("line"),
         struct(col("filename").as("f"), col("off").as("o")).as("ord"))
   }

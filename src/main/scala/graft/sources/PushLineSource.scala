@@ -84,7 +84,12 @@ final class PushLineIndexOffset(val index: Long) extends Offset {
 final class PushLineMicroBatchStream(address: String)
     extends MicroBatchStream {
 
+  /** lines [base, base + buffer.length); committed prefixes are
+    * TRIMMED in commit() (like Spark's socket source), so driver
+    * memory holds only the uncommitted tail, not the stream's history.
+    */
   private val buffer = mutable.ArrayBuffer[String]()
+  private var base = 0L
   private val lock = new Object
   @volatile private var closed = false
   private val closeables = mutable.ArrayBuffer[AutoCloseable]()
@@ -211,7 +216,8 @@ final class PushLineMicroBatchStream(address: String)
   override def initialOffset(): Offset = new PushLineIndexOffset(0L)
 
   override def latestOffset(): Offset =
-    new PushLineIndexOffset(lock.synchronized(buffer.length.toLong))
+    new PushLineIndexOffset(
+      lock.synchronized(base + buffer.length))
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
@@ -220,7 +226,8 @@ final class PushLineMicroBatchStream(address: String)
     if (e <= s) Array.empty
     else {
       val rows = lock.synchronized(
-        buffer.slice(s.toInt, e.toInt).toArray)
+        buffer.slice(math.max(0L, s - base).toInt,
+          math.max(0L, e - base).toInt).toArray)
       Array(PushLinePartition(address, s, rows))
     }
   }
@@ -231,7 +238,17 @@ final class PushLineMicroBatchStream(address: String)
   override def deserializeOffset(json: String): Offset =
     new PushLineIndexOffset(json.trim.toLong)
 
-  override def commit(end: Offset): Unit = ()
+  /** drop lines at or below the committed index — bounds driver memory
+    * to the uncommitted tail over an unbounded stream.
+    */
+  override def commit(end: Offset): Unit = lock.synchronized {
+    val e = end.asInstanceOf[PushLineIndexOffset].index
+    val drop = math.max(0L, math.min(e - base, buffer.length.toLong))
+    if (drop > 0) {
+      buffer.dropInPlace(drop.toInt)
+      base += drop
+    }
+  }
 
   override def stop(): Unit = {
     closed = true

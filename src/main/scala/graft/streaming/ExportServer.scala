@@ -31,13 +31,24 @@ final class ExportServer(store: MetricsStore, program: String,
     }
   }
 
-  private def internalProm(): String =
-    internal.map(s => Exporters.prometheus(s.snapshot(), "mtail",
-      omitProgLabel = true)).getOrElse("")
+  private def internalProm(excludeNames: Set[String] = Set.empty)
+      : String =
+    internal.map { s =>
+      // a program may declare a metric named like an internal one
+      // (e.g. its own lines_total); a second # TYPE block for the same
+      // name breaks the Prometheus text format, so colliding internal
+      // cells are served only on /internalz
+      val cells = s.snapshot().filterNot(c =>
+        excludeNames.contains(c.name.replace("-", "_")))
+      Exporters.prometheus(cells, "mtail", omitProgLabel = true)
+    }.getOrElse("")
 
   server.createContext("/metrics",
-    handler(() => Exporters.prometheus(store.snapshot(), program) +
-      internalProm()))
+    handler { () =>
+      val cells = store.snapshot()
+      Exporters.prometheus(cells, program) +
+        internalProm(cells.map(_.name.replace("-", "_")).toSet)
+    })
   server.createContext("/internalz", handler(() => internalProm()))
   server.createContext("/json",
     handler(() => Exporters.json(store.snapshot(), program, keys)))

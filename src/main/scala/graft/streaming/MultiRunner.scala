@@ -16,6 +16,10 @@ import graft.mtail.Ir
 final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
     defaultYear: Int) {
 
+  require(programs.map(_.name).distinct.size == programs.size,
+    "duplicate program names: every program needs a distinct name " +
+      "(the reference keys programs by filename)")
+
   val runners: Map[String, StreamRunner] =
     programs.map(p => p.name -> new StreamRunner(p, spark,
       defaultYear)).toMap

@@ -85,28 +85,35 @@ final class PushExporter(store: MetricsStore, program: String,
     }
   }
 
+  // registration may race the scheduler thread's pushOnce — guard the
+  // buffer and iterate over a snapshot
   private val targets = mutable.ArrayBuffer[Target]()
   private var scheduler: Option[ScheduledExecutorService] = None
 
   def registerGraphite(host: String, port: Int,
       prefix: String = ""): this.type = {
-    targets += new Graphite(host, port, prefix); this
+    targets.synchronized { targets += new Graphite(host, port, prefix) }
+    this
   }
 
   def registerStatsd(host: String, port: Int,
       prefix: String = ""): this.type = {
-    targets += new Statsd(host, port, prefix); this
+    targets.synchronized { targets += new Statsd(host, port, prefix) }
+    this
   }
 
   def registerCollectd(socketPath: String, prefix: String = "",
       intervalSecs: Long = 60): this.type = {
-    targets += new Collectd(socketPath, prefix, intervalSecs); this
+    targets.synchronized {
+      targets += new Collectd(socketPath, prefix, intervalSecs)
+    }
+    this
   }
 
   /** one push to every target; returns the number that succeeded. */
   def pushOnce(): Int = {
     var ok = 0
-    targets.foreach { t =>
+    targets.synchronized(targets.toList).foreach { t =>
       val succeeded =
         try { t.push(t.format()); ok += 1; true }
         catch { case _: Exception => false }
@@ -121,9 +128,11 @@ final class PushExporter(store: MetricsStore, program: String,
     ok
   }
 
-  /** start the push ticker (export.go:235-262). */
+  /** start the push ticker (export.go:235-262); targets registered
+    * after start are picked up on the next tick.
+    */
   def start(intervalMillis: Long): Unit = synchronized {
-    if (scheduler.isEmpty && targets.nonEmpty) {
+    if (scheduler.isEmpty) {
       val ex = Executors.newSingleThreadScheduledExecutor { r =>
         val th = new Thread(r, "graft-push")
         th.setDaemon(true)

@@ -131,10 +131,29 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       .start()
   }
 
-  /** visible for tests: run one microbatch through the plan + merge. */
-  def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    // mtail dialect: conversion errors null out (vm.go:97-129)
-    batch.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
+  /** Run one microbatch through the plan + merge (visible for tests).
+    * Synchronized with [[reload]] so a program swap really is atomic
+    * between batches — otherwise an in-flight batch could overwrite
+    * the reload-filtered carried state with relations typed for the
+    * old program. foreachBatch already serializes calls per query, so
+    * the lock is uncontended in normal operation.
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Unit =
+    synchronized {
+      // mtail dialect: conversion errors null out (vm.go:97-129)
+      batch.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
+      // several actions read this batch (snapshot, per-metric state
+      // checkpoints, instrumentation) — persist so the source isn't
+      // re-scanned per action; skip if a caller (MultiRunner) already
+      // persisted the shared batch
+      val ownPersist = batch.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE
+      if (ownPersist) batch.persist()
+      try processBatchInner(batch, batchId)
+      finally if (ownPersist) batch.unpersist()
+    }
+
+  private def processBatchInner(batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
       val withCols = batch
         .withColumn("filename",

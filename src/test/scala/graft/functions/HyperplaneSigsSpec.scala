@@ -48,6 +48,21 @@ class HyperplaneSigsSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("ragged rows yield all-zero signatures like the null-sum form") {
+    // a row shorter than dim would make the unrolled element_at form
+    // (and the oracle's e[i]) produce a null projection → bit 0
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(9.0f))) // ragged
+      .toDF("id", "emb")
+      .select(col("id"),
+        HyperplaneSigs(col("emb"), signs(8, 4), 4).as("sigs"))
+    val rows = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L) == Seq(0L, 0L))
+    assert(rows(0L).exists(_ != 0L))
+  }
+
   test("null embedding yields null signatures") {
     val df = Seq((0L, Some(Array(1.0f, 2.0f))), (1L, None))
       .toDF("id", "emb")

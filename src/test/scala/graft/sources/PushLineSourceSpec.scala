@@ -87,6 +87,45 @@ class PushLineSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("commit trims the receiver buffer; indexes stay stable") {
+    val probe = new DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val stream = new PushLineMicroBatchStream(s"udp://localhost:$port")
+    try {
+      Thread.sleep(300) // receiver bind
+      val c = new DatagramSocket()
+      def send(s: String): Unit = {
+        val b = s.getBytes(UTF_8)
+        c.send(new DatagramPacket(b, b.length,
+          InetAddress.getByName("localhost"), port))
+      }
+      send("a\nb\nc\n")
+      val deadline = System.currentTimeMillis() + 10000
+      def latest(): Long = stream.latestOffset()
+        .asInstanceOf[PushLineIndexOffset].index
+      while (latest() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(latest() == 3)
+      def rows(s: Long, e: Long): Seq[String] = {
+        val parts = stream.planInputPartitions(
+          new PushLineIndexOffset(s), new PushLineIndexOffset(e))
+        parts.toSeq.flatMap(
+          _.asInstanceOf[PushLinePartition].rows.toSeq)
+      }
+      assert(rows(0, 3) == Seq("a", "b", "c"))
+      stream.commit(new PushLineIndexOffset(3))
+      // committed lines are gone from driver memory…
+      assert(rows(0, 3).isEmpty)
+      // …and indexes keep advancing from where they were
+      send("d\n")
+      while (latest() < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(rows(3, 4) == Seq("d"))
+      c.close()
+    } finally stream.stop()
+  }
+
   test("glob ignore-regex filters discovered files") {
     val dir = Files.createTempDirectory("ignoresrc")
     Files.write(dir.resolve("app.log"), "keep\n".getBytes(UTF_8))

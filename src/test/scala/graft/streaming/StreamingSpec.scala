@@ -375,4 +375,32 @@ class StreamingSpec extends SparkSpec {
       assert(get("/varz").contains("c_total{"))
     } finally srv.stop()
   }
+
+  test("/metrics never emits duplicate TYPE blocks for name collisions") {
+    val store = new MetricsStore
+    // the program legitimately declares its own lines_total
+    store.merge(Seq(Cell("counter", "lines_total", Map.empty, VInt(7),
+      Some(100L))))
+    val internal = new MetricsStore
+    internal.merge(Seq(
+      Cell("counter", "lines_total", Map.empty, VInt(99), None),
+      Cell("counter", "prog_runtime_errors_total",
+        Map("prog" -> "p.mtail"), VInt(1), None)))
+    val srv = new ExportServer(store, "p.mtail", Map.empty,
+      internal = Some(internal))
+    val port = srv.start()
+    try {
+      def get(path: String): String = {
+        val url = new java.net.URI(s"http://localhost:$port$path").toURL
+        scala.io.Source.fromInputStream(url.openStream()).mkString
+      }
+      val m = get("/metrics")
+      // one TYPE block per name: the colliding internal cell is
+      // excluded from /metrics (still on /internalz)
+      assert("# TYPE lines_total".r.findAllIn(m).size == 1)
+      assert(m.contains("""lines_total{prog="p.mtail"} 7"""))
+      assert(m.contains("prog_runtime_errors_total"))
+      assert(get("/internalz").contains("lines_total 99"))
+    } finally srv.stop()
+  }
 }
