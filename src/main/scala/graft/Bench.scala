@@ -71,7 +71,11 @@ object Bench {
     val replaySecs = time {
       val pb = new plan.PlanBuilder(program,
         mtail.LogLines.fromLines(lineDf, "line"), 0)
-      pb.snapshot().collect()
+      // the engine's own execution recipe (StreamRunner does the
+      // same): one scan feeds every metric branch
+      pb.materializeExtraction()
+      try pb.snapshot().collect()
+      finally pb.unpersistExtraction()
     }
     val klinesPerSec = nLines / 1000.0 / replaySecs
 

@@ -142,15 +142,7 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
     synchronized {
       // mtail dialect: conversion errors null out (vm.go:97-129)
       batch.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
-      // several actions read this batch (snapshot, per-metric state
-      // checkpoints, instrumentation) — persist so the source isn't
-      // re-scanned per action; skip if a caller (MultiRunner) already
-      // persisted the shared batch
-      val ownPersist = batch.storageLevel ==
-        org.apache.spark.storage.StorageLevel.NONE
-      if (ownPersist) batch.persist()
-      try processBatchInner(batch, batchId)
-      finally if (ownPersist) batch.unpersist()
+      processBatchInner(batch, batchId)
     }
 
   private def processBatchInner(batch: DataFrame, batchId: Long): Unit = {
@@ -167,6 +159,16 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
           else monotonically_increasing_id())
       val pb = new PlanBuilder(prog, withCols, defaultYear,
         carriedState)
+      // one scan of the batch feeds every metric branch, the state
+      // relations, and instrumentation (the reference reads each line
+      // once too); released at the end of the batch
+      pb.materializeExtraction()
+      try processWithPlan(pb)
+      finally pb.unpersistExtraction()
+    }
+  }
+
+  private def processWithPlan(pb: PlanBuilder): Unit = {
       val cells = Snapshot.collect(pb.snapshot())
       store.merge(cells
         // zero-init rows only describe "never updated" state; don't
@@ -219,6 +221,5 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
           Seq(Snapshot.Cell("counter", "prog_runtime_errors_total",
             Map("prog" -> prog.name), Snapshot.VInt(totalErrs), None))
         else Nil))
-    }
   }
 }
