@@ -29,6 +29,20 @@ object Dedup {
       .filter(col("gram") =!= "")
   }
 
+  /** (id, gh): distinct grams as 64-bit hashes — the join/shuffle
+    * currency for the pair pipelines, generated in one pass by the
+    * [[graft.functions.GramHashes]] expression (hash-equal to
+    * xxhash64 over the gram strings). Shuffling and comparing 8-byte
+    * longs instead of gram strings cuts shuffle volume ~3× on real
+    * text; a cross-gram hash collision (P ≈ |grams|²/2⁶⁵) would
+    * overcount one `common` by 1 — negligible against the integer
+    * thresholds used here, and deterministic on fixed data.
+    */
+  private def gramHashes(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.GramHashes(col(textCol), n)).as("gh"))
+
   /** Exact n-gram Jaccard similar pairs: every (a < b) with
     * |A∩B| / |A∪B| ≥ num/den, computed via a gram-join (shuffle key =
     * gram hash, never the text).
@@ -46,20 +60,20 @@ object Dedup {
     */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, num: Int, den: Int, maxDocFreq: Int = 0): DataFrame = {
-    val allGrams = wordNgrams(docs, idCol, textCol, n)
+    val allGrams = gramHashes(docs, idCol, textCol, n)
     val grams =
       if (maxDocFreq <= 0) allGrams
       else {
-        val rare = allGrams.groupBy("gram")
+        val rare = allGrams.groupBy("gh")
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDocFreq)
-          .select("gram")
-        allGrams.join(rare, "gram")
+          .select("gh")
+        allGrams.join(rare, "gh")
       }
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("nset"))
     val a = grams.as("a")
     val b = grams.as("b")
-    val common = a.join(b, col("a.gram") === col("b.gram") &&
+    val common = a.join(b, col("a.gh") === col("b.gh") &&
         col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -85,10 +99,9 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val grams = wordNgrams(docs, idCol, textCol, n)
-      .withColumn("h", xxhash64(col("gram")))
+    val grams = gramHashes(docs, idCol, textCol, n)
     val mins = (0 until k).map(i =>
-      min(hashFamily(col("h"), i)).as(s"sig_$i"))
+      min(hashFamily(col("gh"), i)).as(s"sig_$i"))
     grams.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
@@ -116,8 +129,9 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .distinct()
-    // exact verify on candidates only
-    val grams = wordNgrams(docs, idCol, textCol, n)
+    // exact verify on candidates only (64-bit gram hashes, like
+    // exactJaccardPairs)
+    val grams = gramHashes(docs, idCol, textCol, n)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("nset"))
     val ga = grams.toDF("doc_a", "gram_a")
     val gb = grams.toDF("doc_b2", "gram_b")
