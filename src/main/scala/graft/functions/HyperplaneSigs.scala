@@ -36,6 +36,11 @@ case class HyperplaneSigs(child: Expression, signs: Array[Array[Int]],
   require(signs.nonEmpty && signs.length % bitsPerTable == 0,
     "signs rows must be nTables * bitsPerTable")
   require(bitsPerTable <= 63, "table signature must fit a long")
+  // the bounds/null pre-check in compute() uses signs(0).length as THE
+  // dimension; a ragged matrix with a longer later row would read past
+  // the checked prefix
+  require(signs.forall(_.length == signs(0).length),
+    "all hyperplane rows must share one dimension")
 
   private def elementIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true

@@ -91,21 +91,40 @@ object Ann {
     * compact codegen'd [[graft.functions.HyperplaneSigs]] node (one
     * table of nBits planes).
     */
+  /** MALFORMED-ROW GUARD: [[graft.functions.HyperplaneSigs]] emits an
+    * ALL-ZERO signature for ragged (too-short) embeddings — correct
+    * for oracle parity, but at scale a corpus with 10⁶ malformed rows
+    * would concentrate them all in bucket 0 of every table and the
+    * candidate self-join goes quadratic. Dropping `size(emb) != dim`
+    * rows BEFORE signature generation is output-equivalent: a ragged
+    * embedding's exact-cosine verify is NULL (element_at past the end),
+    * so such rows can never appear in the result anyway.
+    */
+  private def wellFormed(embeddings: DataFrame, embCol: String,
+      dim: Int): DataFrame =
+    embeddings.filter(size(col(embCol)) === dim)
+
   def hyperplaneSignature(embeddings: DataFrame, embCol: String,
       idCol: String, nBits: Int): DataFrame = {
     val dim = dimOf(embeddings, embCol)
     val sig = element_at(graft.functions.HyperplaneSigs(
       col(embCol), signMatrix(nBits, dim), nBits), 1)
-    embeddings.select(col(idCol), col(embCol), sig.as("lsh_sig"))
+    wellFormed(embeddings, embCol, dim)
+      .select(col(idCol), col(embCol), sig.as("lsh_sig"))
   }
 
   /** LSH-bucketed near-neighbour pairs: same signature bucket, then
-    * exact cosine ≥ threshold within the bucket.
+    * exact cosine ≥ threshold within the bucket. `maxBucketSize` is the
+    * degenerate-bucket skew guard ([[Dedup.capBuckets]]); 0 = off.
     */
   def lshNearDupPairs(embeddings: DataFrame, embCol: String,
-      idCol: String, nBits: Int, threshold: Double): DataFrame = {
+      idCol: String, nBits: Int, threshold: Double,
+      maxBucketSize: Int = 0): DataFrame = {
     val dim = dimOf(embeddings, embCol)
-    val sigs = hyperplaneSignature(embeddings, embCol, idCol, nBits)
+    val sigs = Dedup.capBuckets(
+      hyperplaneSignature(embeddings, embCol, idCol, nBits)
+        .select(col(idCol), col("lsh_sig")),
+      Seq("lsh_sig"), maxBucketSize)
     val l = sigs.as("l")
     val r = sigs.as("r")
     val cand = l.join(r, col("l.lsh_sig") === col("r.lsh_sig") &&
@@ -151,12 +170,14 @@ object Ann {
     */
   def bandedLshNearDupPairs(embeddings: DataFrame, embCol: String,
       idCol: String, nTables: Int, bitsPerTable: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucketSize: Int = 0): DataFrame = {
     val dim = dimOf(embeddings, embCol)
-    val sigRows = embeddings.select(col(idCol).as("id"),
-      posexplode(graft.functions.HyperplaneSigs(col(embCol),
-        signMatrix(nTables * bitsPerTable, dim), bitsPerTable))
-        .as(Seq("table_idx", "table_sig")))
+    val sigRows = Dedup.capBuckets(
+      wellFormed(embeddings, embCol, dim).select(col(idCol).as("id"),
+        posexplode(graft.functions.HyperplaneSigs(col(embCol),
+          signMatrix(nTables * bitsPerTable, dim), bitsPerTable))
+          .as(Seq("table_idx", "table_sig"))),
+      Seq("table_idx", "table_sig"), maxBucketSize)
     val l = sigRows.as("l")
     val r = sigRows.as("r")
     val cand = l.join(r, col("l.table_idx") === col("r.table_idx") &&

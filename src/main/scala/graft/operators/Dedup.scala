@@ -94,6 +94,29 @@ object Dedup {
   private def hashFamily(base: Column, i: Int): Column =
     xxhash64(lit(i), base)
 
+  /** SKEW GUARD for bucket-local self-joins: a bucket holding K rows
+    * yields K² candidate pairs, so one degenerate bucket — boilerplate
+    * documents sharing every band, or malformed rows concentrating in a
+    * sentinel signature — turns the candidate stage quadratic at scale.
+    * `maxBucketSize > 0` drops buckets above the cap BEFORE the
+    * self-join. Near-duplicate recall inside a dropped bucket is lost
+    * by design: a bucket that large is either boilerplate (pairs carry
+    * no signal) or an attack on the hash family; the reference measure
+    * is unchanged for every surviving bucket, and 0 (the default) keeps
+    * exact parity with the oracle. The count aggregation shuffles on
+    * the same key as the self-join, so AQE plans both from one exchange.
+    */
+  private[operators] def capBuckets(rows: DataFrame,
+      keyCols: Seq[String], maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) rows
+    else {
+      val small = rows.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .drop("__bsz")
+      rows.join(small, keyCols)
+    }
+
   /** MinHash signatures: k columns sig_0..sig_{k-1} per id.
     * One explode + k map-side mins — a single shuffle on id.
     */
@@ -111,16 +134,17 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      num: Int = 1, den: Int = 2): DataFrame = {
+      num: Int = 1, den: Int = 2, maxBucketSize: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
     // band key = hash of the band's signature slice; explode to
     // (band_idx, band_key, id) and self-join bucket-locally
-    val bandRows = sigs.select(col("id"),
+    val bandRows = capBuckets(sigs.select(col("id"),
       posexplode(array((0 until bands).map { bnd =>
         hash((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
           .map(i => col(s"sig_$i")): _*)
-      }: _*)).as(Seq("band_idx", "band_key")))
+      }: _*)).as(Seq("band_idx", "band_key"))),
+      Seq("band_idx", "band_key"), maxBucketSize)
     val l = bandRows.as("l")
     val r = bandRows.as("r")
     val candidates = l.join(r,
@@ -199,11 +223,12 @@ object Dedup {
     * carries 16-byte rows, not repeated fingerprints.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val fp = simhashBands(docs, idCol, textCol)
-    val banded = fp.select(col("id"),
+    val banded = capBuckets(fp.select(col("id"),
       posexplode(array((0 until 4).map(b => col(s"band_$b")): _*))
-        .as(Seq("band_idx", "band_key")))
+        .as(Seq("band_idx", "band_key"))),
+      Seq("band_idx", "band_key"), maxBucketSize)
     val l = banded.as("l")
     val r = banded.as("r")
     val cand = l.join(r, col("l.band_idx") === col("r.band_idx") &&

@@ -66,6 +66,23 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
   import Ir._
 
+  // A single small file or a driver-side line table arrives as one or
+  // two input partitions, which would run the whole extraction regex on
+  // as many cores. Spread lines across the session's parallelism BELOW
+  // the extraction projection — `ord` is projected inside `lines`,
+  // before the exchange, so arrival semantics are identical to the
+  // unrepartitioned plan; the shuffle moves each raw line once and the
+  // regex then runs fully parallel. Byte-range-split file scans already
+  // arrive well-partitioned and skip this. repartition(N) with an
+  // explicit N is exempt from AQE coalescing, so the parallelism
+  // survives tiny inputs too.
+  private val baseLines: DataFrame = {
+    val target = lines.sparkSession.sparkContext.defaultParallelism
+    if (lines.rdd.getNumPartitions * 2 <= target)
+      lines.repartition(target)
+    else lines
+  }
+
   // Pattern structs and strptime results are MATERIALIZED as named
   // columns: composing them as raw Column trees makes each later site
   // embed full copies of every earlier struct tree — quadratic plan
@@ -73,7 +90,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   // few dependency-ordered select layers, because a withColumn per
   // column would trigger a full analyzer pass each time (O(n²) on
   // 100-site programs like postfix.mtail).
-  private var curDf: DataFrame = lines
+  private var curDf: DataFrame = baseLines
   private var colSeq = 0
   private val pending = mutable.LinkedHashMap[String, Column]()
   /** pending carried-state joins: output column name → (line-side key
@@ -379,7 +396,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   stopGuard = lit(true)
   metricTypeMemo.clear()
   abortCond = lit(false)
-  curDf = lines // pass-1 materialized columns are provisional too
+  curDf = baseLines // pass-1 materialized columns are provisional too
   colSeq = 0
   frameMemo.clear()
   pending.clear()
@@ -766,8 +783,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     */
   def materializeExtraction(): Unit = {
     flushPending()
-    curDf = curDf.persist()
-    curDf.count() // populate before branches race the cache
+    // a single-site program reads the extraction exactly once — the
+    // cache write would never pay for itself
+    if (sites.size > 1) {
+      curDf = curDf.persist()
+      curDf.count() // populate before branches race the cache
+    }
   }
 
   def unpersistExtraction(): Unit = {

@@ -112,6 +112,15 @@ final class PushLineMicroBatchStream(address: String)
         idx = partial.indexOf("\n")
       }
     }
+    /** emit the accumulated partial as a final line at stream end —
+      * the reference's LineReader.Finish (reader.go:99-106), so a
+      * writer that closes without a trailing newline still delivers
+      * its last record.
+      */
+    def flush(): Unit = if (partial.nonEmpty) {
+      add(partial.toString)
+      partial.clear()
+    }
   }
 
   private def daemon(name: String)(body: => Unit): Unit = {
@@ -144,16 +153,25 @@ final class PushLineMicroBatchStream(address: String)
         val conn = server.accept()
         daemon("graft-conn") {
           closeables.synchronized { closeables += conn }
-          val splitter = new Splitter // per-connection partial state
-          val buf = ByteBuffer.allocate(1 << 16)
-          var n = conn.read(buf)
-          while (!closed && n >= 0) {
-            buf.flip()
-            val bytes = new Array[Byte](buf.remaining())
-            buf.get(bytes)
-            splitter.feed(new String(bytes, StandardCharsets.UTF_8))
-            buf.clear()
-            n = conn.read(buf)
+          try {
+            val splitter = new Splitter // per-connection partial state
+            val buf = ByteBuffer.allocate(1 << 16)
+            var n = conn.read(buf)
+            while (!closed && n >= 0) {
+              buf.flip()
+              val bytes = new Array[Byte](buf.remaining())
+              buf.get(bytes)
+              splitter.feed(new String(bytes, StandardCharsets.UTF_8))
+              buf.clear()
+              n = conn.read(buf)
+            }
+            if (n < 0) splitter.flush() // writer closed mid-line
+          } finally {
+            // a long-running daemon sees many short-lived writers:
+            // release each connection as it ends instead of holding
+            // every socket until stop()
+            closeables.synchronized { closeables -= conn }
+            try conn.close() catch { case _: Exception => }
           }
         }
       }
@@ -178,6 +196,9 @@ final class PushLineMicroBatchStream(address: String)
         go = reopenAtEof // fifo: next writer reopens; stdin: done
         if (go && !closed) Thread.sleep(50)
       }
+      // final close only — a fifo partial carries across writer
+      // reopens (the same LineReader persists in the reference)
+      splitter.flush()
     }
 
   // ---- scheme dispatch (tail.go's logpathpattern URL forms) ----
@@ -235,8 +256,20 @@ final class PushLineMicroBatchStream(address: String)
   override def createReaderFactory(): PartitionReaderFactory =
     new PushLineReaderFactory
 
-  override def deserializeOffset(json: String): Offset =
-    new PushLineIndexOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val idx = json.trim.toLong
+    // Restart from a checkpoint: a fresh stream starts at base=0 while
+    // the restored offset is the previously committed index N. Rebase
+    // so the FIRST line buffered since reopen maps to index N —
+    // otherwise latestOffset stays below N until N new lines arrive
+    // and every line in between is silently dropped (unbounded loss;
+    // only in-flight pre-restart data may be lost, per the documented
+    // at-most-once contract).
+    lock.synchronized {
+      if (idx > base + buffer.length) base = idx
+    }
+    new PushLineIndexOffset(idx)
+  }
 
   /** drop lines at or below the committed index — bounds driver memory
     * to the uncommitted tail over an unbounded stream.

@@ -66,6 +66,39 @@ class AnnSpec extends SparkSpec {
     assert(sharp.nonEmpty)
   }
 
+  test("ragged embeddings and giant buckets are guarded at scale") {
+    // 1k ragged rows would all land in the all-zero signature bucket
+    // (10⁶ such rows at 100 TB → 10¹² candidate pairs); the size(emb)
+    // pre-filter keeps them out of the join entirely — output is
+    // unchanged because a ragged row's cosine is NULL and could never
+    // pass the verify anyway
+    val ragged = (100L to 1099L).map(i => (i, Array(1.0f, 2.0f)))
+    val df = (vecs.as[(Long, Array[Float])].collect().toSeq ++ ragged)
+      .toDF("vec_id", "embedding")
+    val lsh = Ann.lshNearDupPairs(df, "embedding", "vec_id",
+        nBits = 8, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!lsh.exists(p => p._1 >= 100L || p._2 >= 100L))
+    assert(lsh.subsetOf(Set((0L, 1L))))
+
+    // 500 identical embeddings: one bucket per table holds all of them
+    // → K² candidates; the cap drops those buckets, a disjoint genuine
+    // near-dup pair in its own bucket survives
+    val same = (0L until 500L).map(i =>
+      (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val pairDocs = Seq((9000L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (9001L, Array(0.0f, 0.99f, 0.1f, 0.0f)))
+    val skewed = (same ++ pairDocs).toDF("vec_id", "embedding")
+    val capped = Ann.bandedLshNearDupPairs(skewed, "embedding",
+        "vec_id", nTables = 4, bitsPerTable = 8, threshold = 0.9,
+        maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 < 9000L && p._2 < 9000L),
+      "the degenerate identical-vector bucket must be dropped")
+    assert(capped == Set((9000L, 9001L)),
+      "small-bucket pairs survive the cap")
+  }
+
   test("multimodal decode stub is deterministic and typed") {
     val meta = Multimodal.decodeMeta(
       Multimodal.demoMedia(spark, sf("sf0.001")), "media_id", "payload")

@@ -86,6 +86,33 @@ class DedupSpec extends SparkSpec {
     assert(default == uncapped)
   }
 
+  test("bucket cap drops degenerate LSH buckets, keeps disjoint dups") {
+    // 60 identical boilerplate docs share EVERY band → each band bucket
+    // holds all 60 and the candidate self-join is K² (the 100 TB
+    // job-killer); two distinct near-dup docs live in their own buckets
+    val skewed = ((1L to 60L).map(i =>
+      (i, "same boilerplate text repeated in every single document")) ++
+      Seq((900L, "one genuinely distinct pair of documents talking " +
+          "about spark catalyst planning"),
+        (901L, "one genuinely distinct pair of documents talking " +
+          "about spark catalyst shuffles")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(skewed, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 <= 60L) == 60 * 59 / 2)
+    val capped = Dedup
+      .minhashLshPairs(skewed, "doc_id", "text", maxBucketSize = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 <= 60L && p._2 <= 60L),
+      "over-cap boilerplate buckets must be dropped before the join")
+    assert(capped.contains((900L, 901L)),
+      "pairs in small buckets survive the cap")
+    val cappedSim = Dedup
+      .simhashPairs(skewed, "doc_id", "text", maxBucketSize = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!cappedSim.exists(p => p._1 <= 60L && p._2 <= 60L))
+  }
+
   test("LSH recall matches exact jaccard on the real documents table") {
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")
     val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 1, 2)

@@ -126,6 +126,66 @@ class PushLineSourceSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("tcp writer closing without a trailing newline delivers the " +
+      "partial as a final line") {
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val stream = new PushLineMicroBatchStream(s"tcp://localhost:$port")
+    try {
+      Thread.sleep(300) // listener bind
+      val sock = new Socket("localhost", port)
+      sock.getOutputStream.write("complete\nunterminated".getBytes(UTF_8))
+      sock.getOutputStream.flush()
+      sock.close() // EOF with a partial line pending — reader.go:99-106
+      def latest(): Long = stream.latestOffset()
+        .asInstanceOf[PushLineIndexOffset].index
+      val deadline = System.currentTimeMillis() + 10000
+      while (latest() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val parts = stream.planInputPartitions(
+        new PushLineIndexOffset(0), new PushLineIndexOffset(2))
+      assert(parts.toSeq.flatMap(
+        _.asInstanceOf[PushLinePartition].rows.toSeq) ==
+        Seq("complete", "unterminated"))
+    } finally stream.stop()
+  }
+
+  test("restart rebases to the checkpointed offset; new lines follow") {
+    val probe = new DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    // a FRESH stream (as after a query restart) starts at base=0; the
+    // restored offset says 100 lines were committed before the restart
+    val stream = new PushLineMicroBatchStream(s"udp://localhost:$port")
+    try {
+      Thread.sleep(300) // receiver bind
+      stream.deserializeOffset("100")
+      def latest(): Long = stream.latestOffset()
+        .asInstanceOf[PushLineIndexOffset].index
+      // without the rebase this is 0 and the next 100 arrivals would
+      // be silently swallowed before latestOffset catches up
+      assert(latest() == 100)
+      // the replayed in-flight range is empty (documented at-most-once)
+      assert(stream.planInputPartitions(new PushLineIndexOffset(100),
+        new PushLineIndexOffset(100)).isEmpty)
+      // a new arrival lands AT the checkpointed index, not at 0
+      val c = new DatagramSocket()
+      val b = "fresh\n".getBytes(UTF_8)
+      c.send(new DatagramPacket(b, b.length,
+        InetAddress.getByName("localhost"), port))
+      val deadline = System.currentTimeMillis() + 10000
+      while (latest() < 101 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(latest() == 101)
+      val parts = stream.planInputPartitions(
+        new PushLineIndexOffset(100), new PushLineIndexOffset(101))
+      assert(parts.toSeq.flatMap(
+        _.asInstanceOf[PushLinePartition].rows.toSeq) == Seq("fresh"))
+      c.close()
+    } finally stream.stop()
+  }
+
   test("glob ignore-regex filters discovered files") {
     val dir = Files.createTempDirectory("ignoresrc")
     Files.write(dir.resolve("app.log"), "keep\n".getBytes(UTF_8))
