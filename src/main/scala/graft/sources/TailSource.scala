@@ -44,7 +44,9 @@ final class TailSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new TailTable(properties.get("path"),
-      Option(properties.get("ignoreRegex")))
+      Option(properties.get("ignoreRegex")),
+      Option(properties.get("staleAfterMs")).map(_.toLong)
+        .getOrElse(TailMicroBatchStream.DefaultStaleMs))
 }
 
 object TailSource {
@@ -183,7 +185,8 @@ object TailSource {
 }
 
 final class TailTable(pathPattern: String,
-    ignoreRegex: Option[String] = None)
+    ignoreRegex: Option[String] = None,
+    staleAfterMs: Long = TailMicroBatchStream.DefaultStaleMs)
     extends Table with SupportsRead {
   override def name(): String = s"graft-tail($pathPattern)"
   override def schema(): StructType = TailSource.schema
@@ -197,7 +200,7 @@ final class TailTable(pathPattern: String,
       override def readSchema(): StructType = TailSource.schema
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
-        new TailMicroBatchStream(pathPattern, ignoreRegex)
+        new TailMicroBatchStream(pathPattern, ignoreRegex, staleAfterMs)
       override def toBatch: Batch = new Batch {
         // files split into byte ranges for parallelism — SAFE because
         // each line carries its byte offset as the ordering key, so
@@ -239,19 +242,66 @@ object TailOffset {
     }.toMap)
 }
 
+object TailMicroBatchStream {
+  /** the reference's stale-stream window (`internal/tailer/logstream/
+    * reader.go:55-56`: a log stream idle for 24h is cancelled and its
+    * resources released). ≤ 0 disables parking.
+    */
+  val DefaultStaleMs: Long = 24L * 3600 * 1000
+}
+
 final class TailMicroBatchStream(pathPattern: String,
-    ignoreRegex: Option[String] = None)
+    ignoreRegex: Option[String] = None,
+    staleAfterMs: Long = TailMicroBatchStream.DefaultStaleMs)
     extends MicroBatchStream {
+
+  /** Driver-side stale tracking, the analogue of the reference's
+    * 24h idle cancellation (`reader.go:55-56`): a file that produced
+    * no new bytes for `staleAfterMs` is PARKED — dropped from the
+    * emitted offset state (so long-quiet rotated-away paths stop
+    * accumulating in the offset JSON) and exempted from the per-batch
+    * line-end scan (a cheap stat remains, like the reference's
+    * directory poll). Its recorded position survives in `parked`, so a
+    * late append resumes exactly where reading stopped; rotation while
+    * parked (new inode) restarts at 0 as usual. After a full query
+    * restart this map is empty and a reawakened file re-reads from 0 —
+    * the same contract as the reference, whose offsets are in-memory
+    * only.
+    */
+  private val lastSeen =
+    mutable.Map[String, (String, Long, Long)]() // key, pos, sinceMs
+  private val parked =
+    mutable.Map[String, (FileState, Long)]() // resume state, size
+  private val resume = mutable.Map[String, FileState]()
 
   override def initialOffset(): Offset = new TailOffset(Map.empty)
 
   override def latestOffset(): Offset = {
+    val now = System.currentTimeMillis()
     val state = mutable.Map[String, FileState]()
     TailSource.expand(pathPattern, ignoreRegex).foreach { p =>
+      val path = p.toString
       val key = TailSource.fileKey(p)
       val size = Files.size(p)
-      state(p.toString) = FileState(key,
-        TailSource.lastLineEnd(p, 0L, size))
+      parked.get(path) match {
+        case Some((fs, sz)) if fs.key == key && sz == size =>
+          () // still idle: no scan, no offset entry
+        case prev =>
+          prev.foreach { case (fs, _) => // woke up: resume from here
+            parked.remove(path)
+            resume(path) = fs
+          }
+          val pos = TailSource.lastLineEnd(p, 0L, size)
+          val since = lastSeen.get(path) match {
+            case Some((k0, p0, s0)) if k0 == key && p0 == pos => s0
+            case _ => now
+          }
+          lastSeen(path) = (key, pos, since)
+          if (staleAfterMs > 0 && now - since > staleAfterMs) {
+            parked(path) = (FileState(key, pos), size)
+            lastSeen.remove(path)
+          } else state(path) = FileState(key, pos)
+      }
     }
     new TailOffset(state.toMap)
   }
@@ -262,9 +312,12 @@ final class TailMicroBatchStream(pathPattern: String,
     val e = end.asInstanceOf[TailOffset].state
     e.toSeq.sortBy(_._1).flatMap { case (path, endFs) =>
       val p = Paths.get(path)
+      // a just-unparked file is absent from the start state (it was
+      // dropped while idle); its recorded position takes over
+      val unparkedFrom = resume.remove(path)
       if (!Files.exists(p)) None
       else {
-        val from = s.get(path) match {
+        val from = s.get(path).orElse(unparkedFrom) match {
           // rotation (new inode) or truncation → restart at 0
           case Some(prev) if prev.key == endFs.key &&
             prev.pos <= endFs.pos => prev.pos

@@ -16,7 +16,11 @@ final class ExportServer(store: MetricsStore, program: String,
     /** runtime self-instrumentation cells, appended to /metrics and
       * served alone on /debug/vars-style /internalz (runtime.go:33).
       */
-    internal: Option[MetricsStore] = None) {
+    internal: Option[MetricsStore] = None,
+    /** opt-in per-sample timestamps on /metrics
+      * (prometheus.go:89-93); program cells only, like the reference.
+      */
+    emitTimestamp: Boolean = false) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -46,7 +50,8 @@ final class ExportServer(store: MetricsStore, program: String,
   server.createContext("/metrics",
     handler { () =>
       val cells = store.snapshot()
-      Exporters.prometheus(cells, program) +
+      Exporters.prometheus(cells, program,
+        emitTimestamp = emitTimestamp) +
         internalProm(cells.map(_.name.replace("-", "_")).toSet)
     })
   server.createContext("/internalz", handler(() => internalProm()))

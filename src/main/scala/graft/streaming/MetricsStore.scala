@@ -133,9 +133,16 @@ object Exporters {
 
   /** Prometheus text exposition (prometheus.go:31-99): one TYPE line per
     * metric, cells as `name{prog=…,labels…} value`.
+    *
+    * `emitTimestamp` is the reference's opt-in flag
+    * (prometheus.go:89-93, NewMetricWithTimestamp): each sample line
+    * gains the datum time in MILLISECONDS. Off by default — like the
+    * reference, which warns that stamped samples can trip Prometheus
+    * staleness handling.
     */
   def prometheus(cells: Seq[Cell], program: String,
-      omitProgLabel: Boolean = false): String = {
+      omitProgLabel: Boolean = false,
+      emitTimestamp: Boolean = false): String = {
     val sb = new StringBuilder
     val byName = cells.groupBy(_.name).toSeq.sortBy(_._1)
     byName.foreach { case (name, cs) =>
@@ -156,6 +163,10 @@ object Exporters {
           else all.map { case (k, v) => s"""$k="$v"""" }
             .mkString("{", ",", "}")
         }
+        // zero datum time renders as epoch-0, like time.Time zero →
+        // UnixMilli on a never-updated datum in the reference
+        val ts = if (emitTimestamp) s" ${c.tsSec.getOrElse(0L) * 1000}"
+          else ""
         c.buckets match {
           case Some(bs) =>
             // cumulative buckets like the reference's prometheus export
@@ -166,17 +177,18 @@ object Exporters {
             bounds.foreach { b =>
               cum += bs(b)
               sb.append(
-                s"${promName}_bucket${labelStr("le" -> b)} $cum\n")
+                s"${promName}_bucket${labelStr("le" -> b)} $cum$ts\n")
             }
             cum += bs.getOrElse("+Inf", 0L)
             sb.append(
-              s"${promName}_bucket${labelStr("le" -> "+Inf")} $cum\n")
+              s"${promName}_bucket${labelStr("le" -> "+Inf")} $cum$ts\n")
             sb.append(s"${promName}_sum${labelStr()} ${
-              valueString(c.value)}\n")
+              valueString(c.value)}$ts\n")
             sb.append(s"${promName}_count${labelStr()} ${
-              bs.getOrElse("count", 0L)}\n")
+              bs.getOrElse("count", 0L)}$ts\n")
           case None =>
-            sb.append(s"$promName${labelStr()} ${valueString(c.value)}\n")
+            sb.append(
+              s"$promName${labelStr()} ${valueString(c.value)}$ts\n")
         }
       }
     }

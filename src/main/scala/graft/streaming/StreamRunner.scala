@@ -162,13 +162,50 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       // one scan of the batch feeds every metric branch, the state
       // relations, and instrumentation (the reference reads each line
       // once too); released at the end of the batch
+      val t0 = System.nanoTime()
       pb.materializeExtraction()
-      try processWithPlan(pb)
-      finally pb.unpersistExtraction()
+      val nLines =
+        try processWithPlan(pb)
+        finally pb.unpersistExtraction()
+      observeBatchDuration((System.nanoTime() - t0) / 1e9, nLines)
     }
   }
 
-  private def processWithPlan(pb: PlanBuilder): Unit = {
+  /** the reference's per-line latency bucket bounds
+    * (`vm.go:35-41`: ExponentialBuckets(0.00002, 2.0, 10)), keys in
+    * Go's own rendering so dashboards see identical `le` values.
+    */
+  private val durationBuckets: Seq[(String, Double)] = Seq(
+    "2e-05" -> 2e-05, "4e-05" -> 4e-05, "8e-05" -> 8e-05,
+    "0.00016" -> 0.00016, "0.00032" -> 0.00032, "0.00064" -> 0.00064,
+    "0.00128" -> 0.00128, "0.00256" -> 0.00256, "0.00512" -> 0.00512,
+    "0.01024" -> 0.01024)
+
+  /** Batch-granular stand-in for the reference's per-line latency
+    * histogram `mtail_vm_line_processing_duration_seconds`
+    * (`vm.go:35-41`): per-line timing is meaningless under vectorized
+    * execution, so each batch observes its MEAN per-line duration with
+    * weight = lines into the reference's own bucket scheme. `sum`
+    * accumulates true batch seconds and `count` accumulates lines, so
+    * rate(sum)/rate(count) — the mean-latency expression dashboards
+    * alarm on — stays exact; only the quantile spread WITHIN one batch
+    * is collapsed to its mean.
+    */
+  private def observeBatchDuration(batchSecs: Double,
+      lines: Long): Unit = if (lines > 0) {
+    val mean = batchSecs / lines
+    val bucketKey = durationBuckets.find(mean <= _._2)
+      .map(_._1).getOrElse("+Inf")
+    val buckets = (durationBuckets.map(_._1) :+ "+Inf")
+      .map(k => k -> (if (k == bucketKey) lines else 0L))
+      .toMap + ("count" -> lines)
+    internalStore.merge(Seq(Snapshot.Cell("histogram",
+      "mtail_vm_line_processing_duration_seconds",
+      Map("prog" -> prog.name), Snapshot.VFloat(batchSecs), None,
+      Some(buckets))))
+  }
+
+  private def processWithPlan(pb: PlanBuilder): Long = {
       val cells = Snapshot.collect(pb.snapshot())
       store.merge(cells
         // zero-init rows only describe "never updated" state; don't
@@ -184,11 +221,14 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
         m -> sdf.localCheckpoint(true)
       }
       // stream time: max event timestamp across exported cells AND
-      // hidden-state last writes (hidden metrics never reach the store)
-      val stateMax = newState.values.flatMap { sdf =>
-        Option(sdf.agg(max(col("ts"))).head().get(0))
-          .map(_.asInstanceOf[Long])
-      }
+      // hidden-state last writes (hidden metrics never reach the store).
+      // One union aggregate = ONE Spark job per batch regardless of how
+      // many state metrics the program carries (a per-metric
+      // agg().head() loop would serialize N driver actions per batch)
+      val stateMax = newState.values.map(_.select(col("ts")))
+        .reduceOption(_ unionAll _)
+        .flatMap(u => Option(u.agg(max(col("ts"))).head().get(0)))
+        .map(_.asInstanceOf[Long])
       maxEventSec = (cells.flatMap(_.tsSec) ++ stateMax)
         .foldLeft(maxEventSec)(_ max _)
       // `del … after d` metrics drop state keys whose last write is
@@ -221,5 +261,6 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
           Seq(Snapshot.Cell("counter", "prog_runtime_errors_total",
             Map("prog" -> prog.name), Snapshot.VInt(totalErrs), None))
         else Nil))
+      totalLines
   }
 }

@@ -51,6 +51,48 @@ class TailSourceSpec extends SparkSpec {
     assert(b2.contains("three"))
   }
 
+  test("stale file is parked out of offset state; a late append " +
+      "resumes from the recorded position") {
+    val dir = tmpDir()
+    val f = dir.resolve("stale.log")
+    write(f, "a\nb\n")
+    val stream = new TailMicroBatchStream(s"$dir/*.log",
+      staleAfterMs = 300)
+    val (b1, o1) = deltaLines(stream, stream.initialOffset())
+    assert(b1 == Seq("a", "b"))
+    Thread.sleep(500) // idle past the window
+    val o2 = stream.latestOffset().asInstanceOf[TailOffset]
+    assert(o2.state.isEmpty,
+      "an idle-past-window file must leave the offset state")
+    // parked: latestOffset stays empty however often it's polled
+    assert(stream.latestOffset().asInstanceOf[TailOffset].state.isEmpty)
+    // a late append wakes it; reading resumes at byte 4, not 0
+    write(f, "c\n")
+    val o3 = stream.latestOffset().asInstanceOf[TailOffset]
+    assert(o3.state(f.toString).pos == 6)
+    val parts = stream.planInputPartitions(o2, o3)
+    assert(parts.length == 1)
+    val tp = parts(0).asInstanceOf[TailPartition]
+    assert(tp.start == 4 && tp.end == 6,
+      s"must resume from the parked offset, got [${tp.start},${tp.end})")
+    // rotation while parked restarts at 0 like any rotation. The
+    // replacement is created while the old file still exists (as
+    // logrotate does), so it gets a distinct inode — a delete-then-
+    // recreate that RECYCLES the inode is indistinguishable from an
+    // append by path-stat alone (the reference only catches that case
+    // by holding the fd open).
+    Thread.sleep(500)
+    assert(stream.latestOffset().asInstanceOf[TailOffset].state.isEmpty)
+    val fresh = dir.resolve("incoming.tmp")
+    write(fresh, "xx\nyy\nzz\n")
+    Files.move(fresh, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val o4 = stream.latestOffset().asInstanceOf[TailOffset]
+    val parts2 = stream.planInputPartitions(o2, o4)
+    assert(parts2.length == 1 &&
+      parts2(0).asInstanceOf[TailPartition].start == 0)
+  }
+
   test("truncation resets the offset") {
     val dir = tmpDir()
     val f = dir.resolve("trunc.log")

@@ -232,6 +232,45 @@ class StreamingSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("batch processing-duration histogram on /internalz") {
+    import spark.implicits._
+    val prog = Frontend.parse(
+      """counter n
+        |/x/ { n++ }
+        |""".stripMargin, "dur_test")
+    val runner = new StreamRunner(prog, spark, 0)
+    runner.processBatch(Seq("x", "y", "x").toDF("line"), 0)
+    runner.processBatch(Seq("x").toDF("line"), 1)
+
+    val hist = runner.internalStore.snapshot().find(
+      _.name == "mtail_vm_line_processing_duration_seconds").get
+    assert(hist.kind == "histogram" &&
+      hist.labels == Map("prog" -> "dur_test"))
+    val bs = hist.buckets.get
+    // weight = lines: 3 + 1 across the two batches
+    assert(bs("count") == 4L)
+    assert((bs - "count").values.sum == 4L)
+    // sum accumulates true batch seconds, so sum/count is the real
+    // mean per-line processing time
+    val Snapshot.VFloat(sum) = hist.value: @unchecked
+    assert(sum > 0.0)
+
+    val srv = new ExportServer(runner.store, "dur_test", Map.empty,
+      internal = Some(runner.internalStore))
+    val port = srv.start()
+    try {
+      val url = new java.net.URI(
+        s"http://localhost:$port/internalz").toURL
+      val body = scala.io.Source.fromInputStream(url.openStream())
+        .mkString
+      // reference-identical le bounds (vm.go:35-41), cumulative counts
+      assert(body.contains("mtail_vm_line_processing_duration_seconds" +
+        "_bucket{prog=\"dur_test\",le=\"2e-05\"}"))
+      assert(body.contains("le=\"+Inf\"} 4"))
+      assert(body.contains("_count{prog=\"dur_test\"} 4"))
+    } finally srv.stop()
+  }
+
   test("del-after TTL expires store cells in stream time") {
     import spark.implicits._
     val prog = Frontend.parse(
@@ -333,6 +372,16 @@ class StreamingSpec extends SparkSpec {
     assert(prom.contains(
       """bytes_total{operation="sent",prog="rsyncd.mtail"} 62793673"""))
     assert(prom.contains("# TYPE last_size gauge"))
+
+    // emitTimestamp (prometheus.go:89-93): opt-in per-sample stamps in
+    // milliseconds; zero datum time → epoch 0 like time.Time zero
+    val stamped = Exporters.prometheus(cells, "rsyncd.mtail",
+      emitTimestamp = true)
+    assert(stamped.contains("""bytes_total{operation="sent",""" +
+      """prog="rsyncd.mtail"} 62793673 1298440450000"""))
+    assert(stamped.contains("""last_size{prog="rsyncd.mtail"} 7 0"""))
+    // default stays unstamped (the reference's recommendation)
+    assert(!prom.contains("62793673 1298440450000"))
 
     val varz = Exporters.varz(cells, "rsyncd.mtail", "host1")
     assert(varz.contains(
