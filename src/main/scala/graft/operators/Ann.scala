@@ -188,6 +188,82 @@ object Ann {
     verifyPairs(cand, embeddings, embCol, idCol, dim, threshold)
   }
 
+  // ---------- IVF-style coarse quantization ----------
+
+  /** The k seed centroid vectors: embeddings of the k smallest ids,
+    * collected at plan-build time (k rows, like [[dimOf]]'s one-row
+    * read). A deterministic seed codebook keeps the whole pipeline —
+    * and its DuckDB oracle — reproducible; a Lloyd-refined codebook
+    * drops in by replacing this function without touching the assign /
+    * probe / verify plumbing.
+    */
+  def centroidVectors(embeddings: DataFrame, embCol: String,
+      idCol: String, k: Int): Array[Array[Double]] =
+    embeddings.orderBy(col(idCol)).limit(k)
+      .select(col(embCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  private def ivfAssignWith(embeddings: DataFrame, embCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val k = cents.length
+    // ALL k distances from one compact codegen'd node
+    // ([[graft.functions.SqDists]]): the unrolled k×dim Column tree is
+    // cheap to run but catastrophic to PLAN once a filter references
+    // the argmin cell (measured 18 s of driver optimizer time/query)
+    val withD = embeddings.withColumn("__dists",
+      graft.functions.SqDists(col(embCol), cents))
+    val ds = (0 until k).map(j => element_at(col("__dists"), j + 1))
+    // first-wins argmin chain: deterministic and engine-identical on
+    // identical doubles (the DuckDB oracle runs the same CASE shape);
+    // null distances (ragged/null-element rows) fail every <= and fall
+    // through to the ELSE arm on both engines
+    val cell = (0 until k - 1).foldRight(lit(k - 1): Column)((j, els) =>
+      when((j + 1 until k).map(m => ds(j) <= ds(m)).reduce(_ && _),
+        lit(j)).otherwise(els))
+    withD.withColumn("cell", cell.cast("long")).drop("__dists")
+  }
+
+  /** IVF coarse assignment: each row gains its inverted-list `cell`
+    * (nearest of k seed centroids, squared-L2). One map-side projection
+    * over literal centroid constants — no shuffle, no broadcast state,
+    * whole-stage codegen'd — so assignment cost is a single scan at any
+    * corpus size. At 100 TB the assignment is written once (or bucketed
+    * by cell) and every query then prunes (k-nProbe)/k of the corpus
+    * before any distance work.
+    */
+  def ivfAssign(embeddings: DataFrame, embCol: String, idCol: String,
+      k: Int): DataFrame =
+    ivfAssignWith(embeddings, embCol,
+      centroidVectors(embeddings, embCol, idCol, k))
+
+  /** IVF top-k: rank the k cells by centroid distance to the query (in
+    * plain Scala over the collected codebook — same ascending fold, so
+    * the oracle's SQL ranking agrees), scan only the nProbe nearest
+    * cells, exact cosine top-k within them. Recall loss is confined to
+    * true neighbours living in unprobed cells; precision is exact.
+    */
+  def ivfTopK(embeddings: DataFrame, embCol: String, idCol: String,
+      queryVec: Seq[Double], k: Int, nProbe: Int,
+      topK: Int): DataFrame = {
+    val cents = centroidVectors(embeddings, embCol, idCol, k)
+    val qd = cents.map { c =>
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) {
+        val d = queryVec(i) - c(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    val probed = qd.zipWithIndex.sortBy { case (d, j) => (d, j) }
+      .take(nProbe).map(_._2.toLong)
+    ivfAssignWith(embeddings, embCol, cents)
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol), col("cell"),
+        cosine(col(embCol).cast("array<double>"), queryVec).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** exact (brute-force) near-dup pairs — the small-SF oracle twin of
     * [[lshNearDupPairs]]; at scale the LSH path replaces the cross join.
     */

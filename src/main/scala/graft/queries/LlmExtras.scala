@@ -67,6 +67,22 @@ object LlmExtras {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
+    // IVF-style ANN top-10: coarse-quantize to 8 seeded cells, probe
+    // the 3 nearest to the query, exact cosine inside them. The oracle
+    // recomputes the same codebook, assignment CASE chain, and probe
+    // ranking from the raw parquet floats, so the pruning itself is
+    // verified — not just the final distances.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Ann.ivfTopK(embs(s, dir), "embedding", "vec_id", q,
+          k = 8, nProbe = 3, topK = 10)
+        .select(col("vec_id"), col("cell"),
+          round(col("cos"), 5).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
     // embedding near-dup pairs (exact twin of the LSH path)
     "ann_near_dup" -> ((s, dir) =>
       Ann.exactNearDupPairs(embs(s, dir), "embedding", "vec_id", 0.4)
@@ -202,7 +218,63 @@ object LlmExtras {
          WHERE cos >= $threshold ORDER BY id_a, id_b"""
   }
 
+  /** Generated IVF oracle: same seed codebook (embeddings of the k
+    * smallest ids, via ORDER BY vec_id LIMIT 1 OFFSET j — no density
+    * assumption), same squared-L2 ascending fold, the same first-wins
+    * argmin CASE chain, and the same (distance, cell) probe ranking —
+    * every stage of the pruning is recomputed from the raw floats, so
+    * a wrong assignment or probe set fails the hash compare.
+    */
+  private def annIvfSql(k: Int, dim: Int, nProbe: Int,
+      topK: Int): String = {
+    val ceDefs = (0 until k).map(j =>
+      s"""(SELECT embedding FROM embeddings
+         ORDER BY vec_id LIMIT 1 OFFSET $j) AS ce$j""")
+      .mkString(",\n             ")
+    def sqd(e: String, c: String) =
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+         i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+              * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
+    val dDefs = (0 until k).map(j =>
+      s"${sqd("e.embedding", s"ce$j")} AS d$j")
+      .mkString(",\n             ")
+    val caseChain = (0 until k - 1).map { j =>
+      val conds = (j + 1 until k).map(m => s"d$j <= d$m")
+        .mkString(" AND ")
+      s"WHEN $conds THEN $j"
+    }.mkString("CASE ", "\n             ", s" ELSE ${k - 1} END")
+    val qdUnion = (0 until k).map(j =>
+      s"SELECT $j AS cid, ${sqd("qe", s"ce$j")} AS qdist FROM q, ce")
+      .mkString("\n             UNION ALL ")
+    def l2(col: String) =
+      s"""sqrt(list_sum(list_transform(range(1, ${dim + 1}),
+         i -> CAST($col[i] AS DOUBLE) * CAST($col[i] AS DOUBLE))))"""
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+                   WHERE vec_id = 0),
+         ce AS (SELECT
+             $ceDefs),
+         d AS (SELECT e.vec_id, e.embedding,
+             $dDefs
+           FROM embeddings e, ce),
+         a AS (SELECT vec_id, embedding,
+             $caseChain AS cell
+           FROM d),
+         qd AS ($qdUnion),
+         probe AS (SELECT cid FROM qd ORDER BY qdist, cid
+                   LIMIT $nProbe),
+         scored AS (SELECT a.vec_id, a.cell,
+             list_sum(list_transform(range(1, ${dim + 1}),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(qe[i] AS DOUBLE)))
+             / (${l2("a.embedding")} * ${l2("qe")}) AS cos
+           FROM a, q WHERE a.cell IN (SELECT cid FROM probe))
+         SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           round(cos, 5) AS cos
+         FROM scored ORDER BY cos DESC, vec_id LIMIT $topK"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_ivf_topk" -> annIvfSql(8, 64, 3, 10),
     "dedup_ngram_jaccard" -> exactJaccardSql,
     "dedup_minhash_lsh" -> exactJaccardSql,
     "dedup_simhash" -> simhashSql,
