@@ -92,17 +92,21 @@ object Ann {
     * table of nBits planes).
     */
   /** MALFORMED-ROW GUARD: [[graft.functions.HyperplaneSigs]] emits an
-    * ALL-ZERO signature for ragged (too-short) embeddings — correct
-    * for oracle parity, but at scale a corpus with 10⁶ malformed rows
-    * would concentrate them all in bucket 0 of every table and the
-    * candidate self-join goes quadratic. Dropping `size(emb) != dim`
-    * rows BEFORE signature generation is output-equivalent: a ragged
-    * embedding's exact-cosine verify is NULL (element_at past the end),
-    * so such rows can never appear in the result anyway.
+    * ALL-ZERO signature for too-short embeddings — correct for oracle
+    * parity, but at scale a corpus with 10⁶ malformed rows would
+    * concentrate them all in bucket 0 of every table and the candidate
+    * self-join goes quadratic. Dropping `size(emb) < dim` rows BEFORE
+    * signature generation is output-equivalent: a short embedding's
+    * exact-cosine verify is NULL (element_at past the end), so such
+    * rows can never appear in the result anyway. Longer-than-dim rows
+    * are KEPT — both signatures and the verify use their dim-prefix,
+    * exactly as before. Null-ELEMENT rows pass this filter and still
+    * share the zero bucket; [[Dedup.capBuckets]] is the backstop for
+    * that class.
     */
   private def wellFormed(embeddings: DataFrame, embCol: String,
       dim: Int): DataFrame =
-    embeddings.filter(size(col(embCol)) === dim)
+    embeddings.filter(size(col(embCol)) >= dim)
 
   def hyperplaneSignature(embeddings: DataFrame, embCol: String,
       idCol: String, nBits: Int): DataFrame = {

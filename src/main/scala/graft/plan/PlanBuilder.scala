@@ -78,8 +78,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   // survives tiny inputs too.
   private val baseLines: DataFrame = {
     val target = lines.sparkSession.sparkContext.defaultParallelism
-    if (lines.rdd.getNumPartitions * 2 <= target)
-      lines.repartition(target)
+    // probe the INITIAL physical plan, not df.rdd: under AQE, df.rdd
+    // materializes every upstream shuffle stage eagerly (running the
+    // source scan once per PlanBuilder just to read a count), while
+    // sparkPlan.execute() builds the RDD chain lazily
+    val n = scala.util.Try(
+      lines.queryExecution.sparkPlan.execute().getNumPartitions)
+      .getOrElse(1)
+    if (n * 2 <= target) lines.repartition(target)
     else lines
   }
 
@@ -781,11 +787,15 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     * programs gain proportionally more. Pair with
     * [[unpersistExtraction]] once results are collected.
     */
-  def materializeExtraction(): Unit = {
+  /** `extraReaders` counts scans of the extraction BEYOND the metric
+    * sites themselves — the streaming runner reads it again for
+    * instrumentation and once per carried-state relation, so even a
+    * single-site program re-reads it there. A lone reader total means
+    * the cache write would never pay for itself.
+    */
+  def materializeExtraction(extraReaders: Int = 0): Unit = {
     flushPending()
-    // a single-site program reads the extraction exactly once — the
-    // cache write would never pay for itself
-    if (sites.size > 1) {
+    if (sites.size + extraReaders > 1) {
       curDf = curDf.persist()
       curDf.count() // populate before branches race the cache
     }

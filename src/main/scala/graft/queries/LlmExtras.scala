@@ -267,10 +267,12 @@ object LlmExtras {
                i -> CAST(a.embedding[i] AS DOUBLE)
                     * CAST(qe[i] AS DOUBLE)))
              / (${l2("a.embedding")} * ${l2("qe")}) AS cos
-           FROM a, q WHERE a.cell IN (SELECT cid FROM probe))
+           FROM a, q WHERE a.cell IN (SELECT cid FROM probe)),
+         top AS (SELECT vec_id, cell, cos FROM scored
+                 ORDER BY cos DESC, vec_id LIMIT $topK)
          SELECT vec_id, CAST(cell AS BIGINT) AS cell,
            round(cos, 5) AS cos
-         FROM scored ORDER BY cos DESC, vec_id LIMIT $topK"""
+         FROM top"""
   }
 
   val oracle: Map[String, String] = Map(
@@ -293,9 +295,10 @@ object LlmExtras {
                     * sqrt(list_sum(list_transform(range(1, len(qe)+1),
                       i -> CAST(qe[i] AS DOUBLE)
                            * CAST(qe[i] AS DOUBLE))))) AS cos
-               FROM embeddings, q)
-         SELECT vec_id, round(cos, 5) AS cos FROM c
-         ORDER BY cos DESC, vec_id LIMIT 10""",
+               FROM embeddings, q),
+         top AS (SELECT vec_id, cos FROM c
+                 ORDER BY cos DESC, vec_id LIMIT 10)
+         SELECT vec_id, round(cos, 5) AS cos FROM top""",
     "ann_near_dup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -193,6 +193,9 @@ final class PushLineMicroBatchStream(address: String)
           n = in.read(buf)
         }
         in.close()
+        // a fifo reopens per writer: release the dead stream's entry
+        // (same long-lived-daemon leak as per-connection sockets)
+        closeables.synchronized { closeables -= in }
         go = reopenAtEof // fifo: next writer reopens; stdin: done
         if (go && !closed) Thread.sleep(50)
       }
@@ -256,17 +259,30 @@ final class PushLineMicroBatchStream(address: String)
   override def createReaderFactory(): PartitionReaderFactory =
     new PushLineReaderFactory
 
+  /** set once the restart rebase has run; later deserializations (the
+    * uncommitted batch's end offset, WAL re-reads) must not re-shift
+    * lines that already have indexes.
+    */
+  private var rebased = false
+
   override def deserializeOffset(json: String): Offset = {
     val idx = json.trim.toLong
     // Restart from a checkpoint: a fresh stream starts at base=0 while
-    // the restored offset is the previously committed index N. Rebase
-    // so the FIRST line buffered since reopen maps to index N —
-    // otherwise latestOffset stays below N until N new lines arrive
-    // and every line in between is silently dropped (unbounded loss;
-    // only in-flight pre-restart data may be lost, per the documented
-    // at-most-once contract).
+    // the restored offset is the previously committed index N. EVERY
+    // line buffered since reopen is a post-restart arrival, so the
+    // first of them maps to index N — unconditionally, even if more
+    // than N lines burst in before Spark restored the offset
+    // (otherwise latestOffset stays below N until N new lines arrive
+    // and everything in between is silently dropped). A replayed
+    // in-flight range [N, N2) then delivers the earliest post-restart
+    // lines instead of the lost pre-restart ones — each line still
+    // delivered exactly once; only in-flight pre-restart data is lost,
+    // per the documented at-most-once contract.
     lock.synchronized {
-      if (idx > base + buffer.length) base = idx
+      if (!rebased) {
+        rebased = true
+        if (idx > base) base = idx
+      }
     }
     new PushLineIndexOffset(idx)
   }

@@ -279,7 +279,16 @@ final class TailMicroBatchStream(pathPattern: String,
   override def latestOffset(): Offset = {
     val now = System.currentTimeMillis()
     val state = mutable.Map[String, FileState]()
-    TailSource.expand(pathPattern, ignoreRegex).foreach { p =>
+    val existing = TailSource.expand(pathPattern, ignoreRegex)
+    // a path deleted from disk can never resume (a recreated file is a
+    // new inode → reads from 0), so drop its tracking entries — else a
+    // dated-logrotate dir grows one driver-map entry per historical
+    // file forever
+    val keep = existing.map(_.toString).toSet
+    lastSeen.filterInPlace((p, _) => keep(p))
+    parked.filterInPlace((p, _) => keep(p))
+    resume.filterInPlace((p, _) => keep(p))
+    existing.foreach { p =>
       val path = p.toString
       val key = TailSource.fileKey(p)
       val size = Files.size(p)

@@ -153,6 +153,9 @@ object Exporters {
         case "text" => "gauge" // text is never pushed; pull shows gauge
         case other => other
       }
+      // client_golang HELP line; the reference fills it with the
+      // defining source (prometheus.go:67-68,76-77)
+      sb.append(s"# HELP $promName defined at $program\n")
       sb.append(s"# TYPE $promName $promType\n")
       cs.foreach { c =>
         val labels = (if (omitProgLabel) c.labels

@@ -163,7 +163,10 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       // relations, and instrumentation (the reference reads each line
       // once too); released at the end of the batch
       val t0 = System.nanoTime()
-      pb.materializeExtraction()
+      // +1 for instrumentation(), plus one state relation per
+      // cross-line-read metric — all scan the same extraction
+      pb.materializeExtraction(extraReaders = 1 + prog.decls.count(d =>
+        pb.readMetrics.contains(d.name)))
       val nLines =
         try processWithPlan(pb)
         finally pb.unpersistExtraction()

@@ -61,4 +61,28 @@ class PlanCheckSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") ||
       p.contains("HashJoin"), p)
   }
+
+  test("IVF assignment is one shuffle-free codegen'd projection") {
+    val e = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val df = graft.operators.Ann.ivfAssign(e, "embedding", "vec_id", 8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // map-side only: assignment must never shuffle, at any corpus size
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("*("), p) // WholeStageCodegen
+    // the codebook rides as one compact node, not an unrolled tree
+    assert(p.contains("sqdists") || p.contains("SqDists"), p)
+  }
+
+  test("IVF top-k prunes cells before the cosine work") {
+    val e = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val q = (0 until 64).map(_.toDouble)
+    val df = graft.operators.Ann.ivfTopK(e, "embedding", "vec_id", q,
+      k = 8, nProbe = 3, topK = 5)
+    val p = df.queryExecution.executedPlan.toString
+    // the cell filter sits below the top-k, and the global sort is a
+    // TakeOrdered, never a full Sort+Limit
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Filter") && p.contains("cell"), p)
+  }
 }

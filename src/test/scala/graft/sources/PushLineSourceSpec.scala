@@ -186,6 +186,37 @@ class PushLineSourceSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("burst before offset restore: all buffered lines survive the " +
+      "rebase") {
+    val probe = new DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val stream = new PushLineMicroBatchStream(s"udp://localhost:$port")
+    try {
+      Thread.sleep(300)
+      def latest(): Long = stream.latestOffset()
+        .asInstanceOf[PushLineIndexOffset].index
+      // 3 lines land BEFORE Spark restores the checkpointed offset
+      val c = new DatagramSocket()
+      val b = "a\nb\nc\n".getBytes(UTF_8)
+      c.send(new DatagramPacket(b, b.length,
+        InetAddress.getByName("localhost"), port))
+      val deadline = System.currentTimeMillis() + 10000
+      while (latest() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      // restore at 100: the buffered arrivals map to 100..102, not
+      // 0..2 (which a `idx > base+len` guard would have swallowed)
+      stream.deserializeOffset("100")
+      assert(latest() == 103)
+      val parts = stream.planInputPartitions(
+        new PushLineIndexOffset(100), new PushLineIndexOffset(103))
+      assert(parts.toSeq.flatMap(
+        _.asInstanceOf[PushLinePartition].rows.toSeq) ==
+        Seq("a", "b", "c"))
+      c.close()
+    } finally stream.stop()
+  }
+
   test("glob ignore-regex filters discovered files") {
     val dir = Files.createTempDirectory("ignoresrc")
     Files.write(dir.resolve("app.log"), "keep\n".getBytes(UTF_8))
