@@ -30,9 +30,12 @@ object Graft {
     */
   def oneShot(spark: SparkSession, programSource: String,
       programName: String, paths: Seq[String],
-      defaultYear: Int = java.time.Year.now.getValue): DataFrame = {
+      defaultYear: Int = java.time.Year.now.getValue,
+      /** -override_timezone: zone for naive strptime timestamps. */
+      overrideZone: String = "UTC"): DataFrame = {
     val prog = compile(programSource, programName)
-    new PlanBuilder(prog, LogLines.batch(spark, paths: _*), defaultYear)
+    new PlanBuilder(prog, LogLines.batch(spark, paths: _*), defaultYear,
+      overrideZone = overrideZone)
       .snapshot()
   }
 
@@ -61,9 +64,11 @@ object Graft {
       programName: String, sourcePattern: String, port: Int = 0,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       defaultYear: Int = java.time.Year.now.getValue,
-      ignoreRegex: Option[String] = None): Tail = {
+      ignoreRegex: Option[String] = None,
+      /** -override_timezone: zone for naive strptime timestamps. */
+      overrideZone: String = "UTC"): Tail = {
     val prog = compile(programSource, programName)
-    val runner = new StreamRunner(prog, spark, defaultYear)
+    val runner = new StreamRunner(prog, spark, defaultYear, overrideZone)
     val keys = prog.decls.map(d => d.exportName -> d.keys).toMap
     val server = new ExportServer(runner.store, programName, keys, port,
       internal = Some(runner.internalStore))

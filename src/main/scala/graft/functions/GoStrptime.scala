@@ -17,14 +17,24 @@ import graft.mtail.GoTime
   * (vm.go:321-330); it is fixed at plan-build time so batch replays of
   * historical logs are reproducible.
   */
-case class GoStrptime(child: Expression, layout: String, defaultYear: Int)
+case class GoStrptime(child: Expression, layout: String, defaultYear: Int,
+    zoneId: String = "UTC")
     extends UnaryExpression {
+
+  /** the reference's -override_timezone (options.go:98-109): naive
+    * timestamps are interpreted in this zone (vm.go:312-313's
+    * ParseInLocation); layouts carrying a zone directive are
+    * unaffected. Held as the zone NAME so the expression stays
+    * serializable; resolved once per task.
+    */
+  @transient private lazy val zone = java.time.ZoneId.of(zoneId)
 
   override def dataType: DataType = TimestampType
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    GoTime.parse(layout, input.asInstanceOf[UTF8String].toString, defaultYear)
+    GoTime.parse(layout, input.asInstanceOf[UTF8String].toString,
+      defaultYear, zone)
       .map(java.lang.Long.valueOf).orNull
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -32,10 +42,12 @@ case class GoStrptime(child: Expression, layout: String, defaultYear: Int)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val layoutRef = ctx.addReferenceObj("layout", layout, "java.lang.String")
+    val zoneRef = ctx.addReferenceObj("zone", zone, "java.time.ZoneId")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |scala.Option<Object> r = graft.mtail.GoTime$$.MODULE$$.parse(
-         |  (String) $layoutRef, $c.toString(), $defaultYear);
+         |  (String) $layoutRef, $c.toString(), $defaultYear,
+         |  (java.time.ZoneId) $zoneRef);
          |if (r.isEmpty()) { ${ev.isNull} = true; }
          |else { ${ev.value} = ((java.lang.Long) r.get()).longValue(); }
        """.stripMargin
@@ -44,8 +56,11 @@ case class GoStrptime(child: Expression, layout: String, defaultYear: Int)
 }
 
 object GoStrptime {
-  def apply(s: Column, layout: String, defaultYear: Int): Column =
+  // no default here: two overloaded applys (this and the case-class
+  // one) may not both carry defaults
+  def apply(s: Column, layout: String, defaultYear: Int,
+      zoneId: String): Column =
     org.apache.spark.sql.GraftBridge.column(
       GoStrptime(org.apache.spark.sql.GraftBridge.expression(s), layout,
-        defaultYear))
+        defaultYear, zoneId))
 }

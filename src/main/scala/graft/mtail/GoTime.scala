@@ -22,9 +22,16 @@ object GoTime {
   /** Parse `value` with Go layout `layout`.
     * @param defaultYear year substituted when the layout has no year
     *        (mtail's yearless-syslog patch adds the current year).
+    * @param zone the reference's -override_timezone
+    *        (`internal/mtail/options.go:98-109` → ParseInLocation,
+    *        vm.go:312-313): a timestamp WITHOUT any zone indicator in
+    *        its layout is interpreted in this zone (DST-aware); UTC by
+    *        default like Go's plain time.Parse. Layouts that carry a
+    *        zone directive keep their parsed offset.
     * @return epoch MICROSECONDS (UTC) or None on mismatch.
     */
-  def parse(layout: String, value: String, defaultYear: Int): Option[Long] = {
+  def parse(layout: String, value: String, defaultYear: Int,
+      zone: java.time.ZoneId = ZoneOffset.UTC): Option[Long] = {
     var li = 0
     var vi = 0
     var year = 0; var hasYear = false
@@ -33,6 +40,7 @@ object GoTime {
     var hour12 = -1
     var pm = -1 // 0=AM 1=PM
     var offsetSec = 0
+    var hasZone = false
 
     def num(maxDigits: Int, fixed: Boolean, spacePad: Boolean): Option[Int] = {
       var s = 0
@@ -157,21 +165,24 @@ object GoTime {
         val zform = rest.take(6); adv(6)
         ok = parseOffset(value, vi, colon = true,
           zulu = zform.startsWith("Z")) match {
-          case Some((off, nvi)) => offsetSec = off; vi = nvi; true
+          case Some((off, nvi)) =>
+            offsetSec = off; hasZone = true; vi = nvi; true
           case None => false
         }
       } else if (rest.startsWith("-0700") || rest.startsWith("Z0700")) {
         val zform = rest.take(5); adv(5)
         ok = parseOffset(value, vi, colon = false,
           zulu = zform.startsWith("Z")) match {
-          case Some((off, nvi)) => offsetSec = off; vi = nvi; true
+          case Some((off, nvi)) =>
+            offsetSec = off; hasZone = true; vi = nvi; true
           case None => false
         }
       } else if (rest.startsWith("-07")) {
         adv(3)
         ok = parseOffset(value, vi, colon = false, zulu = false,
           hourOnly = true) match {
-          case Some((off, nvi)) => offsetSec = off; vi = nvi; true
+          case Some((off, nvi)) =>
+            offsetSec = off; hasZone = true; vi = nvi; true
           case None => false
         }
       } else if (rest.startsWith("MST")) {
@@ -183,6 +194,7 @@ object GoTime {
           (value(vi).isLetter || value(vi) == '+' || value(vi) == '-' ||
             (vi > start && value(vi).isDigit))) vi += 1
         ok = vi > start
+        if (ok) hasZone = true
       } else if (rest.startsWith(".000") || rest.startsWith(".999")) {
         var e = li + 1
         val c = layout(li + 1)
@@ -242,7 +254,12 @@ object GoTime {
     try {
       val ldt = LocalDateTime.of(effYear, month, day, hour, min, sec,
         nanos)
-      val epochSec = ldt.toEpochSecond(ZoneOffset.ofTotalSeconds(offsetSec))
+      // no zone indicator in the layout → ParseInLocation semantics:
+      // interpret the wall-clock time in the override zone (DST-aware
+      // via the zone rules); a parsed offset always wins
+      val epochSec =
+        if (hasZone) ldt.toEpochSecond(ZoneOffset.ofTotalSeconds(offsetSec))
+        else ldt.atZone(zone).toEpochSecond
       Some(epochSec * 1000000L + nanos / 1000L)
     } catch {
       case _: Exception => None

@@ -62,7 +62,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       * of in-flight sessions stay partitioned across executors; AQE
       * picks broadcast vs shuffle join from the state's actual size).
       */
-    initialState: Map[String, DataFrame] = Map.empty) {
+    initialState: Map[String, DataFrame] = Map.empty,
+    /** the reference's -override_timezone (options.go:98-109): naive
+      * strptime timestamps are interpreted in this zone. "UTC" =
+      * Go's plain time.Parse, the default.
+      */
+    overrideZone: String = "UTC") {
 
   import Ir._
 
@@ -343,7 +348,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         val execCond = cond && stopGuard
         val parsedTs = materialize(GoStrptime(
           exprColumn(arg, frames, timeReg, seq).cast(StringType),
-          layout, defaultYear), "strp")
+          layout, defaultYear, overrideZone), "strp")
         timeReg = when(execCond && parsedTs.isNotNull, parsedTs)
           .otherwise(timeReg)
         // a failed strptime is a runtime error → abort the line

@@ -14,7 +14,7 @@ import graft.mtail.Ir
   * programs don't re-read the source N times, then released.
   */
 final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
-    defaultYear: Int) {
+    defaultYear: Int, overrideZone: String = "UTC") {
 
   require(programs.map(_.name).distinct.size == programs.size,
     "duplicate program names: every program needs a distinct name " +
@@ -22,7 +22,7 @@ final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
 
   val runners: Map[String, StreamRunner] =
     programs.map(p => p.name -> new StreamRunner(p, spark,
-      defaultYear)).toMap
+      defaultYear, overrideZone)).toMap
 
   def start(lines: DataFrame,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),

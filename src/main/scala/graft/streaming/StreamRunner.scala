@@ -32,7 +32,10 @@ import graft.plan.PlanBuilder
   * shuffles as batch mode; only aggregated cells reach the driver store.
   */
 final class StreamRunner(program: Ir.Program, spark: SparkSession,
-    defaultYear: Int) {
+    defaultYear: Int,
+    /** the reference's -override_timezone: naive strptime timestamps
+      * are interpreted in this zone (options.go:98-109). */
+    overrideZone: String = "UTC") {
 
   /** current program; swapped atomically by [[reload]] between
     * microbatches (the reference's SIGHUP reload,
@@ -94,7 +97,8 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
     try {
       val probe = graft.mtail.LogLines.fromLines(
         spark.range(0).selectExpr("CAST('' AS STRING) AS line"), "line")
-      val pb = new PlanBuilder(newProgram, probe, defaultYear)
+      val pb = new PlanBuilder(newProgram, probe, defaultYear,
+        overrideZone = overrideZone)
       carriedState = carriedState.filter { case (m, sdf) =>
         newProgram.decls.exists(_.name == m) &&
           sdf.schema("v").dataType == pb.metricType(m)
@@ -158,7 +162,7 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
             struct(col("filename").as("f"), col("off").as("o"))
           else monotonically_increasing_id())
       val pb = new PlanBuilder(prog, withCols, defaultYear,
-        carriedState)
+        carriedState, overrideZone)
       // one scan of the batch feeds every metric branch, the state
       // relations, and instrumentation (the reference reads each line
       // once too); released at the end of the batch

@@ -30,6 +30,27 @@ class GraftSpec extends SparkSpec {
     assert(cells(("by_op", Map("op" -> "get"))) == 2L)
   }
 
+  test("oneShot honors -override_timezone for naive strptime times") {
+    val tzSrc =
+      """gauge last_seen
+        |/^(?P<d>\d+\/\d+\/\d+ \d+:\d+:\d+) x$/ {
+        |  strptime($d, "2006/01/02 15:04:05")
+        |  last_seen = timestamp()
+        |}
+        |""".stripMargin
+    val dir = Files.createTempDirectory("grafttz")
+    Files.write(dir.resolve("a.log"),
+      "2021/01/15 12:00:00 x\n".getBytes(UTF_8))
+    def lastSeen(zone: String): Long =
+      Graft.oneShot(spark, tzSrc, "tz.mtail", Seq(s"$dir/*.log"),
+          overrideZone = zone)
+        .filter(org.apache.spark.sql.functions.col("name") ===
+          "last_seen")
+        .head().getAs[Long]("ival")
+    // noon naive: UTC reads it as 12:00Z; New York (EST) as 17:00Z
+    assert(lastSeen("America/New_York") - lastSeen("UTC") == 5 * 3600L)
+  }
+
   test("tail: daemon mode serves /metrics and reloads") {
     val dir = Files.createTempDirectory("grafttail")
     Files.write(dir.resolve("t.log"), "get 1\n".getBytes(UTF_8))

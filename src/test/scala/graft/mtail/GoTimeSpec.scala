@@ -65,4 +65,22 @@ class GoTimeSpec extends AnyFunSuite {
     assert(GoTime.parse("2006/01/02 15:04:05", "2011/02/22", 0).isEmpty)
     assert(GoTime.parse("01/02", "13/22", 0).isEmpty) // month 13
   }
+
+  test("override zone: naive timestamps use ParseInLocation semantics") {
+    val ny = java.time.ZoneId.of("America/New_York")
+    // winter (EST, -05:00) and summer (EDT, -04:00) — DST-aware
+    assert(GoTime.parse("2006/01/02 15:04:05", "2021/01/15 12:00:00", 0,
+      ny).contains(utc("2021-01-15T17:00:00Z")))
+    assert(GoTime.parse("2006/01/02 15:04:05", "2021/07/15 12:00:00", 0,
+      ny).contains(utc("2021-07-15T16:00:00Z")))
+    // a layout WITH a zone directive keeps its parsed offset — the
+    // override only applies to naive timestamps (vm.go:312-313)
+    assert(GoTime.parse("2006-01-02T15:04:05-07:00",
+      "2021-01-15T12:00:00+02:00", 0, ny)
+      .contains(utc("2021-01-15T10:00:00Z")))
+    // named-zone layout (MST) consumes a name: still counts as a zone
+    // indicator, offset 0 like Go when the name is unknown
+    assert(GoTime.parse("Jan _2 15:04:05 MST", "Jul 15 12:00:00 XYZ",
+      2021, ny).contains(utc("2021-07-15T12:00:00Z")))
+  }
 }
