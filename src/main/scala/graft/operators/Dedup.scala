@@ -88,12 +88,6 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "na", "nb")
   }
 
-  /** deterministic hash family over a base 64-bit hash: re-hash with the
-    * family index as a seed column (overflow-free under ANSI mode).
-    */
-  private def hashFamily(base: Column, i: Int): Column =
-    xxhash64(lit(i), base)
-
   /** SKEW GUARD for bucket-local self-joins: a bucket holding K rows
     * yields K² candidate pairs, so one degenerate bucket — boilerplate
     * documents sharing every band, or malformed rows concentrating in a
@@ -117,16 +111,19 @@ object Dedup {
       rows.join(small, keyCols)
     }
 
-  /** MinHash signatures: k columns sig_0..sig_{k-1} per id.
-    * One explode + k map-side mins — a single shuffle on id.
+  /** MinHash signatures: k columns sig_0..sig_{k-1} per id, computed
+    * in ONE map-side pass by [[graft.functions.MinHashSigs]] —
+    * bit-identical to the former explode + groupBy(id) + k×min shape,
+    * which shuffled one row per gram. No shuffle at any corpus size;
+    * gram-less docs are dropped like the groupBy dropped them.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame = {
-    val grams = gramHashes(docs, idCol, textCol, n)
-    val mins = (0 until k).map(i =>
-      min(hashFamily(col("gh"), i)).as(s"sig_$i"))
-    grams.groupBy("id").agg(mins.head, mins.tail: _*)
-  }
+      n: Int, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.MinHashSigs(col(textCol), n, k).as("__sigs"))
+      .filter(col("__sigs").isNotNull)
+      .select(col("id") +: (0 until k).map(i =>
+        element_at(col("__sigs"), i + 1).as(s"sig_$i")): _*)
 
   /** MinHash+LSH near-dup candidate pairs verified by exact Jaccard.
     * bands × rowsPerBand must equal k. Probability a pair with true
@@ -173,40 +170,27 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "na", "nb")
   }
 
-  /** 16-bit token sub-hash for SimHash band `b` (0..3): hex chars
-    * [1+4b, 4+4b] of md5(token). md5 produces identical output in Spark
-    * and DuckDB, so the correctness oracle reproduces fingerprints
-    * bit-for-bit — unlike xxhash64, which only Spark can compute.
-    * Both md5 and conv are codegen'd, so the hot path stays in
-    * whole-stage codegen.
-    */
-  private def tokenBandHash(tok: Column, b: Int): Column =
-    conv(substring(md5(tok), 1 + 4 * b, 4), 16, 10).cast("long")
-
   /** SimHash fingerprint as 4 × 16-bit band columns band_0..band_3:
     * bit j of band b is the sign of Σ_tokens (±1 per bit j of the
     * token's band-b sub-hash). Keeping the fingerprint banded (instead
     * of one 64-bit word) gives the LSH join its bucket key directly and
     * avoids 1<<63 signed-overflow asymmetries between engines.
+    *
+    * One pass, NO shuffle: [[graft.functions.SimHashBands]] tokenizes,
+    * hashes, and majority-votes inside the projection — hash-identical
+    * to the former explode(split) → md5-band columns → 64-sum groupBy
+    * shape (which shuffled one row per TOKEN), with token-less docs
+    * dropped like the groupBy dropped them. At 100 TB fingerprinting
+    * is now a map-only scan; the banded candidate join is the
+    * pipeline's only shuffle.
     */
   def simhashBands(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(split(col(textCol), "\\s+")).as("tok"))
-      .filter(col("tok") =!= "")
-    val withH = toks.select(col("id") +: (0 until 4).map(b =>
-      tokenBandHash(col("tok"), b).as(s"h$b")): _*)
-    val bitSums = for { b <- 0 until 4; j <- 0 until 16 } yield
-      sum(when(shiftright(col(s"h$b"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s_${b}_$j")
-    val summed = withH.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val bandCols = (0 until 4).map { b =>
-      (0 until 16).map { j =>
-        when(col(s"s_${b}_$j") > 0, lit(1L << j)).otherwise(0L)
-      }.reduceLeft(_ + _).as(s"band_$b")
-    }
-    summed.select(col("id") +: bandCols: _*)
-  }
+      : DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.SimHashBands(col(textCol)).as("__bands"))
+      .filter(col("__bands").isNotNull)
+      .select(col("id") +: (0 until 4).map(b =>
+        element_at(col("__bands"), b + 1).as(s"band_$b")): _*)
 
   /** combined 64-bit SimHash (band_3 .. band_0 packed high-to-low). */
   def simhash64(docs: DataFrame, idCol: String, textCol: String)
