@@ -170,6 +170,45 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "na", "nb")
   }
 
+  /** Near-duplicate CANONICALIZATION — the step that actually dedups a
+    * corpus once pairs are known: connected components over the
+    * similar-pair graph, labelling every document with the smallest id
+    * in its component (`canonical`); keeping rows where
+    * `doc_id = canonical` yields the deduplicated corpus.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum label among itself and its neighbours, localCheckpoint'ed
+    * so round N's plan never re-derives rounds 0..N-1, until a round
+    * changes nothing. Rounds needed = component diameter — near-dup
+    * clusters are shallow (boilerplate families, O(1)-ish), so this
+    * terminates in a handful of small-key shuffle rounds at any corpus
+    * size; the alternating star-contraction variant drops in for
+    * adversarially long chains.
+    */
+  def canonicalIds(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("lbl").as("nlbl"))
+      val updated = labels.join(viaNbr, col("id") === col("src"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
+            .as("nextLbl"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("nextLbl") < col("lbl")).count()
+      labels = updated.select(col("id"), col("nextLbl").as("lbl"))
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("canonical"))
+  }
+
   /** SimHash fingerprint as 4 × 16-bit band columns band_0..band_3:
     * bit j of band b is the sign of Σ_tokens (±1 per bit j of the
     * token's band-b sub-hash). Keeping the fingerprint banded (instead

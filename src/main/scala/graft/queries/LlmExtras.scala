@@ -38,6 +38,17 @@ object LlmExtras {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
+    // near-dup canonicalization: connected components over the exact
+    // Jaccard pair graph — every document labelled with the smallest
+    // id in its component. The oracle computes the same components via
+    // a recursive-CTE transitive closure, so the clustering itself is
+    // hash-verified.
+    "dedup_near_cluster" -> ((s, dir) =>
+      Dedup.canonicalIds(docs(s, dir), "doc_id",
+          Dedup.exactJaccardPairs(docs(s, dir), "doc_id", "text",
+            3, 1, 2))
+        .orderBy("doc_id")),
+
     // SimHash near-dups within Hamming distance 3. The md5-band hash
     // family is computable in DuckDB, so the oracle reproduces the
     // fingerprints bit-for-bit.
@@ -275,7 +286,35 @@ object LlmExtras {
          FROM top"""
   }
 
+  /** Near-dup clustering oracle: the exact-Jaccard pair graph (same
+    * CTEs as [[exactJaccardSql]]) closed transitively with a recursive
+    * CTE; canonical = min reachable id. Bidirectional edges make the
+    * reachable-set minimum equal the connected-component minimum.
+    */
+  private val nearClusterSql =
+    """WITH RECURSIVE w AS (SELECT doc_id AS id,
+               string_split_regex(text, '\s+') AS ws FROM documents),
+         g AS (SELECT DISTINCT id,
+                 ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+               FROM w, UNNEST(range(greatest(len(ws)-2, 0))) AS t(i)),
+         s AS (SELECT id, count(*) AS nset FROM g GROUP BY id),
+         c AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS common
+               FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+               GROUP BY 1, 2),
+         p AS (SELECT doc_a, doc_b FROM c
+               JOIN s sa ON sa.id = doc_a JOIN s sb ON sb.id = doc_b
+               WHERE 2 * common >= (sa.nset + sb.nset - common)),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical
+         FROM reach GROUP BY id ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
+    "dedup_near_cluster" -> nearClusterSql,
     "ann_ivf_topk" -> annIvfSql(8, 64, 3, 10),
     "dedup_ngram_jaccard" -> exactJaccardSql,
     "dedup_minhash_lsh" -> exactJaccardSql,

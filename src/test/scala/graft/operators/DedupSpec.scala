@@ -113,6 +113,24 @@ class DedupSpec extends SparkSpec {
     assert(!cappedSim.exists(p => p._1 <= 60L && p._2 <= 60L))
   }
 
+  test("canonicalIds labels every component with its min id") {
+    // components: {1,2,3} (via 1-2, 2-3 chain), {4,5}, {6} isolated
+    val nodes = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val canon = Dedup.canonicalIds(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // a longer chain exercises multiple propagation rounds
+    val chain = (1L to 10L).map(i => (i, "x")).toDF("doc_id", "text")
+    val chainPairs = (1L until 10L).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val canon2 = Dedup.canonicalIds(chain, "doc_id", chainPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(canon2.values.forall(_ == 1L))
+  }
+
   test("LSH recall matches exact jaccard on the real documents table") {
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")
     val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 1, 2)
