@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.mtail.{Frontend, Ir, LogLines}
+import graft.mtail.{Frontend, Ir, LogLines, Snapshot}
 import graft.plan.PlanBuilder
 import graft.sources.LogSources
-import graft.streaming.{ExportServer, PushExporter, StreamRunner}
+import graft.streaming.{ExportServer, Exporters, PushExporter,
+  StreamRunner}
 
 /** User-facing facade — the library shape of the reference binary's two
   * modes (`mtail -one_shot` and the daemon): compile `.mtail` source,
@@ -37,6 +38,28 @@ object Graft {
     new PlanBuilder(prog, LogLines.batch(spark, paths: _*), defaultYear,
       overrideZone = overrideZone)
       .snapshot()
+  }
+
+  /** `mtail -one_shot -one_shot_format={json,prometheus}`
+    * (cmd/mtail/main.go:244-276): one-shot run rendered in the
+    * requested debug format — json is the store dump shape
+    * (store.WriteMetrics), prometheus the text exposition.
+    */
+  def oneShotExport(spark: SparkSession, programSource: String,
+      programName: String, paths: Seq[String], format: String = "json",
+      defaultYear: Int = java.time.Year.now.getValue,
+      overrideZone: String = "UTC"): String = {
+    // reject a typo'd format BEFORE compiling and scanning the logs
+    require(format == "json" || format == "prometheus",
+      s"unsupported format: '$format' (json|prometheus)")
+    val prog = compile(programSource, programName)
+    val cells = Snapshot.collect(
+      new PlanBuilder(prog, LogLines.batch(spark, paths: _*),
+        defaultYear, overrideZone = overrideZone).snapshot())
+    if (format == "json")
+      Exporters.json(cells, programName,
+        prog.decls.map(d => d.exportName -> d.keys).toMap)
+    else Exporters.prometheus(cells, programName)
   }
 
   /** Daemon mode handle: the runner (stores), streaming query, pull

@@ -63,11 +63,19 @@ case class SimHashBands(child: Expression) extends UnaryExpression {
 
 object SimHashBands {
 
+  /** per-task digest instance: getInstance does a JCA provider lookup
+    * per call, which the hot fingerprint path should pay once, not
+    * once per document.
+    */
+  private val localMd =
+    ThreadLocal.withInitial[MessageDigest](() =>
+      MessageDigest.getInstance("MD5"))
+
   /** shared by interpreted and codegen paths; null = no tokens. */
   def compute(text: String): GenericArrayData = {
     val toks = text.split("\\s+", -1)
     val sums = new Array[Int](64) // [band*16 + bit]
-    val md = MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     var any = false
     var t = 0
     while (t < toks.length) {

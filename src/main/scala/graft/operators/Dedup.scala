@@ -43,6 +43,17 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       explode(graft.functions.GramHashes(col(textCol), n)).as("gh"))
 
+  /** (id, nset): distinct-gram set sizes, map-side — the GramHashes
+    * array is already distinct, so its length IS the set size; docs
+    * with no grams drop exactly like a groupBy-count would drop them.
+    */
+  private def gramSetSizes(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(graft.functions.GramHashes(col(textCol), n))
+        .cast("long").as("nset"))
+      .filter(col("nset") > 0)
+
   /** Exact n-gram Jaccard similar pairs: every (a < b) with
     * |A∩B| / |A∪B| ≥ num/den, computed via a gram-join (shuffle key =
     * gram hash, never the text).
@@ -70,7 +81,11 @@ object Dedup {
           .select("gh")
         allGrams.join(rare, "gh")
       }
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("nset"))
+    // set sizes: map-side when grams are uncapped; the df-capped
+    // variant must count the FILTERED gram set, so it keeps the agg
+    val sizes =
+      if (maxDocFreq <= 0) gramSetSizes(docs, idCol, textCol, n)
+      else grams.groupBy("id").agg(count(lit(1)).as("nset"))
     val a = grams.as("a")
     val b = grams.as("b")
     val common = a.join(b, col("a.gh") === col("b.gh") &&
@@ -151,9 +166,9 @@ object Dedup {
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .distinct()
     // exact verify on candidates only (64-bit gram hashes, like
-    // exactJaccardPairs)
+    // exactJaccardPairs); set sizes map-side from the gram-array length
     val grams = gramHashes(docs, idCol, textCol, n)
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("nset"))
+    val sizes = gramSetSizes(docs, idCol, textCol, n)
     val ga = grams.toDF("doc_a", "gram_a")
     val gb = grams.toDF("doc_b2", "gram_b")
     candidates
@@ -180,13 +195,13 @@ object Dedup {
     * minimum label among itself and its neighbours, localCheckpoint'ed
     * so round N's plan never re-derives rounds 0..N-1, until a round
     * changes nothing. Rounds needed = component diameter — near-dup
-    * clusters are shallow (boilerplate families, O(1)-ish), so this
-    * terminates in a handful of small-key shuffle rounds at any corpus
-    * size; the alternating star-contraction variant drops in for
-    * adversarially long chains.
+    * clusters are shallow (boilerplate families, O(1)-ish). `maxRounds`
+    * fails LOUDLY on adversarially long chains (a 10⁵-link path would
+    * otherwise drive 10⁵ shuffle rounds); raising it is safe, but a
+    * corpus that deep wants a star-contraction implementation instead.
     */
   def canonicalIds(docs: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"),
@@ -195,7 +210,14 @@ object Dedup {
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"canonicalIds did not converge in $maxRounds rounds — " +
+            "component diameter exceeds the cap; raise maxRounds or " +
+            "use a star-contraction variant for chain-shaped graphs")
+      rounds += 1
       val viaNbr = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nlbl"))
       val updated = labels.join(viaNbr, col("id") === col("src"), "left")

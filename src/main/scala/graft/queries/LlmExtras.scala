@@ -113,13 +113,12 @@ object LlmExtras {
         .orderBy("format"))
   )
 
-  /** exact n-gram Jaccard pair SQL — also the oracle for the MinHash+
-    * LSH path: its verify stage is exact, so output ⊆ exact pairs, and
-    * recall is 100% on the fixture (deterministic signatures; pinned by
-    * DedupSpec's recall test).
+  /** shared gram/size/common CTEs (trigram shingles, 1/2 threshold) —
+    * ONE definition feeding both the pair oracle and the clustering
+    * oracle, so the constants cannot silently diverge.
     */
-  private val exactJaccardSql =
-    """WITH w AS (SELECT doc_id AS id,
+  private val jaccardCtes =
+    """w AS (SELECT doc_id AS id,
                string_split_regex(text, '\s+') AS ws FROM documents),
          g AS (SELECT DISTINCT id,
                  ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
@@ -127,7 +126,15 @@ object LlmExtras {
          s AS (SELECT id, count(*) AS nset FROM g GROUP BY id),
          c AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS common
                FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
-               GROUP BY 1, 2)
+               GROUP BY 1, 2)"""
+
+  /** exact n-gram Jaccard pair SQL — also the oracle for the MinHash+
+    * LSH path: its verify stage is exact, so output ⊆ exact pairs, and
+    * recall is 100% on the fixture (deterministic signatures; pinned by
+    * DedupSpec's recall test).
+    */
+  private val exactJaccardSql =
+    s"""WITH $jaccardCtes
          SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
               CAST(sa.nset AS BIGINT) AS na, CAST(sb.nset AS BIGINT) AS nb
          FROM c JOIN s sa ON sa.id = doc_a JOIN s sb ON sb.id = doc_b
@@ -292,15 +299,7 @@ object LlmExtras {
     * reachable-set minimum equal the connected-component minimum.
     */
   private val nearClusterSql =
-    """WITH RECURSIVE w AS (SELECT doc_id AS id,
-               string_split_regex(text, '\s+') AS ws FROM documents),
-         g AS (SELECT DISTINCT id,
-                 ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
-               FROM w, UNNEST(range(greatest(len(ws)-2, 0))) AS t(i)),
-         s AS (SELECT id, count(*) AS nset FROM g GROUP BY id),
-         c AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS common
-               FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
-               GROUP BY 1, 2),
+    s"""WITH RECURSIVE $jaccardCtes,
          p AS (SELECT doc_a, doc_b FROM c
                JOIN s sa ON sa.id = doc_a JOIN s sb ON sb.id = doc_b
                WHERE 2 * common >= (sa.nset + sb.nset - common)),

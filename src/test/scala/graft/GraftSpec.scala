@@ -30,6 +30,23 @@ class GraftSpec extends SparkSpec {
     assert(cells(("by_op", Map("op" -> "get"))) == 2L)
   }
 
+  test("oneShotExport renders json and prometheus formats") {
+    val dir = Files.createTempDirectory("graftfmt")
+    Files.write(dir.resolve("a.log"),
+      "get 1\nput 2\nget 3\n".getBytes(UTF_8))
+    val json = Graft.oneShotExport(spark, src, "facade.mtail",
+      Seq(s"$dir/*.log"), format = "json")
+    assert(json.contains("\"Name\": \"lines_total\"") &&
+      json.contains("\"Value\": 3"))
+    val prom = Graft.oneShotExport(spark, src, "facade.mtail",
+      Seq(s"$dir/*.log"), format = "prometheus")
+    assert(prom.contains("# TYPE by_op counter") &&
+      prom.contains("""by_op{op="get",prog="facade.mtail"} 2"""))
+    intercept[IllegalArgumentException] {
+      Graft.oneShotExport(spark, src, "f", Seq(), format = "varz")
+    }
+  }
+
   test("oneShot honors -override_timezone for naive strptime times") {
     val tzSrc =
       """gauge last_seen
