@@ -189,8 +189,12 @@ object Frontend {
     private val defs = mutable.Map[String, Seq[Stmt]]()
     private val consts = mutable.Map[String, String]()
 
-    private def cur: Tok = toks(p)
-    private def advance(): Tok = { val t = toks(p); p += 1; t }
+    // clamp to the TEOF sentinel: a parse error right after consuming
+    // the last token (e.g. parsePrimary advancing onto EOF) must report
+    // the typed error, not crash the error reporter with an
+    // IndexOutOfBounds (found by FrontendPropSpec's fuzz sweep)
+    private def cur: Tok = toks(math.min(p, toks.length - 1))
+    private def advance(): Tok = { val t = cur; p += 1; t }
     private def skipNLs(): Unit =
       while (cur.isInstanceOf[TNL]) p += 1
     private def fail(msg: String): Nothing =

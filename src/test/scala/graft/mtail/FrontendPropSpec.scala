@@ -180,6 +180,47 @@ class FrontendPropSpec extends SparkSpec {
     assert(compiled >= 990, s"only $compiled/1000 compiled")
   }
 
+  test("arbitrary and mutated input never crashes the frontend") {
+    // the reference's fuzz target feeds raw bytes through the compiler
+    // asserting no panic (fuzz.go:27-61); same contract here — any
+    // input either compiles or raises the typed compile error
+    val params = Gen.Parameters.default
+    var seed = Seed(7L)
+    val junk = Gen.listOf(Gen.choose(0.toChar, 127.toChar))
+      .map(_.mkString)
+    val template = declsBlock + constUse + decoratorBlock +
+      "@deco {\n  c1[$s] += $x\n}\n/val=(?P<x>\\d+) tag=(?P<s>\\w+)/ " +
+      "{\n  h0 = $x\n  del c1[$s] after 72h\n}\n"
+    // mutate a valid program: flip a few characters to random bytes
+    val mutated = for {
+      n <- Gen.choose(1, 6)
+      flips <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, template.length - 1), Gen.choose(0.toChar, 127.toChar)))
+    } yield flips.foldLeft(template) { case (t, (i, c)) =>
+      t.updated(i, c)
+    }
+    def tryCompile(src: String, i: Int): Unit =
+      try { compile(src); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          val esc = src.map(c =>
+            if (c >= ' ' && c <= '~') c.toString
+            else "\\u%04x".format(c.toInt)).mkString
+          e.printStackTrace()
+          fail(s"fuzz case $i crashed with ${e.getClass.getName}: " +
+            s"${e.getMessage}\n--- escaped source:\n$esc", e)
+      }
+    (1 to 1000).foreach { i =>
+      tryCompile(junk.pureApply(params, seed), i)
+      seed = seed.next
+    }
+    (1 to 1000).foreach { i =>
+      tryCompile(mutated.pureApply(params, seed), 1000 + i)
+      seed = seed.next
+    }
+  }
+
   test("100-site program plans linearly (no expression blow-up)") {
     // postfix.mtail-scale program: 100 blocks, each a pattern cond
     // with a keyed counter, a gauge write, and an expr sub-cond
