@@ -53,9 +53,8 @@ object Graft {
     require(format == "json" || format == "prometheus",
       s"unsupported format: '$format' (json|prometheus)")
     val prog = compile(programSource, programName)
-    val cells = Snapshot.collect(
-      new PlanBuilder(prog, LogLines.batch(spark, paths: _*),
-        defaultYear, overrideZone = overrideZone).snapshot())
+    val cells = Snapshot.collect(oneShot(spark, programSource,
+      programName, paths, defaultYear, overrideZone))
     if (format == "json")
       Exporters.json(cells, programName,
         prog.decls.map(d => d.exportName -> d.keys).toMap)

@@ -41,6 +41,7 @@ object GoTime {
     var pm = -1 // 0=AM 1=PM
     var offsetSec = 0
     var hasZone = false
+    var zoneName: String = null // abbreviation consumed by an MST layout
 
     def num(maxDigits: Int, fixed: Boolean, spacePad: Boolean): Option[Int] = {
       var s = 0
@@ -194,7 +195,7 @@ object GoTime {
           (value(vi).isLetter || value(vi) == '+' || value(vi) == '-' ||
             (vi > start && value(vi).isDigit))) vi += 1
         ok = vi > start
-        if (ok) hasZone = true
+        if (ok) { hasZone = true; zoneName = value.substring(start, vi) }
       } else if (rest.startsWith(".000") || rest.startsWith(".999")) {
         var e = li + 1
         val c = layout(li + 1)
@@ -256,14 +257,43 @@ object GoTime {
         nanos)
       // no zone indicator in the layout → ParseInLocation semantics:
       // interpret the wall-clock time in the override zone (DST-aware
-      // via the zone rules); a parsed offset always wins
+      // via the zone rules); a parsed numeric offset always wins; a
+      // zone ABBREVIATION known to the override location resolves to
+      // that location's offset (Go's lookupName inside
+      // ParseInLocation) and otherwise stays 0 like plain time.Parse
       val epochSec =
-        if (hasZone) ldt.toEpochSecond(ZoneOffset.ofTotalSeconds(offsetSec))
-        else ldt.atZone(zone).toEpochSecond
+        if (hasZone) {
+          val abbrevOffset = Option(zoneName)
+            .filter(n => n != "UTC" && n != "GMT")
+            .flatMap(abbrevOffsetIn(_, zone))
+          abbrevOffset match {
+            case Some(off) => ldt.toEpochSecond(
+              ZoneOffset.ofTotalSeconds(off))
+            case None =>
+              ldt.toEpochSecond(ZoneOffset.ofTotalSeconds(offsetSec))
+          }
+        } else ldt.atZone(zone).toEpochSecond
       Some(epochSec * 1000000L + nanos / 1000L)
     } catch {
       case _: Exception => None
     }
+  }
+
+  /** offset seconds for a zone ABBREVIATION if the override location
+    * uses it (its standard or daylight short name) — the Go
+    * `Location.lookupName` step of ParseInLocation; None for names the
+    * location doesn't use (Go then keeps offset 0 with the name).
+    */
+  private def abbrevOffsetIn(name: String,
+      zone: java.time.ZoneId): Option[Int] = {
+    if (zone == ZoneOffset.UTC) return None
+    val tz = java.util.TimeZone.getTimeZone(zone)
+    if (name == tz.getDisplayName(false, java.util.TimeZone.SHORT))
+      Some(tz.getRawOffset / 1000)
+    else if (tz.useDaylightTime &&
+      name == tz.getDisplayName(true, java.util.TimeZone.SHORT))
+      Some((tz.getRawOffset + tz.getDSTSavings) / 1000)
+    else None
   }
 
   private def parseOffset(value: String, vi0: Int, colon: Boolean,

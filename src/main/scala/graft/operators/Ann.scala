@@ -33,9 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** embedding dimension, read from one row (plan-build-time constant). */
+  /** embedding dimension, read from one non-null row (plan-build-time
+    * constant).
+    */
   def dimOf(embeddings: DataFrame, embCol: String): Int =
-    embeddings.select(size(col(embCol))).head().getInt(0)
+    embeddings.filter(col(embCol).isNotNull)
+      .select(size(col(embCol))).head().getInt(0)
 
   private def dot(a: Column, b: Column, dim: Int): Column =
     (1 to dim).map(i => element_at(a, i) * element_at(b, i))
@@ -194,18 +197,27 @@ object Ann {
 
   // ---------- IVF-style coarse quantization ----------
 
-  /** The k seed centroid vectors: embeddings of the k smallest ids,
-    * collected at plan-build time (k rows, like [[dimOf]]'s one-row
-    * read). A deterministic seed codebook keeps the whole pipeline —
-    * and its DuckDB oracle — reproducible; a Lloyd-refined codebook
+  /** The k seed centroid vectors: embeddings of the k smallest ids
+    * WITH well-formed (non-null, full-dimension) embeddings, collected
+    * at plan-build time (k rows, like [[dimOf]]'s one-row read) — one
+    * malformed row among the lowest ids must not crash or skew the
+    * codebook. A deterministic seed codebook keeps the whole pipeline
+    * — and its DuckDB oracle — reproducible; a Lloyd-refined codebook
     * drops in by replacing this function without touching the assign /
     * probe / verify plumbing.
     */
   def centroidVectors(embeddings: DataFrame, embCol: String,
-      idCol: String, k: Int): Array[Array[Double]] =
-    embeddings.orderBy(col(idCol)).limit(k)
+      idCol: String, k: Int): Array[Array[Double]] = {
+    val dim = dimOf(embeddings, embCol)
+    val cents = embeddings
+      .filter(col(embCol).isNotNull && size(col(embCol)) === dim)
+      .orderBy(col(idCol)).limit(k)
       .select(col(embCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == k,
+      s"only ${cents.length} well-formed embeddings for $k centroids")
+    cents
+  }
 
   private def ivfAssignWith(embeddings: DataFrame, embCol: String,
       cents: Array[Array[Double]]): DataFrame = {

@@ -82,14 +82,29 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   // explicit N is exempt from AQE coalescing, so the parallelism
   // survives tiny inputs too.
   private val baseLines: DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Deduplicate, Join, RepartitionOperation, Window => LWindow}
     val target = lines.sparkSession.sparkContext.defaultParallelism
-    // probe the INITIAL physical plan, not df.rdd: under AQE, df.rdd
-    // materializes every upstream shuffle stage eagerly (running the
-    // source scan once per PlanBuilder just to read a count), while
-    // sparkPlan.execute() builds the RDD chain lazily
-    val n = scala.util.Try(
-      lines.queryExecution.sparkPlan.execute().getNumPartitions)
-      .getOrElse(1)
+    // Only NARROW line frames (scans, driver tables, streaming
+    // microbatches — chains of project/filter over leaves) are probed
+    // and spread: their initial sparkPlan has no exchanges, so
+    // .execute() builds the RDD lazily and reads the true partition
+    // count without running anything. df.rdd would instead materialize
+    // AQE shuffle stages eagerly (running the source once per
+    // PlanBuilder), and the unprepared sparkPlan of a JOINED frame
+    // throws on missing exchanges. A frame that already contains a
+    // join/aggregate/repartition runs at shuffle parallelism by
+    // construction — its partitioning is the caller's.
+    val hasWideOp = lines.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: RepartitionOperation |
+           _: LWindow | _: Deduplicate => true
+      case _ => false
+    }
+    val n =
+      if (hasWideOp) target
+      else scala.util.Try(
+        lines.queryExecution.sparkPlan.execute().getNumPartitions)
+        .getOrElse(target)
     if (n * 2 <= target) lines.repartition(target)
     else lines
   }

@@ -245,8 +245,11 @@ object LlmExtras {
     */
   private def annIvfSql(k: Int, dim: Int, nProbe: Int,
       topK: Int): String = {
+    // same codebook filter as Ann.centroidVectors: the k smallest ids
+    // with non-null, full-dimension embeddings
     val ceDefs = (0 until k).map(j =>
       s"""(SELECT embedding FROM embeddings
+         WHERE embedding IS NOT NULL AND len(embedding) = $dim
          ORDER BY vec_id LIMIT 1 OFFSET $j) AS ce$j""")
       .mkString(",\n             ")
     def sqd(e: String, c: String) =

@@ -257,22 +257,22 @@ final class TailMicroBatchStream(pathPattern: String,
 
   /** Driver-side stale tracking, the analogue of the reference's
     * 24h idle cancellation (`reader.go:55-56`): a file that produced
-    * no new bytes for `staleAfterMs` is PARKED — dropped from the
-    * emitted offset state (so long-quiet rotated-away paths stop
-    * accumulating in the offset JSON) and exempted from the per-batch
-    * line-end scan (a cheap stat remains, like the reference's
-    * directory poll). Its recorded position survives in `parked`, so a
-    * late append resumes exactly where reading stopped; rotation while
-    * parked (new inode) restarts at 0 as usual. After a full query
-    * restart this map is empty and a reawakened file re-reads from 0 —
-    * the same contract as the reference, whose offsets are in-memory
-    * only.
+    * no new bytes for `staleAfterMs` is PARKED — exempted from the
+    * per-batch line-end scan (a cheap size/inode stat remains, like
+    * the reference's directory poll) until its size or inode changes.
+    * The parked file KEEPS its entry in the emitted offset state at
+    * the recorded position: restarts must resume exactly from the
+    * checkpointed offsets (the class contract above), which dropping
+    * idle entries would break by re-reading the whole file after a
+    * restart. Offset-JSON growth is still bounded — paths deleted from
+    * disk leave the glob and therefore the state, and the maps below,
+    * immediately. Rotation while parked (new inode) restarts at 0 as
+    * usual.
     */
   private val lastSeen =
     mutable.Map[String, (String, Long, Long)]() // key, pos, sinceMs
   private val parked =
     mutable.Map[String, (FileState, Long)]() // resume state, size
-  private val resume = mutable.Map[String, FileState]()
 
   override def initialOffset(): Offset = new TailOffset(Map.empty)
 
@@ -287,19 +287,17 @@ final class TailMicroBatchStream(pathPattern: String,
     val keep = existing.map(_.toString).toSet
     lastSeen.filterInPlace((p, _) => keep(p))
     parked.filterInPlace((p, _) => keep(p))
-    resume.filterInPlace((p, _) => keep(p))
     existing.foreach { p =>
       val path = p.toString
       val key = TailSource.fileKey(p)
       val size = Files.size(p)
       parked.get(path) match {
         case Some((fs, sz)) if fs.key == key && sz == size =>
-          () // still idle: no scan, no offset entry
+          // still idle: no line-end scan; the recorded position stays
+          // in the offset state so restarts resume exactly
+          state(path) = fs
         case prev =>
-          prev.foreach { case (fs, _) => // woke up: resume from here
-            parked.remove(path)
-            resume(path) = fs
-          }
+          prev.foreach(_ => parked.remove(path)) // woke up
           val pos = TailSource.lastLineEnd(p, 0L, size)
           val since = lastSeen.get(path) match {
             case Some((k0, p0, s0)) if k0 == key && p0 == pos => s0
@@ -309,7 +307,8 @@ final class TailMicroBatchStream(pathPattern: String,
           if (staleAfterMs > 0 && now - since > staleAfterMs) {
             parked(path) = (FileState(key, pos), size)
             lastSeen.remove(path)
-          } else state(path) = FileState(key, pos)
+          }
+          state(path) = FileState(key, pos)
       }
     }
     new TailOffset(state.toMap)
@@ -321,12 +320,9 @@ final class TailMicroBatchStream(pathPattern: String,
     val e = end.asInstanceOf[TailOffset].state
     e.toSeq.sortBy(_._1).flatMap { case (path, endFs) =>
       val p = Paths.get(path)
-      // a just-unparked file is absent from the start state (it was
-      // dropped while idle); its recorded position takes over
-      val unparkedFrom = resume.remove(path)
       if (!Files.exists(p)) None
       else {
-        val from = s.get(path).orElse(unparkedFrom) match {
+        val from = s.get(path) match {
           // rotation (new inode) or truncation → restart at 0
           case Some(prev) if prev.key == endFs.key &&
             prev.pos <= endFs.pos => prev.pos

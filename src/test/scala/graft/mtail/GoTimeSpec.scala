@@ -79,8 +79,18 @@ class GoTimeSpec extends AnyFunSuite {
       "2021-01-15T12:00:00+02:00", 0, ny)
       .contains(utc("2021-01-15T10:00:00Z")))
     // named-zone layout (MST) consumes a name: still counts as a zone
-    // indicator, offset 0 like Go when the name is unknown
+    // indicator, offset 0 like Go when the name is unknown…
     assert(GoTime.parse("Jan _2 15:04:05 MST", "Jul 15 12:00:00 XYZ",
       2021, ny).contains(utc("2021-07-15T12:00:00Z")))
+    // …but an abbreviation the override location USES resolves to its
+    // offset, like Go's lookupName inside ParseInLocation
+    assert(GoTime.parse("Jan _2 15:04:05 MST", "Jan 15 12:00:00 EST",
+      2021, ny).contains(utc("2021-01-15T17:00:00Z")))
+    assert(GoTime.parse("Jan _2 15:04:05 MST", "Jul 15 12:00:00 EDT",
+      2021, ny).contains(utc("2021-07-15T16:00:00Z")))
+    // without an override, abbreviations parse as offset 0 (plain
+    // time.Parse with a non-local name)
+    assert(GoTime.parse("Jan _2 15:04:05 MST", "Jan 15 12:00:00 EST",
+      2021).contains(utc("2021-01-15T12:00:00Z")))
   }
 }

@@ -51,29 +51,34 @@ class TailSourceSpec extends SparkSpec {
     assert(b2.contains("three"))
   }
 
-  test("stale file is parked out of offset state; a late append " +
-      "resumes from the recorded position") {
+  test("stale file parks (offset kept for exact restart resume); a " +
+      "late append resumes from the recorded position") {
     val dir = tmpDir()
     val f = dir.resolve("stale.log")
-    write(f, "a\nb\n")
+    write(f, "a\nb\npartial")
     val stream = new TailMicroBatchStream(s"$dir/*.log",
       staleAfterMs = 300)
     val (b1, o1) = deltaLines(stream, stream.initialOffset())
     assert(b1 == Seq("a", "b"))
     Thread.sleep(500) // idle past the window
     val o2 = stream.latestOffset().asInstanceOf[TailOffset]
-    assert(o2.state.isEmpty,
-      "an idle-past-window file must leave the offset state")
-    // parked: latestOffset stays empty however often it's polled
-    assert(stream.latestOffset().asInstanceOf[TailOffset].state.isEmpty)
+    // parked, but the entry STAYS in the offset state at its recorded
+    // position — a restarted query must resume exactly from the
+    // checkpoint, not re-read the file from 0
+    assert(o2.state(f.toString).pos == 4)
+    // while parked, polls stop scanning for line ends: the unterminated
+    // "partial" tail would keep pos at 4 anyway, but an appended
+    // newline is only noticed because the SIZE changed (unpark)
+    assert(stream.latestOffset().asInstanceOf[TailOffset]
+      .state(f.toString).pos == 4)
     // a late append wakes it; reading resumes at byte 4, not 0
-    write(f, "c\n")
+    write(f, " line\nc\n")
     val o3 = stream.latestOffset().asInstanceOf[TailOffset]
-    assert(o3.state(f.toString).pos == 6)
+    assert(o3.state(f.toString).pos == 19)
     val parts = stream.planInputPartitions(o2, o3)
     assert(parts.length == 1)
     val tp = parts(0).asInstanceOf[TailPartition]
-    assert(tp.start == 4 && tp.end == 6,
+    assert(tp.start == 4 && tp.end == 19,
       s"must resume from the parked offset, got [${tp.start},${tp.end})")
     // rotation while parked restarts at 0 like any rotation. The
     // replacement is created while the old file still exists (as
@@ -82,13 +87,14 @@ class TailSourceSpec extends SparkSpec {
     // append by path-stat alone (the reference only catches that case
     // by holding the fd open).
     Thread.sleep(500)
-    assert(stream.latestOffset().asInstanceOf[TailOffset].state.isEmpty)
+    val oParked = stream.latestOffset().asInstanceOf[TailOffset]
+    assert(oParked.state(f.toString).pos == 19)
     val fresh = dir.resolve("incoming.tmp")
     write(fresh, "xx\nyy\nzz\n")
     Files.move(fresh, f,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val o4 = stream.latestOffset().asInstanceOf[TailOffset]
-    val parts2 = stream.planInputPartitions(o2, o4)
+    val parts2 = stream.planInputPartitions(oParked, o4)
     assert(parts2.length == 1 &&
       parts2(0).asInstanceOf[TailPartition].start == 0)
   }
