@@ -265,7 +265,7 @@ object GoTime {
         if (hasZone) {
           val abbrevOffset = Option(zoneName)
             .filter(n => n != "UTC" && n != "GMT")
-            .flatMap(abbrevOffsetIn(_, zone))
+            .flatMap(abbrevOffsetIn(_, zone, ldt))
           abbrevOffset match {
             case Some(off) => ldt.toEpochSecond(
               ZoneOffset.ofTotalSeconds(off))
@@ -284,15 +284,25 @@ object GoTime {
     * `Location.lookupName` step of ParseInLocation; None for names the
     * location doesn't use (Go then keeps offset 0 with the name).
     */
-  private def abbrevOffsetIn(name: String,
-      zone: java.time.ZoneId): Option[Int] = {
+  private def abbrevOffsetIn(name: String, zone: java.time.ZoneId,
+      ldt: java.time.LocalDateTime): Option[Int] = {
     if (zone == ZoneOffset.UTC) return None
     val tz = java.util.TimeZone.getTimeZone(zone)
-    if (name == tz.getDisplayName(false, java.util.TimeZone.SHORT))
-      Some(tz.getRawOffset / 1000)
+    // short names pinned to Locale.US — the JVM default locale may
+    // localize them ("GMT-08:00" instead of "PST"); the standard
+    // offset comes from the zone RULES at the parsed wall-clock date,
+    // not the present-day rawOffset, so historical offset changes
+    // resolve like Go's transition-table lookupName
+    val rules = zone.getRules
+    val stdSec = rules
+      .getStandardOffset(ldt.toInstant(ZoneOffset.UTC)).getTotalSeconds
+    if (name == tz.getDisplayName(false, java.util.TimeZone.SHORT,
+      java.util.Locale.US))
+      Some(stdSec)
     else if (tz.useDaylightTime &&
-      name == tz.getDisplayName(true, java.util.TimeZone.SHORT))
-      Some((tz.getRawOffset + tz.getDSTSavings) / 1000)
+      name == tz.getDisplayName(true, java.util.TimeZone.SHORT,
+        java.util.Locale.US))
+      Some(stdSec + tz.getDSTSavings / 1000)
     else None
   }
 

@@ -18,7 +18,45 @@ import graft.Tables
   */
 object AnalyticsExtras {
 
+  /** Per-document top-k terms by TF-IDF over the whole corpus — the
+    * classic term-weighting pass of a training-data pipeline (doc
+    * quality, keyword extraction, near-dup triage).
+    *
+    * Scale shape: tokens never leave their partition un-aggregated —
+    * `tf` is a partial+final hash agg on (doc_id, term), `df` a second
+    * partial agg over the already-reduced tf relation, and the corpus
+    * size joins in as a broadcast scalar. The tf⋈df join is on `term`:
+    * the vocabulary side is orders of magnitude smaller than the
+    * corpus, so AQE broadcasts it while it fits and falls back to a
+    * shuffle join (with skew splitting for stopword-heavy terms) when
+    * it doesn't. Ties rank deterministically by (score desc, term).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // per-document top-3 TF-IDF terms (ties broken by term; the oracle
+    // recomputes the same ln((N+1)/(df+1)) weights)
+    "text_tfidf_top_terms" -> ((s, dir) =>
+      tfidfTopTerms(Tables(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))),
 
     // TPC-H Q1-shaped pricing summary over lineitem.
     "agg_pricing_summary" -> ((s, dir) =>
@@ -145,6 +183,23 @@ object AnalyticsExtras {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term <> '' GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT doc_id, tf.term, tf.tf, df.df,
+                  tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS score
+                FROM tf JOIN df ON tf.term = df.term, n),
+         r AS (SELECT doc_id, term, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, term) AS rk FROM sc)
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, round(score, 4) AS score
+         FROM r WHERE rk <= 3
+         ORDER BY doc_id, round(score, 4) DESC, term""",
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4) AS sum_qty,

@@ -247,6 +247,7 @@ final class PushLineMicroBatchStream(address: String)
       : Array[InputPartition] = {
     val s = start.asInstanceOf[PushLineIndexOffset].index
     val e = end.asInstanceOf[PushLineIndexOffset].index
+    lock.synchronized { planned = true }
     if (e <= s) Array.empty
     else {
       val rows = lock.synchronized(
@@ -259,30 +260,30 @@ final class PushLineMicroBatchStream(address: String)
   override def createReaderFactory(): PartitionReaderFactory =
     new PushLineReaderFactory
 
-  /** set once the restart rebase has run; later deserializations (the
-    * uncommitted batch's end offset, WAL re-reads) must not re-shift
-    * lines that already have indexes.
+  /** set once the first batch is planned; later deserializations (WAL
+    * re-reads) must not re-shift lines that already have indexes.
     */
-  private var rebased = false
+  private var planned = false
 
   override def deserializeOffset(json: String): Offset = {
     val idx = json.trim.toLong
     // Restart from a checkpoint: a fresh stream starts at base=0 while
-    // the restored offset is the previously committed index N. EVERY
-    // line buffered since reopen is a post-restart arrival, so the
-    // first of them maps to index N — unconditionally, even if more
-    // than N lines burst in before Spark restored the offset
-    // (otherwise latestOffset stays below N until N new lines arrive
-    // and everything in between is silently dropped). A replayed
-    // in-flight range [N, N2) then delivers the earliest post-restart
-    // lines instead of the lost pre-restart ones — each line still
-    // delivered exactly once; only in-flight pre-restart data is lost,
-    // per the documented at-most-once contract.
+    // restored offsets carry pre-restart indexes. MicroBatchExecution
+    // restores the offset log's LATEST entry first — an in-flight
+    // batch's END offset N2 — and the committed start N only after, so
+    // the rebase anchors on the SMALLEST index restored before the
+    // first batch is planned. EVERY line buffered since reopen is a
+    // post-restart arrival, so the first of them maps to that index N —
+    // unconditionally, even if more than N lines burst in before Spark
+    // restored the offset (otherwise latestOffset stays below N until
+    // N new lines arrive and everything in between is silently
+    // dropped). A replayed in-flight range [N, N2) then delivers the
+    // earliest post-restart lines instead of the lost pre-restart
+    // ones — each line still delivered exactly once; only in-flight
+    // pre-restart data is lost, per the documented at-most-once
+    // contract.
     lock.synchronized {
-      if (!rebased) {
-        rebased = true
-        if (idx > base) base = idx
-      }
+      if (!planned && idx > 0 && (base == 0L || idx < base)) base = idx
     }
     new PushLineIndexOffset(idx)
   }

@@ -271,8 +271,8 @@ final class TailMicroBatchStream(pathPattern: String,
     */
   private val lastSeen =
     mutable.Map[String, (String, Long, Long)]() // key, pos, sinceMs
-  private val parked =
-    mutable.Map[String, (FileState, Long)]() // resume state, size
+  private val parked = // resume state, size, mtimeMs
+    mutable.Map[String, (FileState, Long, Long)]()
 
   override def initialOffset(): Offset = new TailOffset(Map.empty)
 
@@ -291,8 +291,13 @@ final class TailMicroBatchStream(pathPattern: String,
       val path = p.toString
       val key = TailSource.fileKey(p)
       val size = Files.size(p)
+      // mtime is part of the parked comparison: an in-place rewrite
+      // that keeps the same inode AND byte size would otherwise never
+      // be re-scanned
+      val mtime = Files.getLastModifiedTime(p).toMillis
       parked.get(path) match {
-        case Some((fs, sz)) if fs.key == key && sz == size =>
+        case Some((fs, sz, mt))
+            if fs.key == key && sz == size && mt == mtime =>
           // still idle: no line-end scan; the recorded position stays
           // in the offset state so restarts resume exactly
           state(path) = fs
@@ -305,7 +310,7 @@ final class TailMicroBatchStream(pathPattern: String,
           }
           lastSeen(path) = (key, pos, since)
           if (staleAfterMs > 0 && now - since > staleAfterMs) {
-            parked(path) = (FileState(key, pos), size)
+            parked(path) = (FileState(key, pos), size, mtime)
             lastSeen.remove(path)
           }
           state(path) = FileState(key, pos)

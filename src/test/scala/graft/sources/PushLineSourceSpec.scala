@@ -217,6 +217,47 @@ class PushLineSourceSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("restart restores the in-flight END offset first: the rebase " +
+      "anchors on the committed start, so the replayed range is fed") {
+    val probe = new DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val stream = new PushLineMicroBatchStream(s"udp://localhost:$port")
+    try {
+      Thread.sleep(300)
+      // MicroBatchExecution deserializes the offset log's LATEST entry
+      // (the uncommitted in-flight batch's END, 102) BEFORE the
+      // committed start (100); anchoring on the first-seen value would
+      // set base=102 and leave the replayed range [100,102) forever
+      // empty
+      stream.deserializeOffset("102")
+      stream.deserializeOffset("100")
+      def latest(): Long = stream.latestOffset()
+        .asInstanceOf[PushLineIndexOffset].index
+      assert(latest() == 100)
+      val c = new DatagramSocket()
+      val b = "p\nq\n".getBytes(UTF_8)
+      c.send(new DatagramPacket(b, b.length,
+        InetAddress.getByName("localhost"), port))
+      val deadline = System.currentTimeMillis() + 10000
+      while (latest() < 102 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      c.close()
+      // the two post-restart arrivals map to 100..101 and fill the
+      // replayed in-flight range (earliest post-restart lines — the
+      // documented at-most-once replacement for the lost pre-restart
+      // data)
+      val parts = stream.planInputPartitions(
+        new PushLineIndexOffset(100), new PushLineIndexOffset(102))
+      assert(parts.toSeq.flatMap(
+        _.asInstanceOf[PushLinePartition].rows.toSeq) == Seq("p", "q"))
+      // a WAL re-read after the first batch is planned must not
+      // re-shift anything
+      stream.deserializeOffset("50")
+      assert(latest() == 102)
+    } finally stream.stop()
+  }
+
   test("glob ignore-regex filters discovered files") {
     val dir = Files.createTempDirectory("ignoresrc")
     Files.write(dir.resolve("app.log"), "keep\n".getBytes(UTF_8))

@@ -99,6 +99,26 @@ class TailSourceSpec extends SparkSpec {
       parts2(0).asInstanceOf[TailPartition].start == 0)
   }
 
+  test("same-size in-place rewrite unparks a parked file (mtime)") {
+    val dir = tmpDir()
+    val f = dir.resolve("rw.log")
+    write(f, "a\nb\npartial") // 11 bytes, last line end at 4
+    val stream = new TailMicroBatchStream(s"$dir/*.log",
+      staleAfterMs = 300)
+    val (b1, o1) = deltaLines(stream, stream.initialOffset())
+    assert(b1 == Seq("a", "b"))
+    Thread.sleep(500) // idle past the window
+    val o2 = stream.latestOffset().asInstanceOf[TailOffset]
+    assert(o2.state(f.toString).pos == 4) // parked
+    // rewrite in place: same inode, same 11-byte size, different line
+    // structure — only the mtime betrays the change, and a (key, size)
+    // parked comparison would never re-scan it
+    Files.write(f, "x\ny\nz\nqqqqq".getBytes)
+    val o3 = stream.latestOffset().asInstanceOf[TailOffset]
+    assert(o3.state(f.toString).pos == 6,
+      "mtime change must unpark and re-scan a same-size rewrite")
+  }
+
   test("truncation resets the offset") {
     val dir = tmpDir()
     val f = dir.resolve("trunc.log")
