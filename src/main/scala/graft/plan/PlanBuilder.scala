@@ -105,7 +105,26 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       else scala.util.Try(
         lines.queryExecution.sparkPlan.execute().getNumPartitions)
         .getOrElse(target)
-    if (n * 2 <= target) lines.repartition(target)
+    // The exchange only pays above a size floor: the codegen'd
+    // extraction runs ~3µs/line single-core, so below ~1M lines the
+    // shuffle's fixed cost (2 stages × N tasks + row serialization)
+    // exceeds the parallelism win — measured 1.24 s vs 1.44 s for the
+    // 100k-line engine battery queries at sf0.1. Catalyst's estimated
+    // sizeInBytes gates it: tiny scans/driver tables keep their
+    // partitioning; large inputs (and streaming microbatches, whose
+    // LogicalRDD estimate is conservatively huge) spread. Both the
+    // switch and the floor are conf-overridable.
+    val conf = lines.sparkSession.conf
+    val enabled = conf
+      .getOption("spark.graft.spreadNarrowInput").forall(_ != "false")
+    val minBytes = conf
+      .getOption("spark.graft.spreadNarrowInput.minBytes")
+      .map(_.toLong).getOrElse(16L << 20)
+    val bigEnough =
+      lines.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(minBytes)
+    if (enabled && bigEnough && n * 2 <= target)
+      lines.repartition(target)
     else lines
   }
 
