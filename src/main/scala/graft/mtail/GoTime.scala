@@ -292,10 +292,17 @@ object GoTime {
     // localize them ("GMT-08:00" instead of "PST"); the standard
     // offset comes from the zone RULES at the parsed wall-clock date,
     // not the present-day rawOffset, so historical offset changes
-    // resolve like Go's transition-table lookupName
+    // resolve like Go's transition-table lookupName. Two-step fixed
+    // point: the wall clock read as UTC is up to ±14h off the true
+    // instant, which can straddle an offset transition, so re-query at
+    // the instant implied by the first guess. (DST savings still use
+    // the zone's present-day value — eras with nonstandard savings,
+    // e.g. double summer time, are out of scope like in the pre-rules
+    // code.)
     val rules = zone.getRules
+    val guess = rules.getStandardOffset(ldt.toInstant(ZoneOffset.UTC))
     val stdSec = rules
-      .getStandardOffset(ldt.toInstant(ZoneOffset.UTC)).getTotalSeconds
+      .getStandardOffset(ldt.toInstant(guess)).getTotalSeconds
     if (name == tz.getDisplayName(false, java.util.TimeZone.SHORT,
       java.util.Locale.US))
       Some(stdSec)

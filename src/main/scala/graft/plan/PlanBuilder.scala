@@ -119,7 +119,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       .getOption("spark.graft.spreadNarrowInput").forall(_ != "false")
     val minBytes = conf
       .getOption("spark.graft.spreadNarrowInput.minBytes")
-      .map(_.toLong).getOrElse(16L << 20)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(16L << 20) // malformed values keep the default
     val bigEnough =
       lines.queryExecution.optimizedPlan.stats.sizeInBytes >=
         BigInt(minBytes)

@@ -247,7 +247,25 @@ final class PushLineMicroBatchStream(address: String)
       : Array[InputPartition] = {
     val s = start.asInstanceOf[PushLineIndexOffset].index
     val e = end.asInstanceOf[PushLineIndexOffset].index
-    lock.synchronized { planned = true }
+    // The FIRST planned batch performs the definitive rebase:
+    // deserialization order can only anchor on indexes it sees, and a
+    // committed start of 0 never passes through deserializeOffset at
+    // all (it arrives via initialOffset), so a restart with an
+    // in-flight [0, N2) would otherwise stay anchored at N2 and replay
+    // an empty range. Anchor on the batch's start s, then shift so the
+    // k lines this replay delivers are immediately followed — index-
+    // wise — by the rest of the buffer at the range's end e (base =
+    // e - k): anchoring at s alone would leave a gap [s+k, e) that
+    // commit(e) silently swallows later arrivals into. Before the
+    // first batch no line has been handed out, so re-basing is safe.
+    lock.synchronized {
+      if (!planned) {
+        planned = true
+        if (s < base) base = s
+        val k = math.min(buffer.length.toLong, math.max(0L, e - base))
+        if (e - k > base) base = e - k
+      }
+    }
     if (e <= s) Array.empty
     else {
       val rows = lock.synchronized(

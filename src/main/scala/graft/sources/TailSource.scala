@@ -289,12 +289,23 @@ final class TailMicroBatchStream(pathPattern: String,
     parked.filterInPlace((p, _) => keep(p))
     existing.foreach { p =>
       val path = p.toString
-      val key = TailSource.fileKey(p)
-      val size = Files.size(p)
-      // mtime is part of the parked comparison: an in-place rewrite
-      // that keeps the same inode AND byte size would otherwise never
-      // be re-scanned
-      val mtime = Files.getLastModifiedTime(p).toMillis
+      // ONE stat per file per poll: key, size, and mtime all come from
+      // a single readAttributes call (3 separate stats would triple the
+      // driver's metadata I/O on network filesystems). mtime is part of
+      // the parked comparison: an in-place rewrite that keeps the same
+      // inode AND byte size would otherwise never be re-scanned. On
+      // such a rewrite the recorded position SURVIVES (only bytes at or
+      // after it are delivered, possibly starting mid-line in the new
+      // content) — same contract as the reference's fd-based reader,
+      // which keeps reading an in-place-rewritten file from its old
+      // offset (`filestream.go:178-190` only resets when size shrinks
+      // below the offset).
+      val attrs = Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes],
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)
+      val key = Option(attrs.fileKey).map(_.toString).getOrElse(path)
+      val size = attrs.size
+      val mtime = attrs.lastModifiedTime.toMillis
       parked.get(path) match {
         case Some((fs, sz, mt))
             if fs.key == key && sz == size && mt == mtime =>

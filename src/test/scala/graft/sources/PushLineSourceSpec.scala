@@ -258,6 +258,55 @@ class PushLineSourceSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("restart with an in-flight batch and NO prior commit: the " +
+      "first planned batch rebases to its start 0") {
+    val probe = new DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val stream = new PushLineMicroBatchStream(s"udp://localhost:$port")
+    try {
+      Thread.sleep(300)
+      // crash before any commit: only the in-flight END offset (5) is
+      // in the offset log; the committed start 0 never passes through
+      // deserializeOffset (it arrives as initialOffset)
+      stream.deserializeOffset("5")
+      def latest(): Long = stream.latestOffset()
+        .asInstanceOf[PushLineIndexOffset].index
+      val c = new DatagramSocket()
+      val b = "r\ns\n".getBytes(UTF_8)
+      c.send(new DatagramPacket(b, b.length,
+        InetAddress.getByName("localhost"), port))
+      val deadline = System.currentTimeMillis() + 10000
+      while (stream.latestOffset()
+        .asInstanceOf[PushLineIndexOffset].index < 7 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      c.close()
+      // replaying [0, 5): the first planned batch anchors base on its
+      // start, so the post-restart arrivals fill the replayed range
+      // instead of hiding behind base=5
+      val parts = stream.planInputPartitions(
+        new PushLineIndexOffset(0), new PushLineIndexOffset(5))
+      assert(parts.toSeq.flatMap(
+        _.asInstanceOf[PushLinePartition].rows.toSeq) == Seq("r", "s"))
+      // the 2 delivered lines are shifted to butt up against the
+      // replayed end (base = 5 - 2), so the NEXT arrival lands at 5 —
+      // no index gap for commit(5) to swallow it into
+      assert(latest() == 5)
+      val c2 = new DatagramSocket()
+      val b2 = "t\n".getBytes(UTF_8)
+      c2.send(new DatagramPacket(b2, b2.length,
+        InetAddress.getByName("localhost"), port))
+      val deadline2 = System.currentTimeMillis() + 10000
+      while (latest() < 6 && System.currentTimeMillis() < deadline2)
+        Thread.sleep(100)
+      c2.close()
+      val next = stream.planInputPartitions(
+        new PushLineIndexOffset(5), new PushLineIndexOffset(6))
+      assert(next.toSeq.flatMap(
+        _.asInstanceOf[PushLinePartition].rows.toSeq) == Seq("t"))
+    } finally stream.stop()
+  }
+
   test("glob ignore-regex filters discovered files") {
     val dir = Files.createTempDirectory("ignoresrc")
     Files.write(dir.resolve("app.log"), "keep\n".getBytes(UTF_8))

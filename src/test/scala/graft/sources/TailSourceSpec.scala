@@ -112,7 +112,11 @@ class TailSourceSpec extends SparkSpec {
     assert(o2.state(f.toString).pos == 4) // parked
     // rewrite in place: same inode, same 11-byte size, different line
     // structure — only the mtime betrays the change, and a (key, size)
-    // parked comparison would never re-scan it
+    // parked comparison would never re-scan it. Per the documented
+    // contract (same as the reference's fd-based reader), the recorded
+    // position survives the rewrite: delivery resumes at byte 4, so
+    // content before it is not re-read and a rewrite whose line
+    // boundaries don't align there would surface a partial first line.
     Files.write(f, "x\ny\nz\nqqqqq".getBytes)
     val o3 = stream.latestOffset().asInstanceOf[TailOffset]
     assert(o3.state(f.toString).pos == 6,
