@@ -74,6 +74,22 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("sqdists") || p.contains("SqDists"), p)
   }
 
+  test("tfidf prunes the documents scan, partial-aggs tf, and " +
+      "broadcasts the corpus-size scalar") {
+    val df = graft.SparkEntry.queries("text_tfidf_top_terms")(
+      spark, sf("sf0.001"))
+    df.collect() // finalize AQE so join strategies are decided
+    val p = df.queryExecution.executedPlan.toString
+    // the token scan reads only the two referenced columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // tf/df are two-phase hash aggs (map-side partials — tokens never
+    // cross the wire un-aggregated)
+    assert(p.contains("partial_count"), p)
+    // the corpus-size scalar joins in as a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("IVF top-k prunes cells before the cosine work") {
     val e = graft.Tables(spark, sf("sf0.001"), "embeddings")
     val q = (0 until 64).map(_.toDouble)
