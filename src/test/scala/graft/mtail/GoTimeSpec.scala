@@ -93,4 +93,15 @@ class GoTimeSpec extends AnyFunSuite {
     assert(GoTime.parse("Jan _2 15:04:05 MST", "Jan 15 12:00:00 EST",
       2021).contains(utc("2021-01-15T12:00:00Z")))
   }
+
+  test("abbreviation offsets use the zone rules of the PARSED era") {
+    // Europe/Moscow was UTC+4 from 2011-03-27 to 2014-10-26 and UTC+3
+    // since; resolving via present-day rawOffset would be an hour off
+    // for 2013 logs
+    val msk = java.time.ZoneId.of("Europe/Moscow")
+    assert(GoTime.parse("Jan _2 15:04:05 MST", "Jul 15 12:00:00 MSK",
+      2013, msk).contains(utc("2013-07-15T08:00:00Z")))
+    assert(GoTime.parse("Jan _2 15:04:05 MST", "Jul 15 12:00:00 MSK",
+      2021, msk).contains(utc("2021-07-15T09:00:00Z")))
+  }
 }
