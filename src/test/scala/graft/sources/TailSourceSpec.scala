@@ -210,6 +210,35 @@ class TailSourceSpec extends SparkSpec {
     assert(single == multi)
   }
 
+  test("query restart resumes exactly from the checkpointed offsets") {
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    val f = dir.resolve("r.log")
+    write(f, "a\nb\n")
+    // foreachBatch invocations are serialized per query, and the two
+    // queries run sequentially — a plain buffer is safe
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-tail")
+        .option("path", s"$dir/*.log").load()
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf ++= b.orderBy("off").collect().map(_.getString(1))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    val q1 = run(); q1.awaitTermination(30000)
+    assert(buf.toSeq == Seq("a", "b"))
+    // append and restart with a FRESH source instance: the restored
+    // TailOffset must resume at byte 4 — "a","b" are never re-read,
+    // nothing is skipped
+    write(f, "c\nd\n")
+    val q2 = run(); q2.awaitTermination(30000)
+    assert(buf.toSeq == Seq("a", "b", "c", "d"))
+  }
+
   test("readStream end-to-end via format(graft-tail)") {
     val dir = tmpDir()
     write(dir.resolve("s.log"), "l1\nl2\n")
