@@ -91,8 +91,10 @@ object Graft {
       overrideZone: String = "UTC"): Tail = {
     val prog = compile(programSource, programName)
     val runner = new StreamRunner(prog, spark, defaultYear, overrideZone)
-    val keys = prog.decls.map(d => d.exportName -> d.keys).toMap
-    val server = new ExportServer(runner.store, programName, keys, port,
+    // keys resolved per scrape from the live program, so reload()
+    // re-keying a metric updates /json without rebuilding the server
+    val server = new ExportServer(runner.store, programName,
+      () => runner.exportKeys, port,
       internal = Some(runner.internalStore))
     val boundPort = server.start()
     // a failed query start must not leak the bound HTTP port

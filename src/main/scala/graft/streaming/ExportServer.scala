@@ -11,7 +11,11 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * extra dependencies, good enough for a scrape endpoint.
   */
 final class ExportServer(store: MetricsStore, program: String,
-    keys: Map[String, Seq[String]], port: Int = 0,
+    /** export-name → label keys for /json, read at scrape time so a
+      * live program reload that re-keys a metric is reflected in the
+      * next response (pass `() => runner.exportKeys`).
+      */
+    keys: () => Map[String, Seq[String]], port: Int = 0,
     hostname: String = "localhost",
     /** runtime self-instrumentation cells, appended to /metrics and
       * served alone on /debug/vars-style /internalz (runtime.go:33).
@@ -56,7 +60,7 @@ final class ExportServer(store: MetricsStore, program: String,
     })
   server.createContext("/internalz", handler(() => internalProm()))
   server.createContext("/json",
-    handler(() => Exporters.json(store.snapshot(), program, keys)))
+    handler(() => Exporters.json(store.snapshot(), program, keys())))
   server.createContext("/varz",
     handler(() => Exporters.varz(store.snapshot(), program, hostname)))
   server.createContext("/graphite",

@@ -117,6 +117,34 @@ object Exporters {
     case VStr(s) => s
   }
 
+  /** Prometheus text-format label-value escaping, as client_golang's
+    * expfmt does it (the reference gets this for free from
+    * prometheus.go's MustNewConstMetric): backslash, double-quote and
+    * newline — labels come from regex captures over raw log lines, so
+    * all three occur in practice and one unescaped value would make
+    * Prometheus reject the whole scrape.
+    */
+  private def promEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  /** HELP-line escaping: only backslash and newline (expfmt rules). */
+  private def promHelpEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\n", "\\n")
+
+  /** JSON string escaping (encoding/json's mandatory set): quote,
+    * backslash, and control characters.
+    */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   /** export.go:161-178: ksep/sep join with replacement of separators. */
   def formatLabels(name: String, labels: Map[String, String], ksep: String,
       sep: String, rep: String): String = {
@@ -144,18 +172,22 @@ object Exporters {
       omitProgLabel: Boolean = false,
       emitTimestamp: Boolean = false): String = {
     val sb = new StringBuilder
-    val byName = cells.groupBy(_.name).toSeq.sortBy(_._1)
+    // text metrics have no Prometheus representation and are skipped,
+    // like the reference (prometheus.go:38-40); a raw string sample
+    // value would make the whole exposition unparseable
+    val byName = cells.filter(_.kind != "text")
+      .groupBy(_.name).toSeq.sortBy(_._1)
     byName.foreach { case (name, cs) =>
       val promName = name.replace("-", "_") // noHyphens
       val promType = cs.head.kind match {
         case "counter" => "counter"
         case "gauge" | "timer" => "gauge"
-        case "text" => "gauge" // text is never pushed; pull shows gauge
         case other => other
       }
       // client_golang HELP line; the reference fills it with the
       // defining source (prometheus.go:67-68,76-77)
-      sb.append(s"# HELP $promName defined at $program\n")
+      sb.append(s"# HELP $promName defined at ${
+        promHelpEscape(program)}\n")
       sb.append(s"# TYPE $promName $promType\n")
       cs.foreach { c =>
         val labels = (if (omitProgLabel) c.labels
@@ -163,7 +195,7 @@ object Exporters {
         def labelStr(extra: (String, String)*) = {
           val all = labels ++ extra
           if (all.isEmpty) ""
-          else all.map { case (k, v) => s"""$k="$v"""" }
+          else all.map { case (k, v) => s"""$k="${promEscape(v)}"""" }
             .mkString("{", ",", "}")
         }
         // zero datum time renders as epoch-0, like time.Time zero →
@@ -215,20 +247,23 @@ object Exporters {
         val labelsJson =
           if (ks.isEmpty) ""
           else {
-            val vals = ks.map(k => "\"" + c.labels.getOrElse(k, "") + "\"")
+            val vals = ks.map(k =>
+              "\"" + jsonEscape(c.labels.getOrElse(k, "")) + "\"")
             s""""Labels": [${vals.mkString(", ")}], """
           }
         val tsNanos = c.tsSec.getOrElse(0L) * 1000000000L
         val vj = c.value match {
-          case VStr(s) => "\"" + s + "\""
+          case VStr(s) => "\"" + jsonEscape(s) + "\""
           case other => valueString(other)
         }
         s"""{$labelsJson"Value": {"Value": $vj, "Time": $tsNanos}}"""
       }
       val keysJson =
         if (ks.isEmpty) ""
-        else s""""Keys": [${ks.map("\"" + _ + "\"").mkString(", ")}], """
-      s"""{"Name": "$name", "Program": "$program", "Kind": ${
+        else s""""Keys": [${
+          ks.map("\"" + jsonEscape(_) + "\"").mkString(", ")}], """
+      s"""{"Name": "${jsonEscape(name)}", "Program": "${
+        jsonEscape(program)}", "Kind": ${
         kindNum(cs.head.kind)}, "Type": ${typNum(cs.head.value)}, $keysJson"LabelValues": [${
         lvs.mkString(", ")}]}"""
     }

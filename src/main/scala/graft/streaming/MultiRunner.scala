@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.mtail.Ir
+import graft.mtail.{Ir, Snapshot}
 
 /** Fan-out: ONE source stream feeding EVERY loaded program — the
   * reference's runtime loop, where each log line is dispatched to all
@@ -36,10 +36,31 @@ final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
       }
       .start()
 
-  /** visible for tests: one micro-batch through every program. */
+  /** visible for tests: one micro-batch through every program.
+    *
+    * One program's failure must not starve the rest: the reference
+    * dispatches every line to every VM and recovers per-VM errors
+    * (`runtime.go:284-304`), so a broken program here is counted in
+    * ITS internal store and the other programs keep exporting. Only
+    * when EVERY program failed is the error rethrown — that signals
+    * a batch/source-level problem the streaming query should surface
+    * and retry, not a program bug.
+    */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val shared = batch.persist()
-    try runners.values.foreach(_.processBatch(shared, batchId))
-    finally shared.unpersist()
+    try {
+      val failures = runners.toSeq.flatMap { case (name, r) =>
+        try { r.processBatch(shared, batchId); None }
+        catch {
+          case e: Exception =>
+            r.internalStore.merge(Seq(Snapshot.Cell("counter",
+              "prog_runtime_errors_total", Map("prog" -> name),
+              Snapshot.VInt(1), None)))
+            Some(e)
+        }
+      }
+      if (failures.nonEmpty && failures.size == runners.size)
+        throw failures.head
+    } finally shared.unpersist()
   }
 }

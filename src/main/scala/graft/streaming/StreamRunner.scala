@@ -83,6 +83,14 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
     prog.decls.filter(_.limit > 0)
       .map(d => d.exportName -> d.limit).toMap
 
+  /** export-name → label keys of the LIVE program, for the /json
+    * exporter — a def so a [[reload]] that re-keys a metric is
+    * reflected in the next scrape rather than frozen at server
+    * construction.
+    */
+  def exportKeys: Map[String, Seq[String]] =
+    prog.decls.map(d => d.exportName -> d.keys).toMap
+
   /** Live program reload between microbatches — the Spark shape of the
     * reference's SIGHUP/filesystem reload (`runtime.go:311-332` +
     * store migration `store.go:33-98`): the new program is compiled
@@ -144,9 +152,19 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit =
     synchronized {
-      // mtail dialect: conversion errors null out (vm.go:97-129)
-      batch.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
-      processBatchInner(batch, batchId)
+      // mtail dialect: conversion errors null out (vm.go:97-129).
+      // Saved and restored around the batch: every action in the batch
+      // completes inside this call, and an embedding app sharing the
+      // session for ANSI SQL must not silently lose ANSI semantics
+      // because a stream runner ran a microbatch.
+      val conf = batch.sparkSession.conf
+      val prevAnsi = conf.getOption("spark.sql.ansi.enabled")
+      conf.set("spark.sql.ansi.enabled", "false")
+      try processBatchInner(batch, batchId)
+      finally prevAnsi match {
+        case Some(v) => conf.set("spark.sql.ansi.enabled", v)
+        case None => conf.unset("spark.sql.ansi.enabled")
+      }
     }
 
   private def processBatchInner(batch: DataFrame, batchId: Long): Unit = {
@@ -214,11 +232,13 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
 
   private def processWithPlan(pb: PlanBuilder): Long = {
       val cells = Snapshot.collect(pb.snapshot())
-      store.merge(cells
-        // zero-init rows only describe "never updated" state; don't
-        // re-add them every batch
-        .filterNot(c => c.kind == "counter" &&
-          c.value == Snapshot.VInt(0L) && c.tsSec.contains(0L)))
+      // zero-init counter cells (0 @ epoch-0) merge too: creating the
+      // key means a declared-but-never-matched counter is exported as
+      // 0 from the first batch, like the reference's zero-init
+      // (golden/reader.go:107-119) and graft's own one-shot mode.
+      // Re-merging per batch is a no-op for a live key: counters add
+      // 0 and maxTs keeps the newer timestamp.
+      store.merge(cells)
       // materialize the new state relations eagerly: the batch
       // DataFrame is only valid inside this call, and checkpointing
       // truncates lineage so batch N's plan never re-derives batches
@@ -250,10 +270,16 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
             col("ts") > maxEventSec - ttl))
           .getOrElse(sdf)
       }
-      // store-level GC: TTL expiry + limit trim (store.go:156-203)
-      if (maxEventSec > Long.MinValue &&
-        (ttlByExport.nonEmpty || limitByExport.nonEmpty))
-        store.gc(maxEventSec, ttlByExport, limitByExport)
+      // store-level GC: TTL expiry + limit trim (store.go:156-203).
+      // Only the TTL part needs stream time; the `limit N` trim is
+      // time-independent (newest-N by datum ts), so it must run even
+      // for programs that never set a timestamp — otherwise their
+      // stores grow past the declared limit forever.
+      val ttls =
+        if (maxEventSec > Long.MinValue) ttlByExport
+        else Map.empty[String, Long]
+      if (ttls.nonEmpty || limitByExport.nonEmpty)
+        store.gc(maxEventSec, ttls, limitByExport)
       // self-instrumentation: per-file line/error counts this batch
       val instr = pb.instrumentation().collect()
       val totalLines = instr.map(_.getAs[Long]("lines")).sum
