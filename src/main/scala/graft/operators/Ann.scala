@@ -11,25 +11,28 @@ import org.apache.spark.sql.functions._
   * signature so the candidate join is bucket-local; planes are derived
   * deterministically from xxhash64 so executors need no broadcast state.
   *
-  * Dot products and norms are UNROLLED element_at sums over a known
-  * dimension: Spark's higher-order functions (aggregate/zip_with) are
-  * CodegenFallback — interpreted per row — while the unrolled form stays
-  * inside whole-stage codegen (~10× on the pair join). The left-assoc
-  * sum keeps the same IEEE fold order as the DuckDB oracle's list_sum.
+  * All cosine arithmetic goes through [[graft.functions.CosineSim]], a
+  * compact codegen'd node: Spark's higher-order functions
+  * (aggregate/zip_with) are CodegenFallback — interpreted per row —
+  * and the historical UNROLLED element_at formulation (3 × dim terms)
+  * stopped compiling once embeddings reached dim 64: inlined into a
+  * BroadcastNestedLoopJoin condition it pushes `bnlj_doConsume` past
+  * the JVM's 64 KB method limit, janino fails, and the whole join
+  * silently runs interpreted (measured 31 s vs 3 s on the sf0.1 pair
+  * join). The node reads the raw float arrays directly (no per-pair
+  * cast allocation) and keeps the oracle's left-assoc IEEE fold order.
   *
   * FORMULATION RULES, each measured on the sf0.1 pair join:
-  *  - operands are `cast(embCol as array<double>)` AT THE USE SITE over
-  *    the RAW relation's column: codegen's common-subexpression
-  *    elimination converts the array once per pair and the 192 element
-  *    reads are plain double loads (6.6 s). Per-element scalar casts
-  *    defeat CSE (14 s); hoisting the cast (or norms) into a projected
-  *    join input gets re-inlined by CollapseProject into every
-  *    reference and is catastrophic (65–200 s).
+  *  - cosine is ONE expression node over the RAW relations' columns;
+  *    hoisting pieces (casts, norms) into projected join inputs gets
+  *    re-inlined by CollapseProject into every reference and is
+  *    catastrophic (65–200 s in the unrolled era).
   *  - the all-pairs join side is explicitly broadcast: projected inputs
   *    have no size stats, and a CartesianProduct fallback evaluates the
-  *    pushed-down cosine condition interpreted, not codegen'd.
-  *  - cast(arr)[i] and CAST(arr[i] AS DOUBLE) are the same double, so
-  *    oracle parity is unaffected by any of this.
+  *    pushed-down cosine condition row-at-a-time with extra overhead.
+  *  - float→double widening per element equals the old
+  *    `cast(arr AS array<double>)` element values, so oracle parity is
+  *    unaffected by any of this.
   */
 object Ann {
 
@@ -40,30 +43,18 @@ object Ann {
     embeddings.filter(col(embCol).isNotNull)
       .select(size(col(embCol))).head().getInt(0)
 
-  private def dot(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i))
-      .reduceLeft(_ + _)
-
-  private def norm(a: Column, dim: Int): Column =
-    sqrt((1 to dim).map(i => element_at(a, i) * element_at(a, i))
-      .reduceLeft(_ + _))
-
-  /** cosine(embedding, query) against a fixed query vector; `emb`
-    * must already be array<double>.
+  /** cosine(embedding, query) against a fixed query vector (inlined
+    * as an array literal — constant per task, no broadcast state).
     */
-  def cosine(emb: Column, queryVec: Seq[Double]): Column = {
-    val dim = queryVec.length
-    val d = (1 to dim).map(i =>
-      element_at(emb, i) * lit(queryVec(i - 1))).reduceLeft(_ + _)
-    val nb = math.sqrt(queryVec.map(x => x * x).sum)
-    d / (norm(emb, dim) * lit(nb))
-  }
+  def cosine(emb: Column, queryVec: Seq[Double]): Column =
+    graft.functions.CosineSim(emb, lit(queryVec.toArray),
+      queryVec.length)
 
   /** exact top-k by cosine against a fixed query vector. */
   def cosineTopK(embeddings: DataFrame, embCol: String, idCol: String,
       queryVec: Seq[Double], k: Int): DataFrame =
     embeddings.select(col(idCol),
-        cosine(col(embCol).cast("array<double>"), queryVec).as("cos"))
+        cosine(col(embCol), queryVec).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -141,11 +132,11 @@ object Ann {
   }
 
   /** exact-cosine verify over candidate (id_a, id_b) pairs. The cos
-    * expression (dot + both norms) is computed inline per pair: alias
-    * tricks that precompute norms per embedding backfire — predicate
-    * pushdown re-inlines the aliased SQRT trees into pushed filters
-    * and the extra projection layers measured ~5× SLOWER end-to-end
-    * than the flat codegen'd expression.
+    * expression is ONE [[graft.functions.CosineSim]] node evaluated
+    * inline per pair: alias tricks that precompute norms per embedding
+    * backfire — predicate pushdown re-inlines the aliased SQRT trees
+    * into pushed filters and the extra projection layers measured ~5×
+    * SLOWER end-to-end than the flat codegen'd expression.
     */
   private def verifyPairs(cand: DataFrame, embeddings: DataFrame,
       embCol: String, idCol: String, dim: Int,
@@ -154,11 +145,9 @@ object Ann {
       col(embCol).as("__ea"))
     val eb = embeddings.select(col(idCol).as("id_b"),
       col(embCol).as("__eb"))
-    val a = col("__ea").cast("array<double>")
-    val b = col("__eb").cast("array<double>")
     cand.join(ea, "id_a").join(eb, "id_b")
       .withColumn("cos",
-        dot(a, b, dim) / (norm(a, dim) * norm(b, dim)))
+        graft.functions.CosineSim(col("__ea"), col("__eb"), dim))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -275,7 +264,7 @@ object Ann {
     ivfAssignWith(embeddings, embCol, cents)
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol), col("cell"),
-        cosine(col(embCol).cast("array<double>"), queryVec).as("cos"))
+        cosine(col(embCol), queryVec).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(topK)
   }
@@ -288,13 +277,11 @@ object Ann {
     val dim = dimOf(embeddings, embCol)
     val l = embeddings.as("l")
     val r = embeddings.as("r")
-    val a = col(s"l.$embCol").cast("array<double>")
-    val b = col(s"r.$embCol").cast("array<double>")
     // broadcast explicitly so the non-equi pair join is a codegen'd
     // BroadcastNestedLoopJoin, never an interpreted CartesianProduct
     l.join(broadcast(r), col(s"l.$idCol") < col(s"r.$idCol"))
-      .withColumn("cos",
-        dot(a, b, dim) / (norm(a, dim) * norm(b, dim)))
+      .withColumn("cos", graft.functions.CosineSim(
+        col(s"l.$embCol"), col(s"r.$embCol"), dim))
       .filter(col("cos") >= threshold)
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         col("cos"))
