@@ -101,4 +101,30 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("Filter") && p.contains("cell"), p)
   }
+
+  test("every query runs with codegen fallback disabled " +
+      "(no silent interpreted execution)") {
+    // Regression net for the class of bug where generated code fails
+    // to COMPILE (e.g. a >64 KB method from an unrolled expression
+    // tree) and Spark silently executes the stage interpreted — the
+    // query stays correct but runs ~10x slower (ann_near_dup was 31 s
+    // instead of 3 s at sf0.1 before CosineSim). Compile success is
+    // data-independent, so sf0.001 exercises the same generated code
+    // the 100 TB plan would run.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
+        case (name, fn) =>
+          withClue(s"query $name: ") {
+            fn(spark, sf("sf0.001")).count()
+          }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
