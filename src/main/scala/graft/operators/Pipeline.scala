@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-pipeline operators: hash sampling,
+  * train/val/test splitting, weighted source mixing, and the
+  * quality-filter funnel — the bookkeeping layer of a training-data
+  * pipeline.
+  *
+  * All decisions are pure map-side functions of a row's key: a
+  * lexicographic comparison of an md5-hex prefix against a threshold
+  * string. No RNG state, no shuffle, no driver coordination — so at
+  * 100 TB the sample/split/mix stage is a codegen'd filter fused into
+  * the scan (only the final small per-group aggregation exchanges
+  * anything), and the decision for a given row is reproducible across
+  * runs, partitionings, engines (DuckDB computes the identical md5 and
+  * the identical byte-wise string compare), and cluster sizes —
+  * re-running a 1000-executor job yields byte-identical corpus
+  * membership, which is what makes ablations and incremental rebuilds
+  * sound.
+  *
+  * Rate resolution is 1/65536 (a 4-hex-digit prefix). Salting the key
+  * (`concat(salt, key)`) decorrelates independent sampling decisions
+  * on the same corpus.
+  */
+object Pipeline {
+
+  /** 4-lowercase-hex threshold for a keep-rate in [0, 1]; rows keep
+    * when `md5prefix(key) < threshold`, so rate quantizes to
+    * round(rate * 65536) / 65536.
+    */
+  def rateHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate out of [0,1]")
+    val t = math.round(rate * 65536.0)
+    if (t >= 65536) "g" // 'g' > 'f': keeps every prefix
+    else f"$t%04x"
+  }
+
+  private def prefix(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 4)
+
+  /** deterministic keep-decision at `rate` for `key` (any expression;
+    * cast to string before hashing so engines agree on bytes).
+    */
+  def hashKeep(key: Column, rate: Double): Column =
+    prefix(key) < lit(rateHex(rate))
+
+  /** Deterministic train/val/test assignment by hash range:
+    * [0, train) → train, [train, train+val) → val, rest → test.
+    * One scan, no shuffle until the (3-row) summary aggregation.
+    */
+  def sampleSplit(docs: DataFrame, idCol: String, trainRate: Double,
+      valRate: Double): DataFrame = {
+    require(trainRate + valRate <= 1.0, "train+val must be <= 1")
+    val p = prefix(col(idCol))
+    val split = when(p < lit(rateHex(trainRate)), "train")
+      .when(p < lit(rateHex(trainRate + valRate)), "val")
+      .otherwise("test")
+    docs.withColumn("split", split)
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy("split")
+  }
+
+  /** Weighted source mixing: each source keeps a deterministic
+    * hash-sample at its configured rate (sources absent from `weights`
+    * keep everything). Emits the per-source funnel (total vs kept) —
+    * the mix report every pipeline run logs. The keep decision salts
+    * the id with the source name so the same document id draws
+    * independent decisions under different sources.
+    */
+  def mixSources(docs: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val keep = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(true)) { case (els, (src, rate)) =>
+        when(col(sourceCol) === src,
+          prefix(concat(lit(src), lit(":"), col(idCol)))
+            < lit(rateHex(rate))).otherwise(els)
+      }
+    docs.groupBy(sourceCol)
+      .agg(count(lit(1)).as("total"),
+        sum(keep.cast("long")).as("kept"))
+      .orderBy(sourceCol)
+  }
+
+  /** Quality-filter funnel: per-document FIRST failing rule (ordered
+    * CASE — a document dropped for length is not also counted under
+    * language), survivors labelled `kept`. Rules are (name, predicate)
+    * in funnel order; the output is the drop report (stage, docs,
+    * chars) that corpus builds alarm on.
+    */
+  def qualityFunnel(docs: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
+    val stage = rules.reverse.foldLeft(lit("kept")) {
+      case (els, (name, dropIf)) => when(dropIf, name).otherwise(els)
+    }
+    docs.withColumn("stage", stage)
+      .groupBy("stage")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy("stage")
+  }
+}

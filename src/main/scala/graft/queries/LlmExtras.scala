@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, Dedup, Multimodal, Pipeline}
 
 /** Training-data pipeline operators (dedup / similarity / multimodal) as
   * driver-checkable queries. SQL-expressible ones carry DuckDB oracles;
@@ -21,6 +21,14 @@ object LlmExtras {
     Tables(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) =
     Tables(s, dir, "embeddings")
+
+  /** per-source mix rates: 1.0 / 0.5 / 0.25 / 0.1 by source index mod
+    * 4 — the same rule the oracle SQL derives from the source name, so
+    * the two cannot silently diverge.
+    */
+  private[queries] val mixWeights: Map[String, Double] =
+    (0 until 20).map(i =>
+      s"src$i" -> Seq(1.0, 0.5, 0.25, 0.1)(i % 4)).toMap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -110,7 +118,28 @@ object LlmExtras {
           sum(col("width").cast("long")).as("width_sum"),
           sum(col("n_frames").cast("long")).as("frames_sum"),
           sum("n_bytes").as("bytes_sum"))
-        .orderBy("format"))
+        .orderBy("format")),
+
+    // deterministic train/val/test split by md5-hex range — map-side
+    // keep decision, reproducible across runs/partitionings/engines
+    "pipeline_sample_split" -> ((s, dir) =>
+      Pipeline.sampleSplit(docs(s, dir), "doc_id", 0.8, 0.1)),
+
+    // weighted source mixing: per-source deterministic sample rates
+    // (1.0 / 0.5 / 0.25 / 0.1 by source index mod 4), reported as the
+    // per-source total-vs-kept funnel
+    "pipeline_mix_sources" -> ((s, dir) =>
+      Pipeline.mixSources(docs(s, dir), "source", "doc_id",
+        mixWeights)),
+
+    // quality-filter funnel: first-failing-rule attribution
+    // (short → non-target language → too few tokens), survivors 'kept'
+    "pipeline_quality_funnel" -> ((s, dir) =>
+      Pipeline.qualityFunnel(docs(s, dir), Seq(
+        "too_short" -> (col("n_chars") < 100),
+        "lang_filter" -> !col("lang").isin("en", "de", "fr", "es"),
+        "too_few_tokens" ->
+          (size(split(col("text"), " ")) < 15))))
   )
 
   /** shared gram/size/common CTEs (trigram shingles, 1/2 threshold) —
@@ -367,6 +396,48 @@ object LlmExtras {
            CAST(sum(16 + n % 624) AS BIGINT) AS width_sum,
            CAST(sum(1 + n % 24) AS BIGINT) AS frames_sum,
            CAST(sum(n) AS BIGINT) AS bytes_sum
-         FROM m GROUP BY format ORDER BY format"""
+         FROM m GROUP BY format ORDER BY format""",
+
+    // hash thresholds are Pipeline.rateHex values: 0.8→'cccd',
+    // 0.9→'e666' (md5 hex prefix < threshold, byte-wise compare — both
+    // engines collate binary)
+    "pipeline_sample_split" ->
+      """SELECT split, count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM (SELECT CASE
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+               < 'cccd' THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+               < 'e666' THEN 'val'
+             ELSE 'test' END AS split, n_chars
+           FROM documents)
+         GROUP BY split ORDER BY split""",
+
+    // per-source rates 1.0/0.5/0.25/0.1 by source index mod 4
+    // (rateHex: 1.0→'g', 0.5→'8000', 0.25→'4000', 0.1→'199a'); the
+    // keep hash salts the id with the source name, like mixSources
+    "pipeline_mix_sources" ->
+      """SELECT source, count(*) AS total,
+           CAST(sum(CASE WHEN
+             substring(md5(source || ':' || CAST(doc_id AS VARCHAR)),
+               1, 4) <
+             CASE CAST(substring(source, 4) AS INT) % 4
+               WHEN 0 THEN 'g' WHEN 1 THEN '8000'
+               WHEN 2 THEN '4000' ELSE '199a' END
+             THEN 1 ELSE 0 END) AS BIGINT) AS kept
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "pipeline_quality_funnel" ->
+      """SELECT stage, count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM (SELECT CASE
+             WHEN n_chars < 100 THEN 'too_short'
+             WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+               THEN 'lang_filter'
+             WHEN len(string_split(text, ' ')) < 15
+               THEN 'too_few_tokens'
+             ELSE 'kept' END AS stage, n_chars
+           FROM documents)
+         GROUP BY stage ORDER BY stage"""
   )
 }
