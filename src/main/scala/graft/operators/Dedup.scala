@@ -191,44 +191,107 @@ object Dedup {
     * in its component (`canonical`); keeping rows where
     * `doc_id = canonical` yields the deduplicated corpus.
     *
-    * Iterative min-label propagation: each round every node adopts the
-    * minimum label among itself and its neighbours, localCheckpoint'ed
-    * so round N's plan never re-derives rounds 0..N-1, until a round
-    * changes nothing. Rounds needed = component diameter — near-dup
-    * clusters are shallow (boilerplate families, O(1)-ish). `maxRounds`
-    * fails LOUDLY on adversarially long chains (a 10⁵-link path would
-    * otherwise drive 10⁵ shuffle rounds); raising it is safe, but a
-    * corpus that deep wants a star-contraction implementation instead.
+    * Alternating large-star / small-star contraction (the two-phase
+    * MapReduce connected-components algorithm of Kiveris et al., SoCC
+    * 2014 — the same shape GraphFrames ships): each round rewrites the
+    * edge set so every node hooks onto the minimum of its closed
+    * neighbourhood, halving star depth per round. Converges in
+    * O(log n) rounds even on a pure chain — min-label propagation
+    * (the previous implementation) needed diameter rounds there.
+    *
+    * ONE Spark action per round: the round's edge set is
+    * `localCheckpoint(eager)`-materialized (cutting plan lineage so
+    * round N never re-derives rounds 0..N−1), and convergence is read
+    * from an [[org.apache.spark.sql.Observation]] riding the SAME
+    * action — (edge count, edge-hash sum) stable across a round means
+    * the edge set reached its star-graph fixed point. No separate
+    * driver `count()` job per round.
+    *
+    * `maxRounds` still fails LOUDLY as a runaway guard, but at
+    * O(log n) convergence 50 rounds covers any component a physical
+    * corpus can produce (2⁵⁰ nodes).
     */
   def canonicalIds(docs: DataFrame, idCol: String,
-      pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"),
-        col("doc_a").as("dst")))
+      pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    canonicalIdsWithRounds(docs, idCol, pairs, maxRounds)._1
+
+  /** [[canonicalIds]] plus the number of contraction rounds taken —
+    * exposed so specs can pin the O(log n) convergence bound.
+    */
+  private[graft] def canonicalIdsWithRounds(docs: DataFrame,
+      idCol: String, pairs: DataFrame, maxRounds: Int = 50)
+      : (DataFrame, Int) = {
+    import org.apache.spark.sql.Observation
+    val w = org.apache.spark.sql.expressions.Window
+    def sigN = count(lit(1)).as("n")
+    def sigH = sum(hash(col("a"), col("b")).cast("long")).as("h")
+    def readSig(obs: Observation): (Long, Long) = {
+      val m = obs.get
+      (m("n").asInstanceOf[Long],
+        Option(m("h")).fold(0L)(_.asInstanceOf[Long]))
+    }
+    // oriented big→small, self-loop-free, distinct; observed so a
+    // pair graph that is ALREADY a star converges after one round
+    val obs0 = Observation()
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .observe(obs0, sigN, sigH)
       .localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint(true)
-    var changed = 1L
+    var prevSig: Option[(Long, Long)] = Some(readSig(obs0))
     var rounds = 0
-    while (changed > 0) {
+    var converged = false
+    while (!converged) {
       if (rounds >= maxRounds)
         throw new IllegalStateException(
           s"canonicalIds did not converge in $maxRounds rounds — " +
-            "component diameter exceeds the cap; raise maxRounds or " +
-            "use a star-contraction variant for chain-shaped graphs")
+            "star contraction needs O(log n) rounds, so this edge set " +
+            "is pathological (2^maxRounds-node component) or cyclic " +
+            "re-planning is broken; raise maxRounds only after " +
+            "inspecting the pair graph")
       rounds += 1
-      val viaNbr = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min("lbl").as("nlbl"))
-      val updated = labels.join(viaNbr, col("id") === col("src"), "left")
-        .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
-            .as("nextLbl"))
+      // LARGE-STAR: for each node u, connect every strictly-larger
+      // neighbour v to m = min(Γ(u) ∪ {u}). Emitted edges keep the
+      // big→small orientation (m ≤ u < v).
+      val nbrs = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val large = nbrs
+        .withColumn("m",
+          least(min(col("v")).over(w.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+      // SMALL-STAR: orient edges at their larger endpoint a with
+      // neighbours Γ(a) all smaller; connect a and every neighbour to
+      // m = min(Γ(a)). Also big→small by construction.
+      val withMin = large
+        .withColumn("m", min(col("b")).over(w.partitionBy("a")))
+      val small = withMin.filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionAll(withMin.select(col("a"), col("m").as("b")))
+      // Materialize + convergence metric in ONE action: the Observation
+      // rides the localCheckpoint job. Fixed point ⇔ (count, hash-sum)
+      // unchanged (murmur3 int summed into a long — no overflow below
+      // 2³² edges, wraparound still deterministic above).
+      val obs = Observation()
+      val next = small.distinct()
+        .observe(obs, sigN, sigH)
         .localCheckpoint(true)
-      changed = updated.filter(col("nextLbl") < col("lbl")).count()
-      labels = updated.select(col("id"), col("nextLbl").as("lbl"))
+      val sig = readSig(obs)
+      edges = next
+      if (prevSig.contains(sig)) converged = true
+      prevSig = Some(sig)
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("canonical"))
+    // fixed point = union of stars: every non-root points straight at
+    // its component min; roots and isolated docs label themselves
+    val mapping = edges.groupBy(col("a").as("id"))
+      .agg(min("b").as("lbl"))
+    val out = docs.select(col(idCol).as("doc_id"))
+      .join(mapping, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("canonical"))
+    (out, rounds)
   }
 
   /** SimHash fingerprint as 4 × 16-bit band columns band_0..band_3:

@@ -127,6 +127,26 @@ object AnalyticsExtras {
           count(lit(1)).as("events"))
         .orderBy("event_type")),
 
+    // HLL++ scale path for distinct cardinality, with a hard driver
+    // signal: approx_count_distinct is deterministic (no RNG), so the
+    // |approx − exact| ≤ 3·rsd·exact bound is a stable boolean the
+    // oracle can assert. At 100 TB this replaces the exact
+    // countDistinct above — the HLL sketch merges map-side in fixed
+    // space while exact distinct must shuffle every distinct key.
+    // The exact twin rides along only to compute the bound; the scale
+    // deployment drops it (ApproxSpec pins the HLL-only plan has no
+    // Expand and stays two-phase).
+    "agg_distinct_users_approx" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .select(col("event_type"),
+          (abs(col("approx") - col("exact")).cast("double") <=
+            greatest(lit(2.0), col("exact") * lit(0.15)))
+            .cast("long").as("within_rsd"))
+        .orderBy("event_type")),
+
     // Exact deduplication: content-hash groupBy, keep lowest doc_id.
     // At 100 TB this is THE canonical shuffle-on-digest dedup; the md5 is
     // computed map-side so the shuffle key is 32 bytes, not the document.
@@ -237,6 +257,12 @@ object AnalyticsExtras {
     "agg_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS users,
               count(*) AS events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // The oracle asserts the HLL estimate lands inside the 3-sigma rsd
+    // band for every group: expected value is `1` per event_type. A
+    // sketch drift beyond the bound turns a row to 0 → hash mismatch.
+    "agg_distinct_users_approx" ->
+      """SELECT event_type, CAST(1 AS BIGINT) AS within_rsd
          FROM events GROUP BY event_type ORDER BY event_type""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id,

@@ -131,6 +131,23 @@ class DedupSpec extends SparkSpec {
     assert(canon2.values.forall(_ == 1L))
   }
 
+  test("canonicalIds contracts a 1000-link chain in O(log n) rounds") {
+    // label propagation needed diameter (=999) rounds here; the
+    // large-star/small-star contraction must stay logarithmic, with
+    // ONE Spark action per round (convergence is an Observation on
+    // the checkpoint job, not a separate count()).
+    val n = 1000L
+    val chain = (1L to n).map(i => (i, "x")).toDF("doc_id", "text")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (canon, rounds) =
+      Dedup.canonicalIdsWithRounds(chain, "doc_id", pairs)
+    assert(rounds <= 20, s"chain of $n took $rounds rounds")
+    val labels = canon.as[(Long, Long)].collect()
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 1L),
+      "every chain node must label to the component min")
+  }
+
   test("LSH recall matches exact jaccard on the real documents table") {
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")
     val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 1, 2)
