@@ -225,16 +225,26 @@ object Ann {
     * refined codebook is reproducible on a fixed partitioning rather
     * than bit-stable across engines — which is why the DuckDB-oracled
     * `ann_ivf_topk` path keeps the seed codebook (lloydIters = 0) and
-    * refinement is pinned by AnnSpec's planted-cluster recall test
-    * instead (reference recall anchor, not a hash compare).
+    * refinement is pinned by AnnSpec's "lloydRefine: planted clusters"
+    * recall + quantization-error test instead (reference recall
+    * anchor, not a hash compare).
+    *
+    * Rows with a NULL element in the dim-prefix are excluded here even
+    * though they pass [[wellFormed]]'s length check: their [[
+    * graft.functions.SqDists]] distances are NULL, so in
+    * [[ivfAssignWith]] they fall through the argmin to cell k−1 — fine
+    * for a query-side scan, but in a MEAN they would inflate that
+    * cell's `n` while `sum` skips their NULLs, deflating the centroid.
     */
   def lloydRefine(embeddings: DataFrame, embCol: String,
       seed: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     if (iters <= 0) return seed
+    require(seed.nonEmpty, "lloydRefine: empty seed codebook")
     val dim = seed.head.length
     var cents = seed
     val wf = embeddings.filter(col(embCol).isNotNull &&
-      size(col(embCol)) >= dim)
+      size(col(embCol)) >= dim &&
+      !exists(slice(col(embCol), 1, dim), _.isNull))
     for (_ <- 0 until iters) {
       val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
         sum(element_at(col(embCol), d + 1).cast("double")).as(s"s$d"))
@@ -281,11 +291,16 @@ object Ann {
     * corpus size. At 100 TB the assignment is written once (or bucketed
     * by cell) and every query then prunes (k-nProbe)/k of the corpus
     * before any distance work.
+    *
+    * `lloydIters` > 0 refines the deterministic seed codebook with
+    * [[lloydRefine]] before assignment (recall path); 0 keeps the seed
+    * codebook (oracle-reproducible path).
     */
   def ivfAssign(embeddings: DataFrame, embCol: String, idCol: String,
-      k: Int): DataFrame =
+      k: Int, lloydIters: Int = 0): DataFrame =
     ivfAssignWith(embeddings, embCol,
-      centroidVectors(embeddings, embCol, idCol, k))
+      lloydRefine(embeddings, embCol,
+        centroidVectors(embeddings, embCol, idCol, k), lloydIters))
 
   /** IVF top-k: rank the k cells by centroid distance to the query (in
     * plain Scala over the collected codebook — same ascending fold, so
@@ -295,8 +310,9 @@ object Ann {
     */
   def ivfTopK(embeddings: DataFrame, embCol: String, idCol: String,
       queryVec: Seq[Double], k: Int, nProbe: Int,
-      topK: Int): DataFrame = {
-    val cents = centroidVectors(embeddings, embCol, idCol, k)
+      topK: Int, lloydIters: Int = 0): DataFrame = {
+    val cents = lloydRefine(embeddings, embCol,
+      centroidVectors(embeddings, embCol, idCol, k), lloydIters)
     val qd = cents.map { c =>
       var acc = 0.0
       var i = 0

@@ -132,6 +132,93 @@ class AnnSpec extends SparkSpec {
       "small-bucket pairs survive the cap")
   }
 
+  // ---- Lloyd refinement: planted clusters ----
+  //
+  // 4 planted clusters around e1..e4 (25 points each); the seed
+  // codebook (k lowest ids) sits ENTIRELY inside cluster A, and cluster
+  // B deliberately straddles two seed cells (its points jitter ±0.4
+  // along e1, which flips the first-wins argmin between seed 0 and
+  // seed 2). Probing ONE cell with the seed codebook therefore sees
+  // only half of B; after Lloyd refinement the centroids migrate to
+  // the cluster means and one probe recovers all of B. Everything is
+  // deterministic (fixed data, fixed update rule), so the recall
+  // numbers are stable.
+  private def plantedClusters = {
+    val a = Seq(
+      (0L, Array(1.0f, 0.04f, 0.0f, 0.0f)),
+      (1L, Array(1.1f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.95f, 0.0f, 0.04f, 0.0f)),
+      (3L, Array(0.95f, 0.0f, 0.0f, 0.04f))) ++
+      (4L to 24L).map(i =>
+        (i, Array(1.0f + 0.002f * (i - 4), 0.0f, 0.0f, 0.0f)))
+    val b = (25L to 49L).map { i =>
+      val off = (i - 25).toInt
+      val sign = if (off % 2 == 0) 1.0f else -1.0f
+      (i, Array(sign * (0.4f + 0.002f * off), 1.0f, 0.0f, 0.0f))
+    }
+    val c = (50L to 74L).map(i =>
+      (i, Array(0.0f, 0.0f, 1.0f + 0.002f * (i - 50), 0.0f)))
+    val d = (75L to 99L).map(i =>
+      (i, Array(0.0f, 0.0f, 0.0f, 1.0f + 0.002f * (i - 75))))
+    (a ++ b ++ c ++ d).toDF("vec_id", "embedding")
+  }
+
+  test("lloydRefine: planted clusters — refined recall beats seed, " +
+      "quantization error drops") {
+    val df = plantedClusters
+    val q = Seq(0.0, 1.0, 0.0, 0.0) // cluster B's centre
+    val exact = Ann.cosineTopK(df, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+
+    def recall(iters: Int): Int = {
+      val ivf = Ann.ivfTopK(df, "embedding", "vec_id", q,
+        k = 4, nProbe = 1, topK = 10, lloydIters = iters)
+        .select("vec_id").as[Long].collect().toSet
+      (ivf & exact).size
+    }
+    val seedRecall = recall(0)
+    val refinedRecall = recall(5)
+    assert(seedRecall <= 6,
+      s"planted seed codebook should probe badly, got $seedRecall/10")
+    assert(refinedRecall >= 9,
+      s"refined codebook recall too low: $refinedRecall/10")
+    assert(refinedRecall > seedRecall)
+
+    // k-means objective (sum of squared distance to nearest centroid)
+    // must not increase under assign→mean rounds; here it strictly drops
+    val pts = df.select($"embedding".cast("array<double>"))
+      .as[Array[Double]].collect()
+    def qerr(cb: Array[Array[Double]]): Double =
+      pts.map(p => cb.map(ct =>
+        ct.indices.map(t => (ct(t) - p(t)) * (ct(t) - p(t))).sum)
+        .min).sum
+    val seedCb = Ann.centroidVectors(df, "embedding", "vec_id", 4)
+    val refinedCb = Ann.lloydRefine(df, "embedding", seedCb, 5)
+    assert(qerr(refinedCb) < qerr(seedCb))
+  }
+
+  test("lloydRefine: null-element rows are excluded from means; " +
+      "empty seed rejected") {
+    val df = plantedClusters
+    val seedCb = Ann.centroidVectors(df, "embedding", "vec_id", 4)
+    // a row whose NULL element would fall to the last cell's mean if
+    // (wrongly) included: n inflates while sum skips the null — a ~%
+    // level skew, far above the tolerance here
+    val withNull = df.unionByName(spark.range(1).select(
+      lit(999L).as("vec_id"),
+      array(lit(0.1f), lit(null).cast("float"), lit(0.2f),
+        lit(0.3f)).as("embedding")))
+    val clean = Ann.lloydRefine(df, "embedding", seedCb, 3)
+    val dirty = Ann.lloydRefine(withNull, "embedding", seedCb, 3)
+    clean.zip(dirty).foreach { case (ct, dt) =>
+      ct.indices.foreach(t =>
+        assert(math.abs(ct(t) - dt(t)) < 1e-6,
+          s"null-element row skewed a centroid: ${ct.toSeq} vs ${dt.toSeq}"))
+    }
+    assertThrows[IllegalArgumentException](
+      Ann.lloydRefine(df, "embedding", Array.empty, 1))
+  }
+
   test("multimodal decode stub is deterministic and typed") {
     val meta = Multimodal.decodeMeta(
       Multimodal.demoMedia(spark, sf("sf0.001")), "media_id", "payload")
