@@ -181,7 +181,90 @@ object Frontend {
   // ---------------- parser ----------------
 
   def parse(src: String, name: String): Program =
-    new Parser(lex(src), name).parseProgram()
+    constFold(new Parser(lex(src), name).parseProgram())
+
+  // ------------- compile-time constant folding -------------
+
+  /** Fold constant numeric arithmetic and reject constant div/mod by
+    * zero at compile time — the reference's optimiser pass
+    * (`compiler/opt/opt.go:17-170`, run around the type checker at
+    * `compiler/compiler.go:103-134`). One bottom-up walk reaches the
+    * fixpoint on literal trees (the reference's own nested-ops test
+    * folds in a single `Optimise` call).
+    *
+    * Folded ops: `+ - * / % **` when BOTH operands are Int/Float
+    * literals (a non-constant divisor of zero still takes the runtime
+    * NULL + error-counter path, like the reference VM). Int∘Int stays
+    * Int — Go truncating `/` and `%`, `**` via math.Pow then int64
+    * conversion, exactly the reference's arms — and any Float operand
+    * widens the result to Float. A constant `x/0` or `x%0` (either
+    * type) is a COMPILE error: "divide by zero" / "mod by zero".
+    *
+    * Deliberate deviation: the reference's IntLit-lhs/FloatLit-rhs MOD
+    * arm stores its result into the RHS node and returns the
+    * zero-valued fresh literal (opt.go:88-93 — so `1 % 2.0` folds to
+    * 0.0 there); we fold to the IEEE remainder like its other three
+    * MOD arms.
+    */
+  private def constFold(prog: Program): Program = {
+    def err(m: String): Nothing =
+      throw new IllegalArgumentException(s"${prog.name}: $m")
+    def foldII(op: String, l: Long, r: Long): Option[Expr] = op match {
+      case "+" => Some(IntLit(l + r))
+      case "-" => Some(IntLit(l - r))
+      case "*" => Some(IntLit(l * r))
+      case "/" =>
+        if (r == 0) err("divide by zero") else Some(IntLit(l / r))
+      case "%" =>
+        if (r == 0) err("mod by zero") else Some(IntLit(l % r))
+      case "**" =>
+        Some(IntLit(math.pow(l.toDouble, r.toDouble).toLong))
+      case _ => None
+    }
+    def foldFF(op: String, l: Double, r: Double): Option[Expr] =
+      op match {
+        case "+" => Some(FloatLit(l + r))
+        case "-" => Some(FloatLit(l - r))
+        case "*" => Some(FloatLit(l * r))
+        case "/" =>
+          if (r == 0) err("divide by zero") else Some(FloatLit(l / r))
+        case "%" =>
+          if (r == 0) err("mod by zero") else Some(FloatLit(l % r))
+        case "**" => Some(FloatLit(math.pow(l, r)))
+        case _ => None
+      }
+    def foldE(e: Expr): Expr = e match {
+      case Binop(op, l0, r0) =>
+        val (l, r) = (foldE(l0), foldE(r0))
+        val folded = (l, r) match {
+          case (IntLit(a), IntLit(b)) => foldII(op, a, b)
+          case (IntLit(a), FloatLit(b)) => foldFF(op, a.toDouble, b)
+          case (FloatLit(a), IntLit(b)) => foldFF(op, a, b.toDouble)
+          case (FloatLit(a), FloatLit(b)) => foldFF(op, a, b)
+          case _ => None
+        }
+        folded.getOrElse(Binop(op, l, r))
+      case Unop(op, e0) => Unop(op, foldE(e0))
+      case Call(fn, args) => Call(fn, args.map(foldE))
+      case MetricRead(m, keys) => MetricRead(m, keys.map(foldE))
+      case other => other
+    }
+    def foldC(c: Cond): Cond = c match {
+      case CondExpr(e) => CondExpr(foldE(e))
+      case other => other
+    }
+    def foldS(s: Stmt): Stmt = s match {
+      case CondBlock(c, body, els) =>
+        CondBlock(foldC(c), body.map(foldS), els.map(foldS))
+      case IncStmt(m, keys, delta) =>
+        IncStmt(m, keys.map(foldE), foldE(delta))
+      case SetStmt(m, keys, v) => SetStmt(m, keys.map(foldE), foldE(v))
+      case DelStmt(m, keys, after) => DelStmt(m, keys.map(foldE), after)
+      case ExprStmt(e) => ExprStmt(foldE(e))
+      case other => other
+    }
+    prog.copy(stmts = prog.stmts.map(foldS))
+  }
 
   private final class Parser(toks: Vector[Tok], name: String) {
     private var p = 0

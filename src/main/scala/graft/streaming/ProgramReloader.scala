@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+import graft.mtail.{Frontend, Ir}
+
+/** SIGHUP / program-path reload — the reference's runtime loader
+  * (`internal/runtime/runtime.go:49-100` `LoadAllPrograms` over a progs
+  * path, HUP-triggered at `runtime.go:311-332`, compile-and-swap per
+  * program at `runtime.go:141-158`): programs may be created, updated
+  * and deleted while the daemon runs; a HUP (or an explicit
+  * [[loadAll]], or a poll tick) re-scans the path; a program that
+  * fails to compile leaves the previous version running.
+  *
+  * Mechanics mirrored from the reference:
+  *  - a directory scan loads every non-hidden `*.mtail` file (program
+  *    name = file basename); a plain-file path loads just that file
+  *    with the same hidden/extension checks (`LoadProgram`,
+  *    `runtime.go:102-118`)
+  *  - unchanged contents (sha-256) skip the recompile
+  *    (`CompileAndRun`, `runtime.go:141-157`)
+  *  - a compile error is recorded in [[programErrors]] and counted,
+  *    and does NOT unload the running program — the `CompileAndRun`
+  *    contract ("If the new program fails to compile, any existing
+  *    virtual machine with the same name remains running")
+  *  - programs whose file disappeared are unloaded (the `markDeleted`
+  *    sweep, `runtime.go:61-88`)
+  *
+  * The `load`/`unload` callbacks do the engine work; validate-first
+  * semantics live THERE. For a single-program [[StreamRunner]], pass
+  * `p => runner.reload(p)` — reload probes the whole new plan against
+  * an empty frame before swapping, so a program that parses but cannot
+  * plan is also rejected with the old program left running. For a
+  * [[MultiRunner]], dispatch by name:
+  * `p => multi.runners.get(p.name).foreach(_.reload(p))`.
+  *
+  * Scale note: reload is pure driver-side control plane — parse +
+  * plan-probe on a handful of KB of program text. Nothing here touches
+  * executors; the swapped plan applies from the next microbatch.
+  */
+final class ProgramReloader(programPath: String,
+    load: Ir.Program => Unit,
+    unload: String => Unit = _ => ()) {
+
+  /** name → sha-256 of the last successfully loaded contents. */
+  @volatile private var loaded = Map.empty[String, String]
+  /** name → last load error (None = last load succeeded) — the
+    * reference's `programErrors` map (`runtime.go:125-133`).
+    */
+  @volatile var programErrors = Map.empty[String, Option[String]]
+  @volatile private var poller: Option[Thread] = None
+
+  private def sha256(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** hidden-file + extension gate (`runtime.go:104-112`). */
+  private def eligible(fileName: String): Boolean =
+    !fileName.startsWith(".") && fileName.endsWith(".mtail")
+
+  /** One scan of the program path: load new/changed programs, skip
+    * unchanged ones, unload deleted ones. Per-program failures are
+    * recorded, not thrown (the reference's default `errorsAbort=false`
+    * daemon mode); an unreadable path itself throws.
+    */
+  def loadAll(): Unit = synchronized {
+    val p = Paths.get(programPath)
+    val files: Seq[Path] =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq
+          .filter(f => !Files.isDirectory(f))
+          .sortBy(_.getFileName.toString)
+      else Seq(p)
+    val seen = scala.collection.mutable.Set[String]()
+    files.foreach { f =>
+      val name = f.getFileName.toString
+      if (eligible(name)) {
+        seen += name
+        val src = new String(Files.readAllBytes(f),
+          StandardCharsets.UTF_8)
+        val hash = sha256(src)
+        if (!loaded.get(name).contains(hash)) {
+          try {
+            load(Frontend.parse(src, name))
+            loaded += name -> hash
+            programErrors += name -> None
+          } catch {
+            case e: Exception =>
+              // old program (if any) keeps running; its hash stays so
+              // reverting the bad edit is seen as a change
+              programErrors += name -> Some(e.getMessage)
+          }
+        }
+      }
+    }
+    (loaded.keySet -- seen).foreach { name =>
+      unload(name)
+      loaded -= name
+      programErrors -= name
+    }
+  }
+
+  /** Install a HUP handler calling [[loadAll]] — `runtime.go:311-332`.
+    * Errors are swallowed like the reference's `glog.Info(err)`: a
+    * signal must never kill the daemon.
+    */
+  def installSighup(): Unit = {
+    import sun.misc.{Signal, SignalHandler}
+    Signal.handle(new Signal("HUP"), new SignalHandler {
+      override def handle(sig: Signal): Unit =
+        try loadAll() catch { case _: Exception => () }
+    })
+  }
+
+  /** Watch the program path by polling every `intervalMillis` — the
+    * filesystem-watch analogue for deployments that cannot signal the
+    * JVM. Content hashes make each tick cheap (no recompiles unless a
+    * file actually changed).
+    */
+  def startPolling(intervalMillis: Long): Unit = synchronized {
+    require(poller.isEmpty, "already polling")
+    val t = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(intervalMillis)
+        try loadAll() catch { case _: Exception => () }
+      } catch { case _: InterruptedException => () }
+    }, "graft-prog-reloader")
+    t.setDaemon(true)
+    t.start()
+    poller = Some(t)
+  }
+
+  def stop(): Unit = synchronized {
+    poller.foreach(_.interrupt())
+    poller = None
+  }
+}

@@ -103,6 +103,46 @@ class FrontendSpec extends AnyFunSuite {
     assert(body(4) == StopStmt)
   }
 
+  test("constant folding: literal arithmetic folds at compile time " +
+      "(opt.go:17-170)") {
+    def body(src: String): Seq[Stmt] =
+      Frontend.parse(s"gauge g\n/x/ {\n$src\n}\n", "fold")
+        .stmts.head.asInstanceOf[CondBlock].body
+    // the reference optimiser's own table (opt_test.go:21-75)
+    assert(body("g = 1 + 2") == Seq(SetStmt("g", Nil, IntLit(3))))
+    assert(body("g = 2.0 * 3.0") == Seq(SetStmt("g", Nil, FloatLit(6))))
+    assert(body("g = 2 ** 3.0") == Seq(SetStmt("g", Nil, FloatLit(8))))
+    assert(body("g = 3.0 % 2") == Seq(SetStmt("g", Nil, FloatLit(1))))
+    // nested ops fold in one pass: 2 ** 4 - 1
+    assert(body("g = 2 ** 4 - 1") == Seq(SetStmt("g", Nil, IntLit(15))))
+    // Go truncating semantics survive the fold
+    assert(body("g = (0 - 7) / 3") ==
+      Seq(SetStmt("g", Nil, IntLit(-2))))
+    assert(body("g = (0 - 7) % 3") ==
+      Seq(SetStmt("g", Nil, IntLit(-1))))
+    // a non-constant operand is left for the runtime path
+    assert(body("g = $1 + 2") ==
+      Seq(SetStmt("g", Nil, Binop("+", Capref("1"), IntLit(2)))))
+  }
+
+  test("constant div/mod by zero is a compile error, non-constant " +
+      "is not (opt_test.go:87-131)") {
+    def bad(expr: String, msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](Frontend.parse(
+        s"gauge g\n/x/ {\n  g = $expr\n}\n", "divzero"))
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    bad("4 / 0", "divide by zero")
+    bad("4.0 / 0.0", "divide by zero")
+    bad("4 % 0", "mod by zero")
+    bad("4.0 % 0", "mod by zero")
+    bad("1 + 4 / (2 - 2)", "divide by zero")
+    // non-constant divisor compiles; zero at runtime aborts the line
+    // (VmSemanticsSpec pins that path)
+    Frontend.parse("gauge g\n/^(?P<y>\\d+)$/ {\n  g = 4 / $y\n}\n",
+      "rtdiv")
+  }
+
   test("composite conds: pattern && expr, expr match binding") {
     val p = Frontend.parse(
       """counter c
