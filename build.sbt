@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap: without -Xms the JVM grows/shrinks the committed
+  // heap around every GC cycle, and on this 32-vCPU microVM the
+  // resulting mmap/munmap churn (page re-zeroing + TLB-shootdown IPIs
+  // to 31 other vCPUs, each a VM exit) intermittently burned 100-800
+  // CPU-seconds of guest SYSTEM time per benchmark run — 10-50×
+  // wall-time swings on identical warm queries (diagnosed round 8:
+  // thread dumps in user-space memcpy loops while /proc time billed
+  // to sys). AlwaysPreTouch faults every page once at JVM start so
+  // steady state never faults.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -271,14 +271,27 @@ object Dedup {
         .select(col("b").as("a"), col("m").as("b"))
         .unionAll(withMin.select(col("a"), col("m").as("b")))
       // Materialize + convergence metric in ONE action: the Observation
-      // rides the localCheckpoint job. Fixed point ⇔ (count, hash-sum)
+      // rides the localCheckpoint job. Fixed point ⇒ (count, hash-sum)
       // unchanged (murmur3 int summed into a long — no overflow below
-      // 2³² edges, wraparound still deterministic above).
+      // 2³² edges, wraparound still deterministic above). The converse
+      // is a heuristic: two DIFFERENT consecutive edge sets with equal
+      // count could in principle collide on the 64-bit sum and stop one
+      // round early (≈2⁻⁶⁴ per round, deterministic for a given input,
+      // and a wrong stop surfaces as a wrong canonical mapping in the
+      // oracle). Accepted: the alternative is an exact set-equality
+      // join, a full extra shuffle per round for an astronomically
+      // unlikely event.
       val obs = Observation()
       val next = small.distinct()
         .observe(obs, sigN, sigH)
         .localCheckpoint(true)
       val sig = readSig(obs)
+      // `next` is materialized (eager checkpoint), so the superseded
+      // round's blocks can be freed NOW instead of waiting for the
+      // ContextCleaner's next driver-GC cycle — on a large cluster the
+      // dead rounds would otherwise stack up in executor block
+      // managers for the whole query (O(rounds) × edge-set bytes)
+      graft.plan.CheckpointUtil.freeCheckpoint(edges)
       edges = next
       if (prevSig.contains(sig)) converged = true
       prevSig = Some(sig)

@@ -71,30 +71,46 @@ final class ProgramReloader(programPath: String,
   def loadAll(): Unit = synchronized {
     val p = Paths.get(programPath)
     val files: Seq[Path] =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq
+      if (Files.isDirectory(p)) {
+        // Files.list must be closed or the directory fd leaks on every
+        // scan tick (its javadoc requires close; GC is not guaranteed)
+        val s = Files.list(p)
+        try s.iterator().asScala.toSeq
           .filter(f => !Files.isDirectory(f))
           .sortBy(_.getFileName.toString)
-      else Seq(p)
+        finally s.close()
+      } else Seq(p)
     val seen = scala.collection.mutable.Set[String]()
     files.foreach { f =>
       val name = f.getFileName.toString
       if (eligible(name)) {
         seen += name
-        val src = new String(Files.readAllBytes(f),
-          StandardCharsets.UTF_8)
-        val hash = sha256(src)
-        if (!loaded.get(name).contains(hash)) {
-          try {
+        // the read is inside the per-program try: a file deleted or
+        // made unreadable between the directory scan and here is
+        // recorded like a compile error and the scan continues (the
+        // reference's errorsAbort=false daemon mode, runtime.go:74-81);
+        // the deleted-program unload happens on the NEXT tick, when the
+        // directory listing no longer shows it
+        try {
+          val src = new String(Files.readAllBytes(f),
+            StandardCharsets.UTF_8)
+          val hash = sha256(src)
+          if (!loaded.get(name).contains(hash)) {
             load(Frontend.parse(src, name))
             loaded += name -> hash
             programErrors += name -> None
-          } catch {
-            case e: Exception =>
-              // old program (if any) keeps running; its hash stays so
-              // reverting the bad edit is seen as a change
-              programErrors += name -> Some(e.getMessage)
+          } else {
+            // unchanged contents: the running program IS the current
+            // file, so clear any stale error from an intervening bad
+            // edit that was since reverted (the reference assigns
+            // CompileAndRun's nil on a hash match, runtime.go:125-133)
+            programErrors += name -> None
           }
+        } catch {
+          case e: Exception =>
+            // old program (if any) keeps running; its hash stays so
+            // reverting the bad edit is seen as unchanged-and-healthy
+            programErrors += name -> Some(e.getMessage)
         }
       }
     }

@@ -57,6 +57,12 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
     * in flight): metric → materialized (k, v) DataFrame.
     */
   @volatile private var carriedState: Map[String, DataFrame] = Map.empty
+  /** the raw localCheckpoint'ed state relations behind [[carriedState]]
+    * (which may wrap them in a TTL filter), kept so the previous
+    * batch's checkpoint blocks can be freed eagerly once the next
+    * batch's state is materialized
+    */
+  @volatile private var carriedCheckpoints: Seq[DataFrame] = Nil
 
   /** visible for tests: the current carried-state relations. */
   def carriedStateForTest: Map[String, DataFrame] = carriedState
@@ -247,6 +253,18 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       val newState = pb.finalReadStateDfs().map { case (m, sdf) =>
         m -> sdf.localCheckpoint(true)
       }
+      // batch N's checkpoints are materialized, so batch N−1's blocks
+      // are dead once every read of this batch completes — they are
+      // freed at the END of this method (after the instrumentation
+      // collect, whose plan can still lean on the old state and,
+      // lineage being checkpoint-truncated, could NOT recompute a
+      // freed block) instead of waiting for the ContextCleaner's GC
+      // cycle, which on a low-allocation driver lets a long-running
+      // stream stack every batch's state in executor block managers
+      // (carriedState itself may be a TTL-filter view, hence the raw
+      // checkpoints are tracked separately)
+      val prevCheckpoints = carriedCheckpoints
+      carriedCheckpoints = newState.values.toSeq
       // stream time: max event timestamp across exported cells AND
       // hidden-state last writes (hidden metrics never reach the store).
       // One union aggregate = ONE Spark job per batch regardless of how
@@ -294,6 +312,9 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
           Seq(Snapshot.Cell("counter", "prog_runtime_errors_total",
             Map("prog" -> prog.name), Snapshot.VInt(totalErrs), None))
         else Nil))
+      // all of this batch's jobs have run; the previous batch's state
+      // checkpoints are unreachable from any future plan — free them
+      prevCheckpoints.foreach(graft.plan.CheckpointUtil.freeCheckpoint)
       totalLines
   }
 }

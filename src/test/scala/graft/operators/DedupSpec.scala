@@ -139,6 +139,7 @@ class DedupSpec extends SparkSpec {
     val n = 1000L
     val chain = (1L to n).map(i => (i, "x")).toDF("doc_id", "text")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val (canon, rounds) =
       Dedup.canonicalIdsWithRounds(chain, "doc_id", pairs)
     assert(rounds <= 20, s"chain of $n took $rounds rounds")
@@ -146,6 +147,30 @@ class DedupSpec extends SparkSpec {
     assert(labels.length == n)
     assert(labels.forall(_._2 == 1L),
       "every chain node must label to the component min")
+    // superseded rounds are freed EAGERLY (CheckpointUtil digs the
+    // backing RDD out of the checkpoint leaf), so after `rounds`
+    // localCheckpoints only the final round's edge set may still hold
+    // blocks — without the eager free this is O(rounds) entries until
+    // the driver's next GC cycle
+    val live = spark.sparkContext.getPersistentRDDs.size - persistedBefore
+    assert(live <= 1,
+      s"$live new persisted RDDs alive after $rounds checkpointed " +
+        "rounds — superseded rounds are not being freed eagerly")
+  }
+
+  test("CheckpointUtil finds the RDD behind a checkpoint leaf only") {
+    import graft.plan.CheckpointUtil
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    assert(CheckpointUtil.checkpointRdd(df.filter($"a" > 0)).isEmpty,
+      "non-leaf plans must be left alone")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val ck = df.localCheckpoint(true)
+    val rdd = CheckpointUtil.checkpointRdd(ck)
+    assert(rdd.isDefined, "LogicalRDD reflection broke — eager " +
+      "checkpoint cleanup has silently degraded to GC-paced cleanup")
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    CheckpointUtil.freeCheckpoint(ck)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 
   test("LSH recall matches exact jaccard on the real documents table") {
