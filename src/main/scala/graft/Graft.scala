@@ -6,8 +6,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.mtail.{Frontend, Ir, LogLines, Snapshot}
 import graft.plan.PlanBuilder
 import graft.sources.LogSources
-import graft.streaming.{ExportServer, Exporters, PushExporter,
-  StreamRunner}
+import graft.streaming.{ExportServer, Exporters, MultiRunner,
+  ProgramReloader, PushExporter, StreamRunner}
 
 /** User-facing facade — the library shape of the reference binary's two
   * modes (`mtail -one_shot` and the daemon): compile `.mtail` source,
@@ -93,7 +93,7 @@ object Graft {
     val runner = new StreamRunner(prog, spark, defaultYear, overrideZone)
     // keys resolved per scrape from the live program, so reload()
     // re-keying a metric updates /json without rebuilding the server
-    val server = new ExportServer(runner.store, programName,
+    val server = ExportServer.single(runner.store, programName,
       () => runner.exportKeys, port,
       internal = Some(runner.internalStore))
     val boundPort = server.start()
@@ -105,5 +105,64 @@ object Graft {
     val push = new PushExporter(runner.store, programName,
       internal = Some(runner.internalStore))
     Tail(runner, query, server, boundPort, push)
+  }
+
+  /** Progs-dir daemon handle: the live program set, its reloader, the
+    * streaming query and the pull server. `reloadNow()` is the
+    * explicit-HUP analogue for callers that manage their own signals.
+    */
+  final case class TailProgs(multi: MultiRunner,
+      reloader: ProgramReloader, query: StreamingQuery,
+      server: ExportServer, port: Int) {
+    def reloadNow(): Unit = reloader.loadAll()
+    def stop(): Unit = {
+      reloader.stop()
+      query.stop()
+      server.stop()
+    }
+  }
+
+  /** The reference daemon's full shape (`mtail --progs dir --logs …`,
+    * `runtime.go:49-100`): load every `*.mtail` under `progsPath`, fan
+    * every log line out to every program, serve ALL programs on one
+    * pull port, and keep watching the program path — `kill -HUP`
+    * (`sighup = true`, `runtime.go:311-332`) and/or a poll ticker
+    * (`pollMillis`) re-scan it; edits swap validate-first between
+    * micro-batches, a broken edit keeps the old program running (its
+    * error lands in `reloader.programErrors`), new files join the
+    * fan-out, deleted files unload.
+    *
+    * A program that fails to compile at STARTUP is recorded, not
+    * fatal, like the reference's default `errorsAbort=false`; callers
+    * that want fail-fast check `reloader.programErrors` after this
+    * returns.
+    */
+  def tailProgs(spark: SparkSession, progsPath: String,
+      sourcePattern: String, port: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      defaultYear: Int = java.time.Year.now.getValue,
+      ignoreRegex: Option[String] = None,
+      overrideZone: String = "UTC",
+      sighup: Boolean = false,
+      pollMillis: Option[Long] = None): TailProgs = {
+    val multi = new MultiRunner(Nil, spark, defaultYear, overrideZone)
+    val reloader = new ProgramReloader(progsPath,
+      multi.load, multi.unload)
+    reloader.loadAll()
+    def sorted = multi.runners.toSeq.sortBy(_._1)
+    val server = ExportServer.multi(
+      () => sorted.map { case (n, r) =>
+        ExportServer.Source(n, r.store, r.exportKeys) },
+      port,
+      internals = () => sorted.map { case (n, r) =>
+        n -> r.internalStore })
+    val boundPort = server.start()
+    val query =
+      try multi.start(
+        LogSources.open(spark, sourcePattern, ignoreRegex), trigger)
+      catch { case e: Throwable => server.stop(); throw e }
+    if (sighup) reloader.installSighup()
+    pollMillis.foreach(reloader.startPolling)
+    TailProgs(multi, reloader, query, server, boundPort)
   }
 }

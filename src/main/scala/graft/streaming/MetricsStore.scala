@@ -170,14 +170,28 @@ object Exporters {
     */
   def prometheus(cells: Seq[Cell], program: String,
       omitProgLabel: Boolean = false,
+      emitTimestamp: Boolean = false): String =
+    prometheusMulti(Seq(program -> cells), omitProgLabel, emitTimestamp)
+
+  /** Prometheus exposition over SEVERAL programs' stores on one
+    * endpoint — the reference daemon's single registry over every
+    * loaded VM. Same-name metrics from different programs merge into
+    * ONE `# TYPE` family (duplicate TYPE blocks are a text-format
+    * violation), distinguished per sample by the `prog` label, exactly
+    * as client_golang renders mtail's shared registry.
+    */
+  def prometheusMulti(byProg: Seq[(String, Seq[Cell])],
+      omitProgLabel: Boolean = false,
       emitTimestamp: Boolean = false): String = {
     val sb = new StringBuilder
     // text metrics have no Prometheus representation and are skipped,
     // like the reference (prometheus.go:38-40); a raw string sample
     // value would make the whole exposition unparseable
-    val byName = cells.filter(_.kind != "text")
-      .groupBy(_.name).toSeq.sortBy(_._1)
-    byName.foreach { case (name, cs) =>
+    val byName = byProg
+      .flatMap { case (p, cs) => cs.filter(_.kind != "text").map(p -> _) }
+      .groupBy(_._2.name).toSeq.sortBy(_._1)
+    byName.foreach { case (name, pcs) =>
+      val cs = pcs.map(_._2)
       val promName = name.replace("-", "_") // noHyphens
       val promType = cs.head.kind match {
         case "counter" => "counter"
@@ -185,11 +199,12 @@ object Exporters {
         case other => other
       }
       // client_golang HELP line; the reference fills it with the
-      // defining source (prometheus.go:67-68,76-77)
+      // defining source (prometheus.go:67-68,76-77) — first defining
+      // program wins when several share the family
       sb.append(s"# HELP $promName defined at ${
-        promHelpEscape(program)}\n")
+        promHelpEscape(pcs.head._1)}\n")
       sb.append(s"# TYPE $promName $promType\n")
-      cs.foreach { c =>
+      pcs.foreach { case (program, c) =>
         val labels = (if (omitProgLabel) c.labels
         else c.labels + ("prog" -> program)).toSeq.sortBy(_._1)
         def labelStr(extra: (String, String)*) = {
@@ -232,7 +247,16 @@ object Exporters {
 
   /** JSON store dump (json.go:17-30): mtail's exact field shape. */
   def json(cells: Seq[Cell], program: String, keys: Map[String,
-      Seq[String]]): String = {
+      Seq[String]]): String =
+    jsonMulti(Seq((program, cells, keys)))
+
+  /** JSON dump over several programs' stores — one list, each metric
+    * stamped with its own Program field, like the reference store's
+    * WriteMetrics over every loaded program's metrics.
+    */
+  def jsonMulti(
+      byProg: Seq[(String, Seq[Cell], Map[String, Seq[String]])])
+      : String = {
     val kindNum = Map("counter" -> 1, "gauge" -> 2, "timer" -> 3,
       "text" -> 4, "histogram" -> 5)
     def typNum(v: Value) = v match {
@@ -240,8 +264,11 @@ object Exporters {
       case VFloat(_) => 1
       case VStr(_) => 2
     }
-    val groups = cells.groupBy(_.name).toSeq.sortBy(_._1)
-    val metrics = groups.map { case (name, cs) =>
+    val groups = byProg.flatMap { case (program, cells, keys) =>
+      cells.groupBy(_.name).toSeq.map { case (name, cs) =>
+        (name, program, cs, keys) }
+    }.sortBy { case (name, program, _, _) => (name, program) }
+    val metrics = groups.map { case (name, program, cs, keys) =>
       val ks = keys.getOrElse(name, Nil)
       val lvs = cs.map { c =>
         val labelsJson =
@@ -279,6 +306,11 @@ object Exporters {
       val all = withProg :+ s"instance=$hostname"
       s"${c.name}{${all.mkString(",")}} ${valueString(c.value)}\n"
     }.mkString
+
+  /** varz over several programs' stores, prog-labelled per line. */
+  def varzMulti(byProg: Seq[(String, Seq[Cell])],
+      hostname: String): String =
+    byProg.map { case (p, cs) => varz(cs, p, hostname) }.mkString
 
   /** graphite (graphite.go:55-92): `prefix prog.name.labels value ts`. */
   def graphite(cells: Seq[Cell], program: String,

@@ -20,9 +20,38 @@ final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
     "duplicate program names: every program needs a distinct name " +
       "(the reference keys programs by filename)")
 
-  val runners: Map[String, StreamRunner] =
+  @volatile private var runnersNow: Map[String, StreamRunner] =
     programs.map(p => p.name -> new StreamRunner(p, spark,
       defaultYear, overrideZone)).toMap
+
+  /** The currently loaded program set. Each micro-batch reads this
+    * once, so a concurrent load/unload applies cleanly from the NEXT
+    * batch (the reference's UnloadProgram/CompileAndRun between runs,
+    * `runtime.go:61-88,141-158`).
+    */
+  def runners: Map[String, StreamRunner] = runnersNow
+
+  /** Load a program: an existing name is a live reload through the
+    * runner's validate-first [[StreamRunner.reload]] (a program that
+    * fails to plan is rejected with the OLD program left running —
+    * throws, so a [[ProgramReloader]] records the error); a new name
+    * joins the fan-out from the next micro-batch with fresh stores.
+    */
+  def load(p: Ir.Program): Unit = synchronized {
+    runnersNow.get(p.name) match {
+      case Some(r) => r.reload(p)
+      case None => runnersNow += p.name ->
+        new StreamRunner(p, spark, defaultYear, overrideZone)
+    }
+  }
+
+  /** Unload a program: removed from the fan-out and the export
+    * surface from the next batch/scrape (`markDeleted` sweep,
+    * `runtime.go:61-88`). Unknown names are a no-op.
+    */
+  def unload(name: String): Unit = synchronized {
+    runnersNow -= name
+  }
 
   def start(lines: DataFrame,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
@@ -47,9 +76,13 @@ final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
     * and retry, not a program bug.
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    // ONE read of the live program set per batch: a concurrent
+    // load/unload applies wholesale to the next batch, never half-way
+    // through this one
+    val rs = runners
     val shared = batch.persist()
     try {
-      val failures = runners.toSeq.flatMap { case (name, r) =>
+      val failures = rs.toSeq.flatMap { case (name, r) =>
         try { r.processBatch(shared, batchId); None }
         catch {
           case e: Exception =>
@@ -59,7 +92,7 @@ final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
             Some(e)
         }
       }
-      if (failures.nonEmpty && failures.size == runners.size)
+      if (failures.nonEmpty && failures.size == rs.size)
         throw failures.head
     } finally shared.unpersist()
   }

@@ -221,7 +221,7 @@ class StreamingSpec extends SparkSpec {
       Map("prog" -> "instr_test"))) == VInt(2))
 
     // exported beside program metrics on /metrics
-    val srv = new ExportServer(runner.store, "instr_test", () => Map.empty,
+    val srv = ExportServer.single(runner.store, "instr_test", () => Map.empty,
       internal = Some(runner.internalStore))
     val port = srv.start()
     try {
@@ -255,7 +255,7 @@ class StreamingSpec extends SparkSpec {
     val Snapshot.VFloat(sum) = hist.value: @unchecked
     assert(sum > 0.0)
 
-    val srv = new ExportServer(runner.store, "dur_test", () => Map.empty,
+    val srv = ExportServer.single(runner.store, "dur_test", () => Map.empty,
       internal = Some(runner.internalStore))
     val port = srv.start()
     try {
@@ -412,7 +412,7 @@ class StreamingSpec extends SparkSpec {
     val store = new MetricsStore
     store.merge(Seq(Cell("counter", "c_total", Map.empty, VInt(9),
       Some(100L))))
-    val srv = new ExportServer(store, "p.mtail", () => Map.empty)
+    val srv = ExportServer.single(store, "p.mtail", () => Map.empty)
     val port = srv.start()
     try {
       def get(path: String): String = {
@@ -435,7 +435,7 @@ class StreamingSpec extends SparkSpec {
       Cell("counter", "lines_total", Map.empty, VInt(99), None),
       Cell("counter", "prog_runtime_errors_total",
         Map("prog" -> "p.mtail"), VInt(1), None)))
-    val srv = new ExportServer(store, "p.mtail", () => Map.empty,
+    val srv = ExportServer.single(store, "p.mtail", () => Map.empty,
       internal = Some(internal))
     val port = srv.start()
     try {
