@@ -103,6 +103,39 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "na", "nb")
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` distinct word n-grams with ANY document of a
+    * benchmark/eval corpus — the train/test-overlap sweep run before
+    * training so eval scores aren't inflated by memorized test items
+    * (the n-gram-collision decontamination procedure of published LM
+    * data pipelines).
+    *
+    * Output: (doc_id, shared_grams) for flagged TRAINING docs, with
+    * shared_grams = |grams(doc) ∩ grams(benchmark corpus)| — the
+    * evidence count an auditor reviews before dropping the doc.
+    *
+    * 100 TB shape: the benchmark side is an eval suite — MBs, not TBs
+    * — so its distinct gram-hash set (8 bytes per gram) is BROADCAST
+    * and the training corpus never shuffles text or grams for the
+    * membership test: one map-side hash-join over each doc's gram
+    * array plus a two-phase count per doc (grams are distinct within
+    * a doc by construction, so the count needs no distinct step).
+    * Pinned by PlanCheckSpec: broadcast join, no training-side gram
+    * exchange below the per-doc aggregation.
+    */
+  def contaminatedDocs(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      minShared: Long = 1L): DataFrame = {
+    val tg = gramHashes(train, idCol, textCol, n)
+    val bg = gramHashes(bench, idCol, textCol, n)
+      .select("gh").distinct()
+    tg.join(broadcast(bg), "gh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .select(col("id").as("doc_id"), col("shared_grams"))
+  }
+
   /** SKEW GUARD for bucket-local self-joins: a bucket holding K rows
     * yields K² candidate pairs, so one degenerate bucket — boilerplate
     * documents sharing every band, or malformed rows concentrating in a

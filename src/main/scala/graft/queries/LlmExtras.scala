@@ -108,6 +108,18 @@ object LlmExtras {
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
         .orderBy("id_a", "id_b")),
 
+    // benchmark decontamination: training docs (id % 50 ≠ 0) sharing
+    // any 3-gram with the held-out eval slice (id % 50 = 0); the eval
+    // gram set broadcasts, so the training side never shuffles grams
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminatedDocs(
+          d.filter(col("doc_id") % 50 =!= 0),
+          d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
     // multimodal: binary payloads → per-partition decode (stub codec) →
     // typed metadata aggregation
     "multimodal_decode_meta" -> ((s, dir) =>
@@ -344,7 +356,22 @@ object LlmExtras {
          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical
          FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** Decontamination oracle: same word-split + 3-gram CTEs as the
+    * Jaccard family (the `w`/`g` CTEs of [[jaccardCtes]]), benchmark
+    * slice = id % 50 = 0, joined on the gram STRING where Spark joins
+    * on the 8-byte gram hash — so a hash collision would surface as a
+    * count mismatch here.
+    */
+  private val decontaminateSql =
+    s"""WITH $jaccardCtes,
+         bg AS (SELECT DISTINCT gram FROM g WHERE id % 50 = 0)
+         SELECT g.id AS doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+         FROM g JOIN bg USING (gram)
+         WHERE g.id % 50 <> 0
+         GROUP BY 1 ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
+    "pipeline_decontaminate" -> decontaminateSql,
     "dedup_near_cluster" -> nearClusterSql,
     "ann_ivf_topk" -> annIvfSql(8, 64, 3, 10),
     "dedup_ngram_jaccard" -> exactJaccardSql,

@@ -158,6 +158,64 @@ class DedupSpec extends SparkSpec {
         "rounds — superseded rounds are not being freed eagerly")
   }
 
+  test("canonicalIds matches union-find on random graphs") {
+    // star contraction vs a trusted O(α) union-find, 30 random graphs
+    // (fixed seed): same component minimum for every node. Shapes the
+    // chain/star specs don't cover — multi-component, cycles, dense
+    // cores, self-loops, duplicate and reversed edges.
+    val rnd = new scala.util.Random(42)
+    (1 to 30).foreach { trial =>
+      val n = 2 + rnd.nextInt(60)
+      val m = rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r))
+          r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      // root-min per node: path-compress fully, then min over members
+      val members = (1 to n).groupBy(find)
+      val expect = members.flatMap { case (_, ms) =>
+        val mn = ms.min.toLong; ms.map(_.toLong -> mn) }
+      val docs = (1L to n.toLong).map(i => (i, "x"))
+        .toDF("doc_id", "text")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else edges.toDF("doc_a", "doc_b")
+      val got = Dedup.canonicalIds(docs, "doc_id", pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
+  test("contaminatedDocs counts distinct shared n-grams per train doc") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "the quick brown",
+                                           // "quick brown fox" with b1
+      (2L, "totally unrelated words here entirely"),
+      (3L, "the quick brown fox jumps")    // same overlap as 1
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox sleeps"),
+      (101L, "unseen benchmark content only")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminatedDocs(train, bench, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    // "the quick brown" + "quick brown fox" = 2 shared grams
+    assert(out == Map(1L -> 2L, 3L -> 2L))
+    // raising the floor drops the evidence-poor docs
+    val strict = Dedup.contaminatedDocs(train, bench, "doc_id", "text",
+      3, minShared = 3L)
+    assert(strict.count() == 0)
+  }
+
   test("CheckpointUtil finds the RDD behind a checkpoint leaf only") {
     import graft.plan.CheckpointUtil
     val df = Seq((1L, 2L)).toDF("a", "b")

@@ -102,6 +102,20 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("Filter") && p.contains("cell"), p)
   }
 
+  test("decontamination broadcasts the benchmark gram set; training " +
+      "grams never sort-merge") {
+    val df = graft.SparkEntry.queries("pipeline_decontaminate")(
+      spark, sf("sf0.001"))
+    df.collect() // finalize AQE so join strategies are decided
+    val p = df.queryExecution.executedPlan.toString
+    // the eval-suite gram set rides to every task; the (huge) training
+    // side is probe-only — no shuffle of its grams for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the per-doc evidence count partial-aggregates map-side
+    assert(p.contains("partial_count"), p)
+  }
+
   test("every query runs with codegen fallback disabled " +
       "(no silent interpreted execution)") {
     // Regression net for the class of bug where generated code fails
