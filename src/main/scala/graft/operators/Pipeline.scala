@@ -85,6 +85,39 @@ object Pipeline {
       .orderBy(sourceCol)
   }
 
+  /** Sequence packing (concat-then-chunk): assign each document to a
+    * fixed-token-budget training bin — the batching step that turns a
+    * filtered corpus into model-ready context windows. Documents are
+    * concatenated in `idCol` order WITHIN each `byCol` group (source,
+    * shard, …) and chunked every `budget` tokens:
+    * `bin = floor((running_sum − tokens) / budget)`, i.e. a document
+    * starts the bin its first token falls into — the standard
+    * concat-then-chunk packing (greedy first-fit needs a sequential
+    * scan; chunking is what large pipelines actually run because it is
+    * deterministic and parallel).
+    *
+    * 100 TB shape: packing is embarrassingly parallel across `byCol`
+    * groups — ONE hash exchange on the group key, a sort, and a
+    * running sum; no global order, no driver loop. Group counts are
+    * corpus shards (thousands), so the window never sees a single
+    * giant partition; skewed groups split further by salting the
+    * group key upstream if a shard outgrows an executor.
+    */
+  def packSequences(docs: DataFrame, idCol: String, byCol: String,
+      tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    docs.select(col(idCol), col(byCol),
+        tokensCol.cast("long").as("tokens"))
+      .withColumn("bin",
+        floor((sum(col("tokens")).over(w) - col("tokens"))
+          / lit(budget)))
+  }
+
   /** Quality-filter funnel: per-document FIRST failing rule (ordered
     * CASE — a document dropped for length is not also counted under
     * language), survivors labelled `kept`. Rules are (name, predicate)

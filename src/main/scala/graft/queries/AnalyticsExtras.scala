@@ -147,6 +147,27 @@ object AnalyticsExtras {
             .cast("long").as("within_rsd"))
         .orderBy("event_type")),
 
+    // Quantile sketch scale path: percentile_approx is a mergeable
+    // two-phase sketch (fixed space per group, like the HLL distinct
+    // path), the right plan for p95/p99 latency or quality-score
+    // distributions over 100 TB. The driver-checkable claim mirrors
+    // the HLL query's: the sketch value must land between the exact
+    // p94 and p96 (accuracy 100 bounds rank error by 1%); exact
+    // percentiles ride along ONLY to compute the bound and are
+    // dropped in a scale deployment (ApproxSpec pins the sketch-only
+    // plan stays two-phase with no exact-percentile buffer).
+    "agg_value_percentile_approx" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.95), lit(100))
+            .as("approx"),
+          expr("percentile(value, 0.94)").as("lo"),
+          expr("percentile(value, 0.96)").as("hi"))
+        .select(col("event_type"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi"))
+            .cast("long").as("within_eps"))
+        .orderBy("event_type")),
+
     // Exact deduplication: content-hash groupBy, keep lowest doc_id.
     // At 100 TB this is THE canonical shuffle-on-digest dedup; the md5 is
     // computed map-side so the shuffle key is 32 bytes, not the document.
@@ -263,6 +284,12 @@ object AnalyticsExtras {
     // sketch drift beyond the bound turns a row to 0 → hash mismatch.
     "agg_distinct_users_approx" ->
       """SELECT event_type, CAST(1 AS BIGINT) AS within_rsd
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // like the HLL oracle: expected value is `1` per event_type — a
+    // sketch drifting past the exact p94..p96 band flips a row to 0
+    // → hash mismatch
+    "agg_value_percentile_approx" ->
+      """SELECT event_type, CAST(1 AS BIGINT) AS within_eps
          FROM events GROUP BY event_type ORDER BY event_type""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id,

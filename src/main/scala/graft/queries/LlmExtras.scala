@@ -108,6 +108,13 @@ object LlmExtras {
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
         .orderBy("id_a", "id_b")),
 
+    // sequence packing: concat-then-chunk documents into 512-token
+    // training bins within each source, parallel across sources
+    "pipeline_pack_sequences" -> ((s, dir) =>
+      Pipeline.packSequences(docs(s, dir), "doc_id", "source",
+          size(split(col("text"), "\\s+")), 512L)
+        .orderBy("source", "doc_id")),
+
     // benchmark decontamination: training docs (id % 50 ≠ 0) sharing
     // any 3-gram with the held-out eval slice (id % 50 = 0); the eval
     // gram set broadcasts, so the training side never shuffles grams
@@ -370,7 +377,24 @@ object LlmExtras {
          WHERE g.id % 50 <> 0
          GROUP BY 1 ORDER BY doc_id"""
 
+  /** Packing oracle: same whitespace tokenizer as text_token_count's
+    * (proven engine-equal there), same running-sum chunk rule —
+    * explicit DOUBLE division because DuckDB `/` and Spark `/` must
+    * both be true division before the floor.
+    */
+  private val packSequencesSql =
+    """WITH t AS (SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS tokens
+           FROM documents)
+       SELECT doc_id, source, tokens,
+         CAST(FLOOR(CAST(SUM(tokens) OVER (PARTITION BY source
+             ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tokens
+           AS DOUBLE) / 512) AS BIGINT) AS bin
+       FROM t ORDER BY source, doc_id"""
+
   val oracle: Map[String, String] = Map(
+    "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_decontaminate" -> decontaminateSql,
     "dedup_near_cluster" -> nearClusterSql,
     "ann_ivf_topk" -> annIvfSql(8, 64, 3, 10),
