@@ -23,6 +23,15 @@ object Graft {
   def compile(source: String, name: String): Ir.Program =
     Frontend.parse(source, name)
 
+  /** /progz dump body: the typed IR the Spark plan is built from —
+    * graft's analogue of the reference VM's DumpByteCode
+    * (`runtime/httpstatus.go:105`).
+    */
+  private def irDump(p: Ir.Program): String =
+    (s"program ${p.name}" +:
+      (p.decls.map("decl " + _) ++ p.stmts.map("stmt " + _)))
+      .mkString("\n")
+
   /** One-shot mode (`mtail -one_shot -logs …`): run the program over
     * file patterns and return the final metric store as a DataFrame
     * (program, name, kind, type, labels, ival, fval, sval, buckets,
@@ -95,7 +104,8 @@ object Graft {
     // re-keying a metric updates /json without rebuilding the server
     val server = ExportServer.single(runner.store, programName,
       () => runner.exportKeys, port,
-      internal = Some(runner.internalStore))
+      internal = Some(runner.internalStore),
+      dump = () => irDump(runner.currentProgram))
     val boundPort = server.start()
     // a failed query start must not leak the bound HTTP port
     val query =
@@ -152,7 +162,9 @@ object Graft {
     def sorted = multi.runners.toSeq.sortBy(_._1)
     val server = ExportServer.multi(
       () => sorted.map { case (n, r) =>
-        ExportServer.Source(n, r.store, r.exportKeys) },
+        ExportServer.Source(n, r.store, r.exportKeys,
+          dump = () => irDump(r.currentProgram),
+          error = () => reloader.programErrors.get(n).flatten) },
       port,
       internals = () => sorted.map { case (n, r) =>
         n -> r.internalStore })

@@ -78,6 +78,78 @@ final class ExportServer private (
     handler(() => sources().map(s =>
       Exporters.graphite(s.store.snapshot(), s.program)).mkString))
 
+  private def htmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  // the reference's online-status root page (httpstatus.go:13-30):
+  // links to every endpoint plus the loaded-program count
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      if (ex.getRequestURI.getPath != "/") {
+        ex.sendResponseHeaders(404, -1); ex.close(); return
+      }
+      val n = sources().size
+      val body = ("<!DOCTYPE html>\n<html><head><title>graft</title>" +
+        "</head>\n<body>\n<h1>graft</h1>\n" +
+        s"<p>$n program(s) loaded</p>\n" +
+        "<p>Metrics: <a href=\"/json\">json</a>, " +
+        "<a href=\"/graphite\">graphite</a>, " +
+        "<a href=\"/metrics\">prometheus</a></p>\n" +
+        "<p>Info: <a href=\"/varz\">varz</a>, " +
+        "<a href=\"/progz\">progz</a>, " +
+        "<a href=\"/internalz\">internalz</a></p>\n</body></html>\n")
+        .getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "text/html")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      val os = ex.getResponseBody; os.write(body); os.close()
+    }
+  })
+
+  // /progz (runtime/httpstatus.go:95-117): no query = the loaded
+  // program list (with load-error state where the source provides
+  // it); ?prog=name = that program's compiled form — the reference
+  // dumps VM bytecode, graft dumps the typed IR the Spark plan is
+  // built from — plus the last error
+  server.createContext("/progz", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val progQ = q.split("&").collectFirst {
+        case kv if kv.startsWith("prog=") => kv.drop(5) }
+      val ss = sources()
+      progQ match {
+        case Some(name) =>
+          ss.find(_.program == name) match {
+            case None =>
+              val e = "No program found\n"
+                .getBytes(StandardCharsets.UTF_8)
+              ex.sendResponseHeaders(404, e.length.toLong)
+              val os = ex.getResponseBody; os.write(e); os.close()
+            case Some(s) =>
+              val body = (s.dump() +
+                s"\nLast load error:\n${s.error().getOrElse("")}\n")
+                .getBytes(StandardCharsets.UTF_8)
+              ex.getResponseHeaders.add("Content-Type", "text/plain")
+              ex.sendResponseHeaders(200, body.length.toLong)
+              val os = ex.getResponseBody; os.write(body); os.close()
+          }
+        case None =>
+          val items = ss.map { s =>
+            val err = s.error()
+              .map(e => s" - load error: ${htmlEscape(e)}")
+              .getOrElse("")
+            s"""<li><a href="?prog=${s.program}">${
+              htmlEscape(s.program)}</a>$err</li>"""
+          }.mkString
+          val body = s"<ul>$items</ul>"
+            .getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "text/html")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          val os = ex.getResponseBody; os.write(body); os.close()
+      }
+    }
+  })
+
   def start(): Int = {
     server.setExecutor(null)
     server.start()
@@ -88,12 +160,16 @@ final class ExportServer private (
 }
 
 object ExportServer {
-  /** One program's export surface: name, store, and export-name →
-    * label keys for /json (resolved per scrape so a live reload that
-    * re-keys a metric is reflected in the next response).
+  /** One program's export surface: name, store, export-name → label
+    * keys for /json (resolved per scrape so a live reload that re-keys
+    * a metric is reflected in the next response), plus the /progz
+    * introspection hooks — `dump` renders the compiled form (typed
+    * IR), `error` the last load/compile error if any.
     */
   final case class Source(program: String, store: MetricsStore,
-      keys: Map[String, Seq[String]])
+      keys: Map[String, Seq[String]],
+      dump: () => String = () => "",
+      error: () => Option[String] = () => None)
 
   /** The single-program server `Graft.tail` uses. */
   def single(store: MetricsStore, program: String,
@@ -107,8 +183,12 @@ object ExportServer {
         * (prometheus.go:89-93); program cells only, like the
         * reference.
         */
-      emitTimestamp: Boolean = false): ExportServer =
-    new ExportServer(() => Seq(Source(program, store, keys())),
+      emitTimestamp: Boolean = false,
+      /** /progz hooks: compiled-form dump + last load error. */
+      dump: () => String = () => "",
+      error: () => Option[String] = () => None): ExportServer =
+    new ExportServer(
+      () => Seq(Source(program, store, keys(), dump, error)),
       port, hostname, () => internal.toSeq.map(program -> _),
       internalProgLabel = false, emitTimestamp = emitTimestamp)
 

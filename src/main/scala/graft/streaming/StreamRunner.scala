@@ -43,6 +43,9 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
     */
   @volatile private var prog: Ir.Program = program
 
+  /** the live program (post-reload) — /progz introspection. */
+  def currentProgram: Ir.Program = prog
+
   val store = new MetricsStore
 
   /** runtime self-instrumentation (lines_total, log_lines_total,

@@ -34,7 +34,8 @@ class TailProgsSpec extends SparkSpec {
   private def get(port: Int, path: String): String = {
     val conn = URI.create(s"http://localhost:$port$path").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
-    try scala.io.Source.fromInputStream(conn.getInputStream).mkString
+    try scala.io.Source.fromInputStream(conn.getInputStream,
+      "UTF-8").mkString
     finally conn.disconnect()
   }
 
@@ -114,6 +115,24 @@ class TailProgsSpec extends SparkSpec {
           val d2 = System.currentTimeMillis() + 30000
           while (!metrics().contains("""all_lines{prog="all.mtail"}""")
             && System.currentTimeMillis() < d2) Thread.sleep(250)
+          assert(metrics().contains("""all_lines{prog="all.mtail"}"""))
+
+          // the reference's status surface: / links the endpoints,
+          // /progz lists programs, ?prog= dumps the compiled form,
+          // and a bad edit's error shows on the listing
+          assert(get(t.port, "/").contains("/progz"))
+          val progz = get(t.port, "/progz")
+          assert(progz.contains("gets.mtail") &&
+            progz.contains("all.mtail"), progz)
+          val dump = get(t.port, "/progz?prog=gets.mtail")
+          assert(dump.contains("program gets.mtail") &&
+            dump.contains("gets"), dump)
+          write(progs, "all.mtail", badProg)
+          val d3 = System.currentTimeMillis() + 10000
+          while (!get(t.port, "/progz").contains("load error")
+            && System.currentTimeMillis() < d3) Thread.sleep(100)
+          assert(get(t.port, "/progz").contains("load error"))
+          // ...and the old program still runs
           assert(metrics().contains("""all_lines{prog="all.mtail"}"""))
         } finally t.stop()
       }
