@@ -264,6 +264,19 @@ object Ann {
     cents
   }
 
+  /** first-wins argmin CASE chain over k distance columns:
+    * deterministic and engine-identical on identical doubles (the
+    * DuckDB oracles run the same CASE shape); null distances
+    * (ragged/null-element rows) fail every <= and fall through to the
+    * ELSE arm on both engines.
+    */
+  private def argminChain(ds: Seq[Column]): Column = {
+    val k = ds.length
+    (0 until k - 1).foldRight(lit(k - 1): Column)((j, els) =>
+      when((j + 1 until k).map(m => ds(j) <= ds(m)).reduce(_ && _),
+        lit(j)).otherwise(els))
+  }
+
   private def ivfAssignWith(embeddings: DataFrame, embCol: String,
       cents: Array[Array[Double]]): DataFrame = {
     val k = cents.length
@@ -274,14 +287,8 @@ object Ann {
     val withD = embeddings.withColumn("__dists",
       graft.functions.SqDists(col(embCol), cents))
     val ds = (0 until k).map(j => element_at(col("__dists"), j + 1))
-    // first-wins argmin chain: deterministic and engine-identical on
-    // identical doubles (the DuckDB oracle runs the same CASE shape);
-    // null distances (ragged/null-element rows) fail every <= and fall
-    // through to the ELSE arm on both engines
-    val cell = (0 until k - 1).foldRight(lit(k - 1): Column)((j, els) =>
-      when((j + 1 until k).map(m => ds(j) <= ds(m)).reduce(_ && _),
-        lit(j)).otherwise(els))
-    withD.withColumn("cell", cell.cast("long")).drop("__dists")
+    withD.withColumn("cell", argminChain(ds).cast("long"))
+      .drop("__dists")
   }
 
   /** IVF coarse assignment: each row gains its inverted-list `cell`
@@ -328,6 +335,107 @@ object Ann {
       .select(col(idCol), col("cell"),
         cosine(col(embCol), queryVec).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+  }
+
+  // ---------------- product quantization (PQ) ----------------
+
+  /** Per-subspace seed codebooks for product quantization: the corpus
+    * dimension splits into `m` equal subspaces and subspace j's k-entry
+    * codebook is the j-th slice of the k lowest-id well-formed
+    * embeddings — the same deterministic seed rule as
+    * [[centroidVectors]], so the DuckDB oracle recomputes the books
+    * from the raw parquet floats. Returns [m][k][dim/m].
+    */
+  def pqCodebooks(embeddings: DataFrame, embCol: String, idCol: String,
+      m: Int, k: Int, lloydIters: Int = 0): Array[Array[Array[Double]]] = {
+    val full = centroidVectors(embeddings, embCol, idCol, k)
+    val dim = full.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val seeds =
+      Array.tabulate(m)(j => full.map(_.slice(j * sub, (j + 1) * sub)))
+    if (lloydIters <= 0) seeds
+    else {
+      // recall path: per-subspace k-means over the sliced column,
+      // reusing [[lloydRefine]]'s one-distributed-pass-per-iteration
+      // machinery (m × iters passes — a refinement-time cost paid once
+      // per codebook build, not per query). Seeds stay the default so
+      // the DuckDB-oracled query remains engine-reproducible; the
+      // AnnSpec recall test pins that refinement helps.
+      seeds.zipWithIndex.map { case (seed, j) =>
+        lloydRefine(
+          embeddings.select(
+            slice(col(embCol), j * sub + 1, sub).as("__sub")),
+          "__sub", seed, lloydIters)
+      }
+    }
+  }
+
+  /** PQ encode: each embedding compresses to `m` small codes —
+    * code_j = first-wins argmin over subspace j's k codebook entries
+    * (squared L2). Output (id, codes ARRAY<LONG> of length m).
+    *
+    * 100 TB shape: encoding is a map-only projection over one literal
+    * codebook constant (a single compact [[graft.functions.PqCodes]]
+    * node — no shuffle, no broadcast state), and the encoded table
+    * stores m·⌈log₂k⌉ bits per vector instead of 32·dim — dim=64
+    * float32 → m=8, k=16 is a 64× compression of what a query-time
+    * scan must read.
+    */
+  def pqEncode(embeddings: DataFrame, embCol: String, idCol: String,
+      m: Int, k: Int, lloydIters: Int = 0): DataFrame =
+    pqEncodeWith(embeddings, embCol, idCol,
+      pqCodebooks(embeddings, embCol, idCol, m, k, lloydIters))
+
+  private def pqEncodeWith(embeddings: DataFrame, embCol: String,
+      idCol: String, books: Array[Array[Array[Double]]]): DataFrame =
+    // the whole encode is ONE compact node ([[graft.functions
+    // .PqCodes]]): composing m SqDists-on-slice nodes + m unrolled
+    // argmin chains generated un-compilable code at m=8, k=16 (caught
+    // by the codegen-fallback-off sweep)
+    embeddings.select(col(idCol),
+      graft.functions.PqCodes(col(embCol), books).as("codes"))
+
+  /** PQ top-k by asymmetric distance computation (ADC): the query
+    * builds one m×k distance table on the driver (plain Scala over the
+    * collected codebooks, ascending-index fold so the SQL oracle's
+    * list_sum agrees bit-for-bit), and each row's approximate squared
+    * L2 is Σ_j table_j[code_j] — m array lookups per row against the
+    * compressed codes, the raw floats are never read at query time.
+    * TakeOrdered top-k, ascending distance.
+    *
+    * Recall is bounded by quantization error (k entries per subspace);
+    * the exact-cosine [[cosineTopK]] and IVF paths remain for
+    * precision-critical queries — PQ is the memory/IO axis of the ANN
+    * trade-off space (IVF prunes candidates, LSH buckets pairs, PQ
+    * compresses the scan).
+    */
+  def pqTopK(embeddings: DataFrame, embCol: String, idCol: String,
+      queryVec: Seq[Double], m: Int, k: Int, topK: Int,
+      lloydIters: Int = 0): DataFrame = {
+    val books = pqCodebooks(embeddings, embCol, idCol, m, k, lloydIters)
+    val sub = books.head.head.length
+    val tables: Array[Array[Double]] = Array.tabulate(m) { j =>
+      Array.tabulate(k) { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = queryVec(j * sub + i) - books(j)(c)(i)
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
+    }
+    val encoded = pqEncodeWith(embeddings, embCol, idCol, books)
+    val adist = (0 until m).map(j =>
+      element_at(lit(tables(j)),
+        (element_at(col("codes"), j + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    encoded.withColumn("adist", adist)
+      .select(col(idCol), round(col("adist"), 5).as("adist"))
+      .orderBy(col("adist"), col(idCol))
       .limit(topK)
   }
 

@@ -102,6 +102,20 @@ object LlmExtras {
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
+    // product-quantization ANN: 8 subspaces × 16 codes (seed books),
+    // asymmetric-distance top-10 — the compressed-scan axis of the ANN
+    // trade-off space. The oracle recomputes books, per-subspace
+    // argmin encoding, the query's distance table, AND the table-
+    // lookup sum from the raw floats, so the whole compression path
+    // is hash-verified.
+    "ann_pq_topk" -> ((s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Ann.pqTopK(embs(s, dir), "embedding", "vec_id", q,
+        m = 8, k = 16, topK = 10)
+    }),
+
     // embedding near-dup pairs (exact twin of the LSH path)
     "ann_near_dup" -> ((s, dir) =>
       Ann.exactNearDupPairs(embs(s, dir), "embedding", "vec_id", 0.4)
@@ -344,6 +358,64 @@ object LlmExtras {
          FROM top"""
   }
 
+  /** Generated PQ-ADC oracle: same seed codebooks as [[annIvfSql]]'s
+    * (k lowest-id well-formed embeddings), per-subspace squared-L2
+    * over the index window j·sub+1 .. (j+1)·sub (DuckDB's sequential
+    * list_sum fold = SqDists' ascending accumulate on the slice), the
+    * same first-wins argmin CASE per subspace, the query's m×k
+    * distance table from the same arithmetic, and the final
+    * table-lookup sum left-associated like Spark's `+` reduce.
+    */
+  private def annPqSql(m: Int, k: Int, dim: Int, topK: Int): String = {
+    val sub = dim / m
+    val ceDefs = (0 until k).map(j =>
+      s"""(SELECT embedding FROM embeddings
+         WHERE embedding IS NOT NULL AND len(embedding) = $dim
+         ORDER BY vec_id LIMIT 1 OFFSET $j) AS ce$j""")
+      .mkString(",\n             ")
+    // squared L2 between expr arrays over subspace j's index window
+    def sqd(j: Int, e: String, c: String) =
+      s"""list_sum(list_transform(range(${j * sub + 1},
+         ${(j + 1) * sub + 1}),
+         i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+              * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
+    val dDefs = (for { j <- 0 until m; c <- 0 until k } yield
+      s"${sqd(j, "e.embedding", s"ce$c")} AS d_${j}_$c")
+      .mkString(",\n             ")
+    def caseChain(j: Int) = (0 until k - 1).map { a =>
+      val conds = (a + 1 until k).map(b => s"d_${j}_$a <= d_${j}_$b")
+        .mkString(" AND ")
+      s"WHEN $conds THEN $a"
+    }.mkString("CASE ", "\n             ", s" ELSE ${k - 1} END")
+    val codeDefs = (0 until m).map(j => s"${caseChain(j)} AS code_$j")
+      .mkString(",\n             ")
+    val qtDefs = (for { j <- 0 until m; c <- 0 until k } yield
+      s"${sqd(j, "qe", s"ce$c")} AS t_${j}_$c")
+      .mkString(",\n             ")
+    val adist = (0 until m).map { j =>
+      (0 until k).map(c => s"WHEN $c THEN t_${j}_$c")
+        .mkString(s"(CASE a.code_$j ", " ", " END)")
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+                   WHERE vec_id = 0),
+         ce AS (SELECT
+             $ceDefs),
+         d AS (SELECT e.vec_id,
+             $dDefs
+           FROM embeddings e, ce),
+         a AS (SELECT vec_id,
+             $codeDefs
+           FROM d),
+         qt AS (SELECT
+             $qtDefs
+           FROM q, ce),
+         scored AS (SELECT a.vec_id,
+             round($adist, 5) AS adist
+           FROM a, qt)
+         SELECT vec_id, adist FROM scored
+         ORDER BY adist, vec_id LIMIT $topK"""
+  }
+
   /** Near-dup clustering oracle: the exact-Jaccard pair graph (same
     * CTEs as [[exactJaccardSql]]) closed transitively with a recursive
     * CTE; canonical = min reachable id. Bidirectional edges make the
@@ -398,6 +470,7 @@ object LlmExtras {
     "pipeline_decontaminate" -> decontaminateSql,
     "dedup_near_cluster" -> nearClusterSql,
     "ann_ivf_topk" -> annIvfSql(8, 64, 3, 10),
+    "ann_pq_topk" -> annPqSql(8, 16, 64, 10),
     "dedup_ngram_jaccard" -> exactJaccardSql,
     "dedup_minhash_lsh" -> exactJaccardSql,
     "dedup_simhash" -> simhashSql,

@@ -219,6 +219,62 @@ class AnnSpec extends SparkSpec {
       Ann.lloydRefine(df, "embedding", Array.empty, 1))
   }
 
+  test("PQ: seeds encode to their own codes; ADC ranks the query's " +
+      "own vector first; recall overlaps exact top-k") {
+    val e = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val (m, k) = (8, 16)
+    // a seed row's subspace slices ARE codebook entries, so it must
+    // encode to its own index in every subspace (distance 0; a
+    // different code would mean the argmin or slicing is off-by-one)
+    val codes = Ann.pqEncode(e, "embedding", "vec_id", m, k)
+      .filter($"vec_id" < k)
+      .as[(Long, Seq[Long])].collect().toMap
+    (0L until k.toLong).foreach { c =>
+      assert(codes(c) == Seq.fill(m)(c),
+        s"seed $c encoded to ${codes(c)}")
+    }
+    // ADC against seed 0's own vector: distance exactly 0, rank 1
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0)
+    val top = Ann.pqTopK(e, "embedding", "vec_id", q, m, k, 10)
+      .as[(Long, Double)].collect()
+    assert(top.head == (0L, 0.0), top.toSeq.toString)
+    // quantized distance approximates SQUARED L2 (cosine ranks
+    // differently on unnormalized vectors), so recall is judged
+    // against the exact-L2 top-10, computed brute-force here
+    val all = e.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val exact = all.map { case (id, v) =>
+      id -> v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val seedRecall = (top.map(_._1).toSet & exact).size
+    assert(seedRecall >= 4, // deterministic on this fixture
+      s"PQ seed recall dropped: $seedRecall/10")
+    // per-subspace Lloyd refinement's contract is LOWER QUANTIZATION
+    // SSE (k-means' objective is monotonically non-increasing from
+    // ANY initialization) — single-query ADC recall is too noisy a
+    // target, and this query is literally seed entry 0, which makes
+    // seed books artificially favorable for it.
+    def quantSse(books: Array[Array[Array[Double]]]): Double = {
+      val sub = books.head.head.length
+      all.map { case (_, v) =>
+        (0 until m).map { j =>
+          val slice = v.slice(j * sub, (j + 1) * sub)
+          books(j).map(c =>
+            slice.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          ).min
+        }.sum
+      }.sum
+    }
+    val seedBooks = Ann.pqCodebooks(e, "embedding", "vec_id", m, k)
+    val refinedBooks = Ann.pqCodebooks(e, "embedding", "vec_id", m, k,
+      lloydIters = 3)
+    val (se, re) = (quantSse(seedBooks), quantSse(refinedBooks))
+    assert(re < se,
+      s"refined books did not reduce quantization SSE: $re >= $se")
+  }
+
   test("multimodal decode stub is deterministic and typed") {
     val meta = Multimodal.decodeMeta(
       Multimodal.demoMedia(spark, sf("sf0.001")), "media_id", "payload")

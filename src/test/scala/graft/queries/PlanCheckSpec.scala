@@ -102,6 +102,24 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("Filter") && p.contains("cell"), p)
   }
 
+  test("PQ encode is a shuffle-free codegen'd projection; top-k is " +
+      "TakeOrdered over the codes") {
+    val e = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val enc = graft.operators.Ann.pqEncode(e, "embedding", "vec_id",
+      8, 16)
+    enc.collect()
+    val pe = enc.queryExecution.executedPlan.toString
+    // encoding must never shuffle at any corpus size — it's the
+    // write-once compression pass
+    assert(!pe.contains("Exchange"), pe)
+    assert(pe.contains("*("), pe) // whole-stage codegen
+    val df = graft.operators.Ann.pqTopK(e, "embedding", "vec_id",
+      (0 until 64).map(_.toDouble), 8, 16, 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange") || p.contains("TakeOrdered"), p)
+  }
+
   test("decontamination broadcasts the benchmark gram set; training " +
       "grams never sort-merge") {
     val df = graft.SparkEntry.queries("pipeline_decontaminate")(
