@@ -439,6 +439,66 @@ object Ann {
       .limit(topK)
   }
 
+  /** IVF+PQ top-k — the two ANN scale axes composed the way a
+    * large-scale serving pipeline runs them: the coarse quantizer
+    * prunes (k−nProbe)/k of the corpus BEFORE any per-row distance
+    * work (map-side cell filter, like [[ivfTopK]]), and the surviving
+    * rows rank by PQ asymmetric distance (m table lookups against the
+    * compressed codes, like [[pqTopK]]) instead of touching the raw
+    * floats. At 100 TB the corpus is stored cell-bucketed with only
+    * (id, codes) hot — the scan reads m bytes per candidate vector.
+    *
+    * Both codebooks stay on the deterministic lowest-id seed rule so
+    * the DuckDB oracle recomputes the entire pipeline — coarse
+    * assignment, probe ranking, per-subspace encoding, distance
+    * table, lookup sum — from the raw parquet floats; `lloydIters`
+    * refines both for the recall path.
+    */
+  def ivfPqTopK(embeddings: DataFrame, embCol: String, idCol: String,
+      queryVec: Seq[Double], kCoarse: Int, nProbe: Int,
+      m: Int, k: Int, topK: Int, lloydIters: Int = 0): DataFrame = {
+    val coarse = lloydRefine(embeddings, embCol,
+      centroidVectors(embeddings, embCol, idCol, kCoarse), lloydIters)
+    val qd = coarse.map { c =>
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) {
+        val d = queryVec(i) - c(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    val probed = qd.zipWithIndex.sortBy { case (d, j) => (d, j) }
+      .take(nProbe).map(_._2.toLong)
+    val books = pqCodebooks(embeddings, embCol, idCol, m, k,
+      lloydIters)
+    val sub = books.head.head.length
+    val tables: Array[Array[Double]] = Array.tabulate(m) { j =>
+      Array.tabulate(k) { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = queryVec(j * sub + i) - books(j)(c)(i)
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
+    }
+    val candidates = ivfAssignWith(embeddings, embCol, coarse)
+      .filter(col("cell").isin(probed: _*))
+    val withCodes = candidates.select(col(idCol), col("cell"),
+      graft.functions.PqCodes(col(embCol), books).as("codes"))
+    val adist = (0 until m).map(j =>
+      element_at(lit(tables(j)),
+        (element_at(col("codes"), j + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    withCodes.withColumn("adist", adist)
+      .select(col(idCol), col("cell"),
+        round(col("adist"), 5).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
+  }
+
   /** exact (brute-force) near-dup pairs — the small-SF oracle twin of
     * [[lshNearDupPairs]]; at scale the LSH path replaces the cross join.
     */

@@ -116,6 +116,16 @@ object LlmExtras {
         m = 8, k = 16, topK = 10)
     }),
 
+    // IVF+PQ: coarse-probe 3 of 8 cells, PQ-ADC ranking within them —
+    // the composed serving pipeline; the oracle replays every stage
+    "ann_ivf_pq_topk" -> ((s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Ann.ivfPqTopK(embs(s, dir), "embedding", "vec_id", q,
+        kCoarse = 8, nProbe = 3, m = 8, k = 16, topK = 10)
+    }),
+
     // embedding near-dup pairs (exact twin of the LSH path)
     "ann_near_dup" -> ((s, dir) =>
       Ann.exactNearDupPairs(embs(s, dir), "embedding", "vec_id", 0.4)
@@ -416,6 +426,83 @@ object LlmExtras {
          ORDER BY adist, vec_id LIMIT $topK"""
   }
 
+  /** Generated IVF+PQ oracle: [[annIvfSql]]'s coarse codebook,
+    * assignment CASE chain and probe ranking composed with
+    * [[annPqSql]]'s per-subspace encoding, distance table and lookup
+    * sum — the full pruning-then-compressed-scan pipeline replayed
+    * from the raw floats.
+    */
+  private def annIvfPqSql(kc: Int, nProbe: Int, m: Int, k: Int,
+      dim: Int, topK: Int): String = {
+    val sub = dim / m
+    val ceDefs = (0 until math.max(kc, k)).map(j =>
+      s"""(SELECT embedding FROM embeddings
+         WHERE embedding IS NOT NULL AND len(embedding) = $dim
+         ORDER BY vec_id LIMIT 1 OFFSET $j) AS ce$j""")
+      .mkString(",\n             ")
+    def sqdFull(e: String, c: String) =
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+         i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+              * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
+    def sqdSub(j: Int, e: String, c: String) =
+      s"""list_sum(list_transform(range(${j * sub + 1},
+         ${(j + 1) * sub + 1}),
+         i -> (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+              * (CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))))"""
+    val coarseDefs = (0 until kc).map(c =>
+      s"${sqdFull("e.embedding", s"ce$c")} AS cd_$c")
+      .mkString(",\n             ")
+    val coarseCase = (0 until kc - 1).map { a =>
+      val conds = (a + 1 until kc).map(b => s"cd_$a <= cd_$b")
+        .mkString(" AND ")
+      s"WHEN $conds THEN $a"
+    }.mkString("CASE ", "\n             ", s" ELSE ${kc - 1} END")
+    val qdUnion = (0 until kc).map(c =>
+      s"SELECT $c AS cid, ${sqdFull("qe", s"ce$c")} AS qdist FROM q, ce")
+      .mkString("\n             UNION ALL ")
+    val subDefs = (for { j <- 0 until m; c <- 0 until k } yield
+      s"${sqdSub(j, "e.embedding", s"ce$c")} AS d_${j}_$c")
+      .mkString(",\n             ")
+    def codeCase(j: Int) = (0 until k - 1).map { a =>
+      val conds = (a + 1 until k).map(b => s"d_${j}_$a <= d_${j}_$b")
+        .mkString(" AND ")
+      s"WHEN $conds THEN $a"
+    }.mkString("CASE ", "\n             ", s" ELSE ${k - 1} END")
+    val codeDefs = (0 until m).map(j => s"${codeCase(j)} AS code_$j")
+      .mkString(",\n             ")
+    val qtDefs = (for { j <- 0 until m; c <- 0 until k } yield
+      s"${sqdSub(j, "qe", s"ce$c")} AS t_${j}_$c")
+      .mkString(",\n             ")
+    val adist = (0 until m).map { j =>
+      (0 until k).map(c => s"WHEN $c THEN t_${j}_$c")
+        .mkString(s"(CASE a.code_$j ", " ", " END)")
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+                   WHERE vec_id = 0),
+         ce AS (SELECT
+             $ceDefs),
+         d AS (SELECT e.vec_id, e.embedding,
+             $coarseDefs,
+             $subDefs
+           FROM embeddings e, ce),
+         a AS (SELECT vec_id,
+             $coarseCase AS cell,
+             $codeDefs
+           FROM d),
+         qd AS ($qdUnion),
+         probe AS (SELECT cid FROM qd ORDER BY qdist, cid
+                   LIMIT $nProbe),
+         qt AS (SELECT
+             $qtDefs
+           FROM q, ce),
+         scored AS (SELECT a.vec_id, a.cell,
+             round($adist, 5) AS adist
+           FROM a, qt
+           WHERE a.cell IN (SELECT cid FROM probe))
+         SELECT vec_id, CAST(cell AS BIGINT) AS cell, adist
+         FROM scored ORDER BY adist, vec_id LIMIT $topK"""
+  }
+
   /** Near-dup clustering oracle: the exact-Jaccard pair graph (same
     * CTEs as [[exactJaccardSql]]) closed transitively with a recursive
     * CTE; canonical = min reachable id. Bidirectional edges make the
@@ -471,6 +558,7 @@ object LlmExtras {
     "dedup_near_cluster" -> nearClusterSql,
     "ann_ivf_topk" -> annIvfSql(8, 64, 3, 10),
     "ann_pq_topk" -> annPqSql(8, 16, 64, 10),
+    "ann_ivf_pq_topk" -> annIvfPqSql(8, 3, 8, 16, 64, 10),
     "dedup_ngram_jaccard" -> exactJaccardSql,
     "dedup_minhash_lsh" -> exactJaccardSql,
     "dedup_simhash" -> simhashSql,

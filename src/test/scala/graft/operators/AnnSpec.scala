@@ -275,6 +275,34 @@ class AnnSpec extends SparkSpec {
       s"refined books did not reduce quantization SSE: $re >= $se")
   }
 
+  test("IVF+PQ: prunes by cell first, then agrees with PQ on the " +
+      "probed subset") {
+    val e = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0)
+    val got = Ann.ivfPqTopK(e, "embedding", "vec_id", q,
+      kCoarse = 8, nProbe = 3, m = 8, k = 16, topK = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 10)
+    // every hit comes from a probed cell (≤ nProbe distinct cells)
+    assert(got.map(_._2).distinct.length <= 3, got.toSeq.toString)
+    // the query's own vector survives the composition at distance 0
+    assert(got.head == (0L, 0L, 0.0))
+    // within the probed cells the ranking IS the PQ ADC ranking:
+    // re-rank those cells' rows by pqTopK over the full corpus and
+    // drop the unprobed ones — same order
+    val probedCells = got.map(_._2).toSet
+    val assigned = Ann.ivfAssign(e, "embedding", "vec_id", 8)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val pqAll = Ann.pqTopK(e, "embedding", "vec_id", q, 8, 16,
+        topK = Int.MaxValue)
+      .as[(Long, Double)].collect()
+    val expect = pqAll.filter { case (id, _) =>
+      probedCells.contains(assigned(id)) }.take(10)
+    assert(got.map(t => (t._1, t._3)).toSeq == expect.toSeq)
+  }
+
   test("multimodal decode stub is deterministic and typed") {
     val meta = Multimodal.decodeMeta(
       Multimodal.demoMedia(spark, sf("sf0.001")), "media_id", "payload")

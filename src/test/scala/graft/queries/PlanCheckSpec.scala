@@ -120,6 +120,19 @@ class PlanCheckSpec extends SparkSpec {
     assert(!p.contains("Exchange") || p.contains("TakeOrdered"), p)
   }
 
+  test("IVF+PQ filters cells below the TakeOrdered, map-side only") {
+    val e = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val df = graft.operators.Ann.ivfPqTopK(e, "embedding", "vec_id",
+      (0 until 64).map(_.toDouble), kCoarse = 8, nProbe = 3,
+      m = 8, k = 16, topK = 10)
+    val p = df.queryExecution.executedPlan.toString
+    // cell pruning happens in the scan stage, before any ranking work,
+    // and the only "shuffle" is the TakeOrdered singleton collect
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Filter") && p.contains("cell"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("decontamination broadcasts the benchmark gram set; training " +
       "grams never sort-merge") {
     val df = graft.SparkEntry.queries("pipeline_decontaminate")(
