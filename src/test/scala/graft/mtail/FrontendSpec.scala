@@ -5,6 +5,31 @@ import org.scalatest.funsuite.AnyFunSuite
 class FrontendSpec extends AnyFunSuite {
   import Ir._
 
+  test("parser terminates on arbitrary input (fuzz, fixed seed)") {
+    // a daemon reloads operator-edited files: the frontend must never
+    // hang or throw anything but a clean error on garbage. 500 random
+    // byte strings + 500 random token soups (keywords, regexes,
+    // braces, numbers) — each either parses or throws an Exception.
+    val rnd = new scala.util.Random(7)
+    val tokens = Seq("counter", "gauge", "hidden", "by", "as", "def",
+      "next", "const", "otherwise", "else", "del", "after", "{", "}",
+      "/", "$1", "$name", "==", "=~", "+", "=", "+=", "++", "(", ")",
+      "[", "]", "\"s\"", "1", "2.5", "x", "/re/", "\n", "strptime",
+      "len", "stop", "@d", "//", "**")
+    (1 to 500).foreach { i =>
+      val garbage = new String(
+        Array.fill(rnd.nextInt(200))(rnd.nextPrintableChar()))
+      try { Frontend.parse(garbage, s"fuzz$i"); () }
+      catch { case _: Exception => () }
+    }
+    (1 to 500).foreach { i =>
+      val soup = Seq.fill(rnd.nextInt(40))(
+        tokens(rnd.nextInt(tokens.length))).mkString(" ")
+      try { Frontend.parse(soup, s"soup$i"); () }
+      catch { case _: Exception => () }
+    }
+  }
+
   private def parseFile(path: String): Program = {
     val src = scala.io.Source.fromFile(path).mkString
     Frontend.parse(src, new java.io.File(path).getName)
