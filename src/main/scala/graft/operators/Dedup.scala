@@ -136,6 +136,27 @@ object Dedup {
       .select(col("id").as("doc_id"), col("shared_grams"))
   }
 
+  /** Boilerplate report: the corpus's most-shared word n-grams —
+    * (gram hash, document frequency, one example doc) for every gram
+    * in ≥ `minDf` documents, highest-df first. This is the survey a
+    * pipeline runs BEFORE dedup thresholds are chosen: the top rows
+    * are navigation chrome, license headers and templates, and their
+    * df distribution calibrates [[exactJaccardPairs]]' `maxDocFreq`
+    * cap and LSH bucket caps.
+    *
+    * 100 TB shape: one scan, 8-byte gram-hash shuffle, two-phase
+    * (count, min) aggregation, TakeOrdered for the report cut —
+    * nothing here ever carries text past the map side.
+    */
+  def boilerplateGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long, topN: Int): DataFrame =
+    gramHashes(docs, idCol, textCol, n)
+      .groupBy("gh")
+      .agg(count(lit(1)).as("df"), min(col("id")).as("example_doc"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("gh"))
+      .limit(topN)
+
   /** SKEW GUARD for bucket-local self-joins: a bucket holding K rows
     * yields K² candidate pairs, so one degenerate bucket — boilerplate
     * documents sharing every band, or malformed rows concentrating in a

@@ -132,6 +132,18 @@ object LlmExtras {
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
         .orderBy("id_a", "id_b")),
 
+    // boilerplate survey: every 3-gram shared by ≥5 documents, with
+    // its document frequency and lowest example doc. The gram hash
+    // itself is engine-specific, so the driver compares the (df,
+    // example_doc) multiset — identical iff both engines derived the
+    // same gram sets; a pure minDf cut (no top-N) keeps the boundary
+    // deterministic across engines when dfs tie.
+    "text_boilerplate_grams" -> ((s, dir) =>
+      Dedup.boilerplateGrams(docs(s, dir), "doc_id", "text", 3,
+          minDf = 5L, topN = Int.MaxValue)
+        .select(col("df"), col("example_doc"))
+        .orderBy(col("df").desc, col("example_doc"))),
+
     // sequence packing: concat-then-chunk documents into 512-token
     // training bins within each source, parallel across sources
     "pipeline_pack_sequences" -> ((s, dir) =>
@@ -552,7 +564,20 @@ object LlmExtras {
            AS DOUBLE) / 512) AS BIGINT) AS bin
        FROM t ORDER BY source, doc_id"""
 
+  /** Boilerplate oracle: the shared w/g gram CTEs, df + example over
+    * gram STRINGS (Spark groups the 8-byte hashes — a collision would
+    * shift a df and fail the multiset compare).
+    */
+  private val boilerplateSql =
+    s"""WITH $jaccardCtes,
+         bp AS (SELECT gram, count(*) AS df, min(id) AS example_doc
+                FROM g GROUP BY 1)
+         SELECT CAST(df AS BIGINT) AS df, example_doc
+         FROM bp WHERE df >= 5
+         ORDER BY df DESC, example_doc"""
+
   val oracle: Map[String, String] = Map(
+    "text_boilerplate_grams" -> boilerplateSql,
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_decontaminate" -> decontaminateSql,
     "dedup_near_cluster" -> nearClusterSql,

@@ -117,6 +117,24 @@ class ProgramReloaderSpec extends AnyFunSuite {
     }
   }
 
+  test("SIGHUP triggers a rescan (raised in-process)") {
+    withDir { dir =>
+      write(dir, "a.mtail", good)
+      val loads = new java.util.concurrent.atomic.AtomicInteger
+      val r = new ProgramReloader(dir.toString,
+        _ => loads.incrementAndGet())
+      r.loadAll()
+      assert(loads.get == 1)
+      r.installSighup()
+      write(dir, "a.mtail", good2)
+      sun.misc.Signal.raise(new sun.misc.Signal("HUP"))
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (loads.get < 2 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(loads.get == 2, "HUP handler did not rescan")
+    }
+  }
+
   test("polling picks up an edit without an explicit loadAll") {
     withDir { dir =>
       write(dir, "a.mtail", good)
