@@ -193,8 +193,6 @@ object Bench {
     def ms(v: Double): String =
       if (v < 0) "-1"
       else "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
     def qjson(pass: Seq[(String, Double, Boolean, Double)]): String =
       pass.map { case (k, v, ok, _) =>
         "\"" + k + "\":" + (if (ok) v.toString else s"""{"secs":$v,"failed":true}""")
@@ -209,18 +207,32 @@ object Bench {
     // LAST line so a tail-truncating capture always retains it
     println(s"""{"detail":{"battery_passes":${rawPasses.map(qjson).mkString("[", ",", "]")},"battery_steal_cpu_secs":${rawPasses.map(sjson).mkString("[", ",", "]")},"replay_warm_secs_all":${warmSecs.mkString("[", ",", "]")},"replay_warm_steal_cpu_secs":${warmRuns.map(r => ms(r._2)).mkString("[", ",", "]")},"data_fingerprint":$fpJson,"queries_are":"per-query min of $batteryPasses passes, -1 = a pass threw (see failed); replay is median of $replayWarmRuns warm runs; *_steal_cpu_secs = hypervisor-stolen cpu-secs (/proc/stat) during that window — high steal means the wall time is host noise, not engine time","baseline_klines_per_sec_4core":"6-37 (benchmark_results.csv)"}}""")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
-    val extra =
-      s""""replay_lines":$nLines,"replay_klines_per_sec":${ms(klinesPerSec)},""" +
-      s""""replay_warm_secs_median":${ms(replaySecs)},""" +
-      s""""replay_warm_secs_min":${ms(warmSecs.min)},""" +
-      s""""replay_warm_secs_max":${ms(warmSecs.max)},""" +
-      s""""replay_warm_runs":$replayWarmRuns,""" +
-      s""""replay_cold_secs":${ms(replayColdSecs)},""" +
-      s""""replay_cold_klines_per_sec":${ms(nLines / 1000.0 / replayColdSecs)},""" +
-      s""""replay_warm_steal_cpu_secs_sum":${ms(warmRuns.map(_._2).sum)},""" +
-      s""""battery_steal_cpu_secs_sum":${ms(rawPasses.flatten.map(_._4).sum)}"""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"extra":{$extra}}""")
+    def headline(prec: Int): String = {
+      def p(v: Double): String =
+        if (v < 0) "-1"
+        else s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+      val qsP = all.map { case (k, v) => "\"" + k + "\":" + p(v) }
+        .mkString("{", ",", "}")
+      val extra =
+        s""""replay_lines":$nLines,"replay_klines_per_sec":${p(klinesPerSec)},""" +
+        s""""replay_warm_secs_median":${p(replaySecs)},""" +
+        s""""replay_warm_secs_min":${p(warmSecs.min)},""" +
+        s""""replay_warm_secs_max":${p(warmSecs.max)},""" +
+        s""""replay_warm_runs":$replayWarmRuns,""" +
+        s""""replay_cold_secs":${p(replayColdSecs)},""" +
+        s""""replay_cold_klines_per_sec":${p(nLines / 1000.0 / replayColdSecs)},""" +
+        s""""replay_warm_steal_cpu_secs_sum":${p(warmRuns.map(_._2).sum)},""" +
+        s""""battery_steal_cpu_secs_sum":${p(rawPasses.flatten.map(_._4).sum)}"""
+      s"""{"metric":"total","value":${p(total)},"unit":"sec","queries":$qsP,"sf":"$sfDir","failed":$failedJson,"extra":{$extra}}"""
+    }
+    // the driver's tail capture keeps ~2.4 KB; the headline grows ~30
+    // bytes per registered query, so degrade precision (ms → cs → ds)
+    // before it can ever outgrow the window again (r6/r7 both lost
+    // their summaries to exactly this)
+    val line = Seq(3, 2, 1).map(headline).find(_.length <= 2200)
+      .getOrElse(headline(1))
+    println(line)
     spark.stop()
   }
 }
