@@ -9,17 +9,26 @@ import org.apache.spark.sql.functions._
   * benchmark_results.csv anchor (BASELINE.md: 6–37 klines/s on 4 cores,
   * regex-bound).
   *
-  * Output: TWO JSON lines. The first ("detail") carries the bulky
-  * per-pass battery timings, all raw warm-replay samples, and a data
-  * fingerprint (per-table row count + order-insensitive content hash,
-  * so a silent testdata regeneration is visible round-over-round). The
-  * LAST line is the compact headline {"metric","value","unit",
-  * "queries","sf","failed","extra"} — deliberately last and small so a
-  * tail-truncating capture (which cost round 6 its replay median)
-  * always keeps the summary.
+  * Output protocol (round-9 survivability rework — round 8's artifact
+  * was rc=124 with ZERO output because everything printed at the very
+  * end):
+  *   - one small JSON line per battery query / replay run AS IT
+  *     COMPLETES, so a wall-time overrun still leaves per-query
+  *     evidence in the captured tail;
+  *   - a full headline-format line after each stage boundary (battery,
+  *     replay) marked `"partial":…` in extra, so the last complete
+  *     line at any kill point is parseable as a headline;
+  *   - the bulky detail line (per-pass timings, raw warm samples, data
+  *     fingerprint) second-to-last;
+  *   - the compact FINAL headline {"metric","value","unit","queries",
+  *     "sf","failed","extra"} last — small (≤2200 bytes, precision
+  *     degrades adaptively) so a tail-truncating capture always keeps
+  *     it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    def wallSecs: Double = (System.nanoTime() - wall0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,8 +56,12 @@ object Bench {
       builder.config("spark.local.dir", d)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm up the JVM + codegen + parquet footers outside the clock
+    // warm up the JVM + codegen + parquet footers outside the clock.
+    // The lower()/upper() pair forces Spark 4.1's one-time ICU
+    // collation-table build (~10-70 s of CPU observed on a loaded box
+    // in round 8) before any measured window.
     Tables(spark, sfDir, "lineitem").agg(count(lit(1))).collect()
+    spark.sql("SELECT lower('Warm'), upper('warm')").collect()
     SparkEntry.queries("mt_line_count")(spark, sfDir).count()
 
     def time[A](f: => A): Double = {
@@ -64,9 +77,10 @@ object Bench {
     // DOMINANT causes were guest-side and are now fixed — un-pinned
     // JVM heap (commit/uncommit churn → page-fault + TLB-shootdown
     // storms billed as system time; -Xms=-Xmx + AlwaysPreTouch in
-    // build.sbt) and shuffle scratch on the contended virtual disk
-    // (tmpfs local.dir above) — but the box remains a shared microVM,
-    // so the steal column stays as the tell for what's left.
+    // build.sbt, bench forks only) and shuffle scratch on the
+    // contended virtual disk (tmpfs local.dir above) — but the box
+    // remains a shared microVM, so the steal column stays as the tell
+    // for what's left.
     def stealCpuSecs: Double = try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines()
         .next().trim.split("\\s+")
@@ -83,41 +97,83 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    def ms(v: Double): String =
+      if (v < 0) "-1"
+      else "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
     // The bench box is shared and demonstrably noisy (r4/r5 both showed
     // warm-slower-than-cold inversions and 3-6x swings on unchanged
     // queries), so single samples can't separate regressions from load
-    // spikes. Run the battery twice and report the per-query MIN — the
-    // least-load-contaminated sample — plus both raw passes so the
-    // spread itself is visible in the JSON. The reference's own harness
-    // repeats for the same reason (Makefile:199-208, `go test -count=N`
-    // piped through benchstat).
-    val batteryPasses = 2
+    // spikes. Queries whose pass-1 time is ≥1 s get a second pass and
+    // report the per-query MIN — the least-load-contaminated sample;
+    // sub-second queries keep their single sample (a load spike there
+    // costs at most ~1 s of misreport, while re-running all 50 nearly
+    // doubled the battery wall that blew round 8's capture window).
+    // The reference's own harness repeats for the same reason
+    // (Makefile:199-208, `go test -count=N` piped through benchstat).
     // (name, secs, ok, steal): a pass that THROWS is recorded with
     // ok=false so its fast failure time can never masquerade as a
     // min-of-N speedup; steal is the hypervisor-stolen cpu-seconds
-    // during that query's measurement window
-    val rawPasses: Seq[Seq[(String, Double, Boolean, Double)]] =
-      (1 to batteryPasses).map { _ =>
-        SparkEntry.queries.toSeq.sortBy(_._1).map {
-          case (name, fn) =>
-            var ok = true
-            val (secs, steal) = timeWithSteal {
-              try fn(spark, sfDir).count()
-              catch { case e: Throwable =>
-                System.err.println(s"[bench] $name failed: ${e.getMessage}")
-                ok = false
-              }
-            }
-            (name, secs, ok, steal)
+    // during that query's measurement window.
+    def runPass(pass: Int, qs: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double, Boolean, Double)] =
+      qs.map { case (name, fn) =>
+        var ok = true
+        val (secs, steal) = timeWithSteal {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            ok = false
+          }
         }
+        // incremental evidence: one line per query as it completes
+        println(s"""{"q":"$name","pass":$pass,"secs":${ms(secs)},"ok":$ok,"steal":${ms(steal)}}""")
+        (name, secs, ok, steal)
       }
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = runPass(1, allQueries)
+    val slowNames = pass1.collect {
+      case (n, secs, true, _) if secs >= 1.0 => n
+    }.toSet
+    val pass2 = runPass(2, allQueries.filter(q => slowNames(q._1)))
+    val rawPasses = Seq(pass1, pass2)
     val failed = rawPasses.flatten.collect { case (n, _, false, _) => n }
       .distinct.sorted
-    val results = rawPasses.head.map(_._1).map { name =>
-      val samples = rawPasses.map(_.find(_._1 == name).get)
+    val results = pass1.map(_._1).map { name =>
+      val samples = rawPasses.flatten.filter(_._1 == name)
       name -> (if (samples.exists(!_._3)) -1.0 else samples.map(_._2).min)
     }
+
+    // headline builder, shared by the stage-boundary partials and the
+    // final line. Values rounded to ms: round 7's full-precision
+    // doubles pushed the final line to ~2.5 KB and the driver's
+    // tail-capture cut its head ("parsed": null two rounds running);
+    // the driver's tail capture keeps ~2.4 KB and the headline grows
+    // ~30 bytes per registered query, so precision degrades (ms → cs →
+    // ds) before it can ever outgrow the window again.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def emitHeadline(all: Seq[(String, Double)], extraKv: Seq[String],
+        partial: Option[String]): Unit = {
+      val total = all.collect { case (_, v) if v >= 0 => v }.sum
+      def headline(prec: Int): String = {
+        def p(v: Double): String =
+          if (v < 0) "-1"
+          else s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+        val qsP = all.map { case (k, v) => "\"" + k + "\":" + p(v) }
+          .mkString("{", ",", "}")
+        val extra = (extraKv ++
+          partial.map(s => s""""partial":"$s"""").toSeq :+
+          s""""bench_wall_secs":${p(wallSecs)}""").mkString(",")
+        s"""{"metric":"total","value":${p(total)},"unit":"sec","queries":$qsP,"sf":"$sfDir","failed":$failedJson,"extra":{$extra}}"""
+      }
+      println(Seq(3, 2, 1).map(headline).find(_.length <= 2200)
+        .getOrElse(headline(1)))
+    }
+    // stage boundary: if the replay or fingerprint below overruns the
+    // driver window, this line is already a complete, parseable
+    // headline carrying the whole battery
+    emitHeadline(results, Seq.empty, Some("battery"))
 
     // mtail replay: the engine_counters program over replicated event
     // lines — the reference's per-line-engine benchmark shape
@@ -165,12 +221,32 @@ object Bench {
     // alongside, so a load spike on the shared box shows up as spread
     // instead of silently becoming the headline.
     val replayColdSecs = time { runReplay(lineDf) }
+    println(s"""{"replay_run":"cold","secs":${ms(replayColdSecs)}}""")
     val replayWarmRuns = 5
-    val warmRuns = (1 to replayWarmRuns).map(_ =>
-      timeWithSteal { runReplay(lineDf) })
+    val warmRuns = (1 to replayWarmRuns).map { i =>
+      val r = timeWithSteal { runReplay(lineDf) }
+      println(s"""{"replay_run":$i,"secs":${ms(r._1)},"steal":${ms(r._2)}}""")
+      r
+    }
     val warmSecs = warmRuns.map(_._1)
     val replaySecs = median(warmSecs)
     val klinesPerSec = nLines / 1000.0 / replaySecs
+
+    val all = results :+ ("mtail_replay_1m_lines" -> replaySecs)
+    def replayKv(p: Double => String): Seq[String] = Seq(
+      s""""replay_lines":$nLines""",
+      s""""replay_klines_per_sec":${p(klinesPerSec)}""",
+      s""""replay_warm_secs_median":${p(replaySecs)}""",
+      s""""replay_warm_secs_min":${p(warmSecs.min)}""",
+      s""""replay_warm_secs_max":${p(warmSecs.max)}""",
+      s""""replay_warm_runs":$replayWarmRuns""",
+      s""""replay_cold_secs":${p(replayColdSecs)}""",
+      s""""replay_cold_klines_per_sec":${p(nLines / 1000.0 / replayColdSecs)}""",
+      s""""replay_warm_steal_cpu_secs_sum":${p(warmRuns.map(_._2).sum)}""",
+      s""""battery_steal_cpu_secs_sum":${p(rawPasses.flatten.map(_._4).sum)}""")
+    // stage boundary: battery + replay complete; only the fingerprint
+    // and detail line remain at risk past this point
+    emitHeadline(all, replayKv(ms), Some("replay"))
 
     // data fingerprint: per-table (rows, order-insensitive content hash
     // = 32-bit murmur3 row hashes summed into a long, overflow-free
@@ -185,14 +261,6 @@ object Bench {
       t -> (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    val all = results :+ ("mtail_replay_1m_lines" -> replaySecs)
-    // headline values are rounded to ms: round 7's full-precision
-    // doubles pushed the final line to ~2.5 KB and the driver's
-    // tail-capture cut its head ("parsed": null two rounds running).
-    // Full precision lives in the detail line's battery_passes.
-    def ms(v: Double): String =
-      if (v < 0) "-1"
-      else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def qjson(pass: Seq[(String, Double, Boolean, Double)]): String =
       pass.map { case (k, v, ok, _) =>
         "\"" + k + "\":" + (if (ok) v.toString else s"""{"secs":$v,"failed":true}""")
@@ -203,36 +271,10 @@ object Bench {
     val fpJson = fingerprint.map { case (t, (n, h)) =>
       "\"" + t + "\":{\"rows\":" + n + ",\"hash\":" + h + "}"
     }.mkString("{", ",", "}")
-    // bulky detail FIRST on its own line; the compact headline is the
-    // LAST line so a tail-truncating capture always retains it
-    println(s"""{"detail":{"battery_passes":${rawPasses.map(qjson).mkString("[", ",", "]")},"battery_steal_cpu_secs":${rawPasses.map(sjson).mkString("[", ",", "]")},"replay_warm_secs_all":${warmSecs.mkString("[", ",", "]")},"replay_warm_steal_cpu_secs":${warmRuns.map(r => ms(r._2)).mkString("[", ",", "]")},"data_fingerprint":$fpJson,"queries_are":"per-query min of $batteryPasses passes, -1 = a pass threw (see failed); replay is median of $replayWarmRuns warm runs; *_steal_cpu_secs = hypervisor-stolen cpu-secs (/proc/stat) during that window — high steal means the wall time is host noise, not engine time","baseline_klines_per_sec_4core":"6-37 (benchmark_results.csv)"}}""")
-    val total = all.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def headline(prec: Int): String = {
-      def p(v: Double): String =
-        if (v < 0) "-1"
-        else s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
-      val qsP = all.map { case (k, v) => "\"" + k + "\":" + p(v) }
-        .mkString("{", ",", "}")
-      val extra =
-        s""""replay_lines":$nLines,"replay_klines_per_sec":${p(klinesPerSec)},""" +
-        s""""replay_warm_secs_median":${p(replaySecs)},""" +
-        s""""replay_warm_secs_min":${p(warmSecs.min)},""" +
-        s""""replay_warm_secs_max":${p(warmSecs.max)},""" +
-        s""""replay_warm_runs":$replayWarmRuns,""" +
-        s""""replay_cold_secs":${p(replayColdSecs)},""" +
-        s""""replay_cold_klines_per_sec":${p(nLines / 1000.0 / replayColdSecs)},""" +
-        s""""replay_warm_steal_cpu_secs_sum":${p(warmRuns.map(_._2).sum)},""" +
-        s""""battery_steal_cpu_secs_sum":${p(rawPasses.flatten.map(_._4).sum)}"""
-      s"""{"metric":"total","value":${p(total)},"unit":"sec","queries":$qsP,"sf":"$sfDir","failed":$failedJson,"extra":{$extra}}"""
-    }
-    // the driver's tail capture keeps ~2.4 KB; the headline grows ~30
-    // bytes per registered query, so degrade precision (ms → cs → ds)
-    // before it can ever outgrow the window again (r6/r7 both lost
-    // their summaries to exactly this)
-    val line = Seq(3, 2, 1).map(headline).find(_.length <= 2200)
-      .getOrElse(headline(1))
-    println(line)
+    // bulky detail SECOND-TO-LAST on its own line; the compact headline
+    // is the LAST line so a tail-truncating capture always retains it
+    println(s"""{"detail":{"battery_passes":${rawPasses.map(qjson).mkString("[", ",", "]")},"battery_steal_cpu_secs":${rawPasses.map(sjson).mkString("[", ",", "]")},"replay_warm_secs_all":${warmSecs.mkString("[", ",", "]")},"replay_warm_steal_cpu_secs":${warmRuns.map(r => ms(r._2)).mkString("[", ",", "]")},"data_fingerprint":$fpJson,"queries_are":"per-query min of observed passes (pass 2 only for queries ≥1s in pass 1), -1 = a pass threw (see failed); replay is median of $replayWarmRuns warm runs; *_steal_cpu_secs = hypervisor-stolen cpu-secs (/proc/stat) during that window — high steal means the wall time is host noise, not engine time","baseline_klines_per_sec_4core":"6-37 (benchmark_results.csv)"}}""")
+    emitHeadline(all, replayKv(ms), None)
     spark.stop()
   }
 }
