@@ -942,5 +942,5 @@ object PlanBuilder {
     */
   def joinKeys(keyCols: Seq[Column]): Column =
     if (keyCols.isEmpty) lit("")
-    else concat_ws("", keyCols: _*)
+    else concat_ws("\u0001", keyCols: _*)
 }

@@ -166,6 +166,39 @@ class VmSemanticsSpec extends SparkSpec {
     assert(restarted(("scratch", Map.empty)) == VInt(9))
   }
 
+  test("carried multi-key state: (\"ab\",\"c\") never aliases (\"a\",\"bc\")") {
+    // regression for the joinKeys separator: with a bare concat the two
+    // key tuples both join to "abc" and batch-2 reads of ("a","bc")
+    // would see batch-1's ("ab","c") write carried across the batch
+    // boundary (the streaming runner feeds finalReadStateDfs back in as
+    // initialState exactly like this)
+    val src =
+      """hidden gauge st by a, b
+        |gauge out1
+        |gauge out2
+        |/^set (?P<a>\w+) (?P<b>\w+) (?P<v>\d+)$/ {
+        |  st[$a][$b] = $v
+        |}
+        |/^get1 (?P<a>\w+) (?P<b>\w+)$/ { out1 = st[$a][$b] }
+        |/^get2 (?P<a>\w+) (?P<b>\w+)$/ { out2 = st[$a][$b] }
+        |""".stripMargin
+    val prog = Frontend.parse(src, "vmsem")
+    val batch1 = new PlanBuilder(prog,
+      LogLines.fromLines(Seq("set ab c 5").toDF("line"), "line"), 0)
+    // building the snapshot plan registers the read sites that
+    // finalReadStateDfs carries state for (same order as StreamRunner)
+    batch1.snapshot().collect()
+    val carried = batch1.finalReadStateDfs()
+      .map { case (m, sdf) => m -> sdf.localCheckpoint(true) }
+    val batch2 = new PlanBuilder(prog,
+      LogLines.fromLines(Seq("get1 a bc", "get2 ab c").toDF("line"),
+        "line"), 0, initialState = carried)
+    val cells = Snapshot.collect(batch2.snapshot())
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells(("out1", Map.empty)) == VInt(0)) // distinct tuple: zero
+    assert(cells(("out2", Map.empty)) == VInt(5)) // genuine carry: hit
+  }
+
   test("strptime with unsupported argument shape fails at compile") {
     // the reference checker rejects these at compile time; a silent
     // no-op would leave the time register never updated
