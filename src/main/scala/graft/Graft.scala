@@ -97,7 +97,11 @@ object Graft {
       defaultYear: Int = java.time.Year.now.getValue,
       ignoreRegex: Option[String] = None,
       /** -override_timezone: zone for naive strptime timestamps. */
-      overrideZone: String = "UTC"): Tail = {
+      overrideZone: String = "UTC",
+      /** -emit_prog_label (main.go:60): `prog` label on /metrics,/varz. */
+      emitProgLabel: Boolean = true,
+      /** -emit_metric_timestamp (main.go:61): per-sample ts on /metrics. */
+      emitMetricTimestamp: Boolean = false): Tail = {
     val prog = compile(programSource, programName)
     val runner = new StreamRunner(prog, spark, defaultYear, overrideZone)
     // keys resolved per scrape from the live program, so reload()
@@ -105,7 +109,9 @@ object Graft {
     val server = ExportServer.single(runner.store, programName,
       () => runner.exportKeys, port,
       internal = Some(runner.internalStore),
-      dump = () => irDump(runner.currentProgram))
+      dump = () => irDump(runner.currentProgram),
+      emitTimestamp = emitMetricTimestamp,
+      omitProgLabel = !emitProgLabel)
     val boundPort = server.start()
     // a failed query start must not leak the bound HTTP port
     val query =
@@ -154,7 +160,11 @@ object Graft {
       ignoreRegex: Option[String] = None,
       overrideZone: String = "UTC",
       sighup: Boolean = false,
-      pollMillis: Option[Long] = None): TailProgs = {
+      pollMillis: Option[Long] = None,
+      /** -emit_prog_label (main.go:60): `prog` label on /metrics,/varz. */
+      emitProgLabel: Boolean = true,
+      /** -emit_metric_timestamp (main.go:61): per-sample ts on /metrics. */
+      emitMetricTimestamp: Boolean = false): TailProgs = {
     val multi = new MultiRunner(Nil, spark, defaultYear, overrideZone)
     val reloader = new ProgramReloader(progsPath,
       multi.load, multi.unload)
@@ -167,7 +177,9 @@ object Graft {
           error = () => reloader.programErrors.get(n).flatten) },
       port,
       internals = () => sorted.map { case (n, r) =>
-        n -> r.internalStore })
+        n -> r.internalStore },
+      emitTimestamp = emitMetricTimestamp,
+      omitProgLabel = !emitProgLabel)
     val boundPort = server.start()
     val query =
       try multi.start(

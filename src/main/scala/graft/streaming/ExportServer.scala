@@ -27,7 +27,14 @@ final class ExportServer private (
       * runners' same-named internal counters stay distinct samples.
       */
     internalProgLabel: Boolean,
-    emitTimestamp: Boolean) {
+    emitTimestamp: Boolean,
+    /** `-emit_prog_label=false` (main.go:60, exporter/export.go:61):
+      * drop the `prog` label from /metrics samples and /varz lines.
+      * The reference's flag reaches exactly those two formats
+      * (prometheus.go:55, varz.go:52); graphite/statsd/collectd paths
+      * and /json's Program field always carry the program name.
+      */
+    omitProgLabel: Boolean) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -63,7 +70,8 @@ final class ExportServer private (
   server.createContext("/metrics",
     handler { () =>
       val snaps = sources().map(s => s.program -> s.store.snapshot())
-      Exporters.prometheusMulti(snaps, emitTimestamp = emitTimestamp) +
+      Exporters.prometheusMulti(snaps, omitProgLabel = omitProgLabel,
+        emitTimestamp = emitTimestamp) +
         internalProm(snaps.flatMap(_._2)
           .map(_.name.replace("-", "_")).toSet)
     })
@@ -73,7 +81,7 @@ final class ExportServer private (
       (s.program, s.store.snapshot(), s.keys)))))
   server.createContext("/varz",
     handler(() => Exporters.varzMulti(sources().map(s =>
-      s.program -> s.store.snapshot()), hostname)))
+      s.program -> s.store.snapshot()), hostname, omitProgLabel)))
   server.createContext("/graphite",
     handler(() => sources().map(s =>
       Exporters.graphite(s.store.snapshot(), s.program)).mkString))
@@ -113,9 +121,12 @@ final class ExportServer private (
   // built from — plus the last error
   server.createContext("/progz", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
-      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      // decode the query value: the listing URL-encodes program names
+      // (a name with &, spaces or quotes must round-trip)
       val progQ = q.split("&").collectFirst {
-        case kv if kv.startsWith("prog=") => kv.drop(5) }
+        case kv if kv.startsWith("prog=") =>
+          java.net.URLDecoder.decode(kv.drop(5), "UTF-8") }
       val ss = sources()
       progQ match {
         case Some(name) =>
@@ -138,7 +149,14 @@ final class ExportServer private (
             val err = s.error()
               .map(e => s" - load error: ${htmlEscape(e)}")
               .getOrElse("")
-            s"""<li><a href="?prog=${s.program}">${
+            // the href value is URL-encoded (then HTML-escaped: URL
+            // encoding can itself produce no HTML-special chars, but
+            // the attribute context demands it) so a program name with
+            // quotes/&/spaces stays clickable and round-trips through
+            // the ?prog= decode above
+            val encoded = htmlEscape(
+              java.net.URLEncoder.encode(s.program, "UTF-8"))
+            s"""<li><a href="?prog=$encoded">${
               htmlEscape(s.program)}</a>$err</li>"""
           }.mkString
           val body = s"<ul>$items</ul>"
@@ -186,11 +204,14 @@ object ExportServer {
       emitTimestamp: Boolean = false,
       /** /progz hooks: compiled-form dump + last load error. */
       dump: () => String = () => "",
-      error: () => Option[String] = () => None): ExportServer =
+      error: () => Option[String] = () => None,
+      /** `-emit_prog_label=false`: drop `prog` from /metrics, /varz. */
+      omitProgLabel: Boolean = false): ExportServer =
     new ExportServer(
       () => Seq(Source(program, store, keys(), dump, error)),
       port, hostname, () => internal.toSeq.map(program -> _),
-      internalProgLabel = false, emitTimestamp = emitTimestamp)
+      internalProgLabel = false, emitTimestamp = emitTimestamp,
+      omitProgLabel = omitProgLabel)
 
   /** A live multi-program server (`Graft.tailProgs`): `sources` and
     * `internals` are functions so the scrape always serves the
@@ -199,7 +220,9 @@ object ExportServer {
   def multi(sources: () => Seq[Source], port: Int = 0,
       hostname: String = "localhost",
       internals: () => Seq[(String, MetricsStore)] = () => Nil,
-      emitTimestamp: Boolean = false): ExportServer =
+      emitTimestamp: Boolean = false,
+      omitProgLabel: Boolean = false): ExportServer =
     new ExportServer(sources, port, hostname, internals,
-      internalProgLabel = true, emitTimestamp = emitTimestamp)
+      internalProgLabel = true, emitTimestamp = emitTimestamp,
+      omitProgLabel = omitProgLabel)
 }

@@ -307,10 +307,14 @@ object Exporters {
       s"${c.name}{${all.mkString(",")}} ${valueString(c.value)}\n"
     }.mkString
 
-  /** varz over several programs' stores, prog-labelled per line. */
-  def varzMulti(byProg: Seq[(String, Seq[Cell])],
-      hostname: String): String =
-    byProg.map { case (p, cs) => varz(cs, p, hostname) }.mkString
+  /** varz over several programs' stores, prog-labelled per line
+    * (unless `-emit_prog_label=false` — varz.go:52-54 is the only
+    * other format the reference's omitProgLabel reaches).
+    */
+  def varzMulti(byProg: Seq[(String, Seq[Cell])], hostname: String,
+      omitProgLabel: Boolean = false): String =
+    byProg.map { case (p, cs) =>
+      varz(cs, p, hostname, omitProgLabel) }.mkString
 
   /** graphite (graphite.go:55-92): `prefix prog.name.labels value ts`. */
   def graphite(cells: Seq[Cell], program: String,

@@ -121,6 +121,11 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
           sdf.schema("v").dataType == pb.metricType(m)
       }
       prog = newProgram
+      // the probe plan doubles as the load-time zero-init snapshot:
+      // merging its empty-input cells publishes any NEW scalar counters
+      // as 0 @ epoch-0 immediately (see publishZeroInit), a no-op for
+      // cells already live
+      store.merge(Snapshot.collect(pb.snapshot()))
       internalStore.merge(Seq(Snapshot.Cell("counter",
         "prog_loads_total", Map("prog" -> newProgram.name),
         Snapshot.VInt(1), None)))
@@ -135,6 +140,26 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
 
   /** stream time: max event timestamp observed across batches. */
   @volatile private var maxEventSec: Long = Long.MinValue
+
+  /** Load-time zero-init: run the plan once against an empty frame and
+    * merge the resulting cells — declared-but-never-matched scalar
+    * counters as 0 @ epoch-0 — so a just-loaded program exports
+    * immediately, before any data arrives. The reference registers
+    * every metric in the store at LOAD time (`runtime.go:173-184`);
+    * waiting for the first non-empty batch instead (pre-round-9
+    * behaviour) left a freshly dropped program invisible to scrapes
+    * until new lines happened to arrive. Re-merging is a no-op for
+    * live cells (counters add 0, last-write ts wins), and the empty
+    * probe keeps the cells type-exact with real batch plan semantics.
+    */
+  private def publishZeroInit(): Unit = {
+    val probe = graft.mtail.LogLines.fromLines(
+      spark.range(0).selectExpr("CAST('' AS STRING) AS line"), "line")
+    val pb = new PlanBuilder(prog, probe, defaultYear,
+      overrideZone = overrideZone)
+    store.merge(Snapshot.collect(pb.snapshot()))
+  }
+  publishZeroInit()
 
   /** Start over a streaming Dataset with a `line` STRING column (e.g.
     * `spark.readStream.format("text"|"socket")`).
@@ -316,7 +341,16 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
             Map("prog" -> prog.name), Snapshot.VInt(totalErrs), None))
         else Nil))
       // all of this batch's jobs have run; the previous batch's state
-      // checkpoints are unreachable from any future plan — free them
+      // checkpoints are unreachable from any future plan — free them.
+      // Trade-off (same as Dedup's star-contraction loop): the new
+      // checkpoints' lineage is truncated at the freed predecessor, so
+      // a state block lost to executor death after this point fails
+      // the stream instead of recomputing — localCheckpoint is
+      // non-fault-tolerant by contract, this just narrows when. A
+      // cluster deployment that wants the slower ContextCleaner pacing
+      // (blocks from ALL in-flight batches retained until driver GC)
+      // can remove this call; state durability proper would need
+      // reliable `checkpoint()` on a shared filesystem.
       prevCheckpoints.foreach(graft.plan.CheckpointUtil.freeCheckpoint)
       totalLines
   }

@@ -36,6 +36,33 @@ class StreamingSpec extends SparkSpec {
     assert(cells(("last_size", Map.empty)) == VInt(5))
   }
 
+  test("zero-init cells publish at load, before any data") {
+    // the reference registers metrics in the store at LOAD time
+    // (runtime.go:173-184): a just-constructed runner must already
+    // export its declared scalar counters as 0 @ epoch-0 — round 8's
+    // TailProgsSpec race was exactly a freshly dropped program whose
+    // only log line was consumed before its first batch, leaving it
+    // invisible to scrapes forever
+    val runner = new StreamRunner(
+      Frontend.parse("counter all_lines\n// {\n  all_lines++\n}\n",
+        "zeroinit"), spark, 0)
+    val cells0 = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells0(("all_lines", Map.empty)) == VInt(0))
+
+    // a reload that ADDS a counter publishes the new zero cell too,
+    // and leaves live cells untouched (merge of 0 is a no-op)
+    import spark.implicits._
+    runner.processBatch(Seq("x").toDF("line"), 0)
+    runner.reload(Frontend.parse(
+      "counter all_lines\ncounter evens\n/^.[02468]$/ {\n  evens++\n}\n" +
+        "// {\n  all_lines++\n}\n", "zeroinit"))
+    val cells1 = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells1(("all_lines", Map.empty)) == VInt(1))
+    assert(cells1(("evens", Map.empty)) == VInt(0))
+  }
+
   test("structured streaming end-to-end via MemoryStream") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
@@ -406,6 +433,47 @@ class StreamingSpec extends SparkSpec {
     assert(json.contains(""""Name": "bytes_total""""))
     assert(json.contains(""""Kind": 1"""))
     assert(json.contains(""""Labels": ["sent"]"""))
+  }
+
+  test("emit_prog_label=false drops prog from prometheus and varz only") {
+    // -emit_prog_label=false reaches exactly the prometheus and varz
+    // formats (exporter/prometheus.go:55, varz.go:52); graphite/statsd/
+    // collectd paths keep the program component
+    // (TestWritePrometheus's fixtures render `foo 1` with no labels)
+    val cells = Seq(
+      Cell("counter", "foo", Map.empty, VInt(1), Some(0L)),
+      Cell("counter", "bar", Map("a" -> "x"), VInt(2), Some(0L)))
+
+    val prom = Exporters.prometheus(cells, "test", omitProgLabel = true)
+    assert(prom.contains("\nfoo 1\n"), prom)
+    assert(prom.contains("""bar{a="x"} 2"""), prom)
+    assert(!prom.contains("prog="), prom)
+
+    val varz = Exporters.varz(cells, "test", "gunstar",
+      omitProgLabel = true)
+    assert(varz.contains("foo{instance=gunstar} 1"), varz)
+    assert(!varz.contains("prog="), varz)
+
+    // the program path survives in the push formats regardless
+    assert(Exporters.graphite(cells, "test").contains("test.foo 1"))
+    assert(Exporters.statsd(cells, "test").contains("test.foo:1|c"))
+
+    // and through the server: /metrics + /varz lose prog, /json keeps
+    // its Program field (the store dump always carries it)
+    val store = new MetricsStore
+    store.merge(cells)
+    val srv = ExportServer.single(store, "test", () => Map.empty,
+      omitProgLabel = true)
+    val port = srv.start()
+    try {
+      def get(path: String): String = {
+        val url = new java.net.URI(s"http://localhost:$port$path").toURL
+        scala.io.Source.fromInputStream(url.openStream()).mkString
+      }
+      assert(!get("/metrics").contains("prog="))
+      assert(!get("/varz").contains("prog="))
+      assert(get("/json").contains(""""Program": "test""""))
+    } finally srv.stop()
   }
 
   test("export server serves endpoints") {
