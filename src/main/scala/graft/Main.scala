@@ -1,0 +1,348 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.mtail.{Frontend, Snapshot}
+import graft.plan.PlanBuilder
+
+/** CLI entry point — the reference binary's user-facing flag surface
+  * (`cmd/mtail/main.go:40-83`) over the [[Graft]] library API, so a
+  * reference user can run the daemon / one-shot modes without writing
+  * Scala: `spark-submit --class graft.Main graft.jar --progs dir
+  * --logs 'glob'` or `sbt "runMain graft.Main ..."`.
+  *
+  * Flag syntax follows Go's flag package (what the reference parses):
+  * single or double dash, `-flag value` or `-flag=value`, bare bool
+  * flags mean true (`-one_shot`), and `-logs` may be repeated and/or
+  * comma-separated (main.go:30-36).
+  *
+  * Spark-side knobs deliberately stay OUT of the flag set: under
+  * spark-submit the session master/conf come from the submit command;
+  * standalone the master falls back to `local[*]`.
+  */
+object Main {
+
+  final case class Config(
+      progs: String = "",
+      logs: Seq[String] = Nil,
+      port: Int = 3903,
+      oneShot: Boolean = false,
+      oneShotFormat: String = "json",
+      compileOnly: Boolean = false,
+      ignoreRegex: Option[String] = None,
+      overrideTimezone: String = "UTC",
+      syslogUseCurrentYear: Boolean = true,
+      emitProgLabel: Boolean = true,
+      emitMetricTimestamp: Boolean = false,
+      /** -poll_interval: log-data poll cadence. The streaming trigger
+        * is its Spark analogue — each tick is one microbatch.
+        */
+      pollIntervalMs: Long = 250,
+      /** graft extension: re-scan the progs path every N ms (the
+        * filesystem analogue of the reference's HUP-only reload, for
+        * deployments that cannot signal the JVM). 0 = HUP only.
+        */
+      progsPollIntervalMs: Long = 0,
+      metricPushIntervalMs: Long = 60000,
+      graphiteHostPort: Option[String] = None,
+      graphitePrefix: String = "",
+      statsdHostPort: Option[String] = None,
+      statsdPrefix: String = "",
+      collectdSocketPath: Option[String] = None,
+      collectdPrefix: String = "")
+
+  /** Go duration syntax (`250ms`, `1m`, `1h30m`) → milliseconds; the
+    * reference's duration flags use time.ParseDuration. Throws on a
+    * bare number — Go requires units.
+    */
+  def parseDurationMs(s: String): Long = {
+    val re = """(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)""".r
+    val parts = re.findAllMatchIn(s).toSeq
+    val consumed = parts.map(_.matched).mkString
+    require(parts.nonEmpty && consumed == s.stripPrefix("+"),
+      s"invalid duration: '$s' (Go syntax, e.g. 250ms, 1h30m)")
+    parts.map { m =>
+      val v = m.group(1).toDouble
+      v * (m.group(2) match {
+        case "ns" => 1e-6
+        case "us" | "µs" => 1e-3
+        case "ms" => 1.0
+        case "s" => 1e3
+        case "m" => 60e3
+        case "h" => 3600e3
+      })
+    }.sum.round
+  }
+
+  /** Parse the Go-style flag vector; Left = usage error message. */
+  def parseArgs(args: Seq[String]): Either[String, Config] = {
+    // (canonical name, takes value?) — bool flags accept an optional
+    // =value but never consume the next token, like Go's flag package
+    val boolFlags = Set("one_shot", "compile_only",
+      "syslog_use_current_year", "emit_prog_label",
+      "emit_metric_timestamp", "version", "help")
+    var cfg = Config()
+    var i = 0
+    def boolVal(v: String): Either[String, Boolean] = v match {
+      case "true" | "1" => Right(true)
+      case "false" | "0" => Right(false)
+      case other => Left(s"invalid boolean: '$other'")
+    }
+    while (i < args.length) {
+      val raw = args(i)
+      if (!raw.startsWith("-"))
+        return Left(s"unexpected argument: '$raw' (flags only; the " +
+          "logs flag can be repeated, or the filenames separated by " +
+          "commas)")
+      val stripped = raw.dropWhile(_ == '-')
+      val (name, inline) = stripped.split("=", 2) match {
+        case Array(n, v) => (n, Some(v))
+        case Array(n) => (n, None)
+      }
+      def value(): Either[String, String] = inline match {
+        case Some(v) => Right(v)
+        case None =>
+          if (i + 1 >= args.length)
+            Left(s"flag -$name needs a value")
+          else { i += 1; Right(args(i)) }
+      }
+      def setBool(f: (Config, Boolean) => Config): Either[String, Unit] =
+        inline.map(boolVal).getOrElse(Right(true))
+          .map(b => { cfg = f(cfg, b); () })
+      val res: Either[String, Unit] = name match {
+        case "progs" => value().map(v => cfg = cfg.copy(progs = v))
+        case "logs" => value().map(v => cfg = cfg.copy(
+          logs = cfg.logs ++ v.split(",").filter(_.nonEmpty)))
+        case "port" => value().flatMap(v => v.toIntOption
+          .toRight(s"invalid port: '$v'")
+          .map(p => cfg = cfg.copy(port = p)))
+        case "one_shot" => setBool((c, b) => c.copy(oneShot = b))
+        case "one_shot_format" => value().flatMap {
+          case f @ ("json" | "prometheus") =>
+            Right { cfg = cfg.copy(oneShotFormat = f) }
+          case other => Left(s"unsupported format: '$other' " +
+            "(json|prometheus)")
+        }
+        case "compile_only" =>
+          setBool((c, b) => c.copy(compileOnly = b))
+        case "ignore_filename_regex_pattern" => value().map(v =>
+          cfg = cfg.copy(ignoreRegex = Some(v).filter(_.nonEmpty)))
+        case "override_timezone" => value().map(v =>
+          cfg = cfg.copy(overrideTimezone = if (v.isEmpty) "UTC" else v))
+        case "syslog_use_current_year" =>
+          setBool((c, b) => c.copy(syslogUseCurrentYear = b))
+        case "emit_prog_label" =>
+          setBool((c, b) => c.copy(emitProgLabel = b))
+        case "emit_metric_timestamp" =>
+          setBool((c, b) => c.copy(emitMetricTimestamp = b))
+        case "poll_interval" => value().flatMap(v =>
+          try Right { cfg = cfg.copy(pollIntervalMs = parseDurationMs(v)) }
+          catch { case e: IllegalArgumentException =>
+            Left(e.getMessage) })
+        case "progs_poll_interval" => value().flatMap(v =>
+          try Right {
+            cfg = cfg.copy(progsPollIntervalMs = parseDurationMs(v)) }
+          catch { case e: IllegalArgumentException =>
+            Left(e.getMessage) })
+        case "metric_push_interval" => value().flatMap(v =>
+          try Right {
+            cfg = cfg.copy(metricPushIntervalMs = parseDurationMs(v)) }
+          catch { case e: IllegalArgumentException =>
+            Left(e.getMessage) })
+        case "graphite_host_port" => value().map(v =>
+          cfg = cfg.copy(graphiteHostPort = Some(v).filter(_.nonEmpty)))
+        case "graphite_prefix" => value().map(v =>
+          cfg = cfg.copy(graphitePrefix = v))
+        case "statsd_hostport" => value().map(v =>
+          cfg = cfg.copy(statsdHostPort = Some(v).filter(_.nonEmpty)))
+        case "statsd_prefix" => value().map(v =>
+          cfg = cfg.copy(statsdPrefix = v))
+        case "collectd_socketpath" => value().map(v =>
+          cfg = cfg.copy(collectdSocketPath =
+            Some(v).filter(_.nonEmpty)))
+        case "collectd_prefix" => value().map(v =>
+          cfg = cfg.copy(collectdPrefix = v))
+        case other => Left(s"unknown flag: -$other")
+      }
+      res match {
+        case Left(e) => return Left(e)
+        case Right(_) =>
+      }
+      i += 1
+    }
+    if (cfg.progs.isEmpty)
+      Left("graft requires programs that instruct it how to extract " +
+        "metrics from logs; please use the flag -progs to specify the " +
+        "directory containing the programs.")
+    else if (!cfg.compileOnly && cfg.logs.isEmpty)
+      Left("graft requires the names of logs to follow in order to " +
+        "extract metrics from them; please use the flag -logs one or " +
+        "more times to specify glob patterns describing these logs.")
+    else Right(cfg)
+  }
+
+  /** progs-path scan with the reference's hidden/extension gate
+    * (`runtime.go:104-112`): a directory yields its non-hidden
+    * `*.mtail` files sorted by name, a plain file just itself.
+    */
+  def programFiles(progs: String): Seq[Path] = {
+    val p = Paths.get(progs)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq
+        .filter(f => !Files.isDirectory(f) && {
+          val n = f.getFileName.toString
+          !n.startsWith(".") && n.endsWith(".mtail")
+        })
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    } else Seq(p)
+  }
+
+  /** -compile_only: parse every program, return name → error for the
+    * failures. The reference fails server start with "compile failed
+    * for <name>:\n<errs>" (`runtime.go:161`).
+    */
+  def compileAll(progs: String): Seq[(String, Option[String])] =
+    programFiles(progs).map { f =>
+      val name = f.getFileName.toString
+      try {
+        Frontend.parse(new String(Files.readAllBytes(f),
+          StandardCharsets.UTF_8), name)
+        name -> None
+      } catch {
+        case e: Exception => name -> Some(e.getMessage)
+      }
+    }
+
+  /** -one_shot: run every program over the logs read start-to-EOF,
+    * render the final store in `format` (main.go:244-276). Compile
+    * errors abort, like OneShot ⇒ ErrorsAbort (options.go:148-153).
+    */
+  def oneShot(spark: SparkSession, cfg: Config): String = {
+    val defaultYear =
+      if (cfg.syslogUseCurrentYear) java.time.Year.now.getValue else 0
+    val lines = graft.mtail.LogLines.batch(spark, cfg.logs: _*)
+    val results = programFiles(cfg.progs).map { f =>
+      val name = f.getFileName.toString
+      val prog =
+        try Frontend.parse(new String(Files.readAllBytes(f),
+          StandardCharsets.UTF_8), name)
+        catch { case e: Exception => throw new RuntimeException(
+          s"compile failed for $name:\n${e.getMessage}", e) }
+      val cells = Snapshot.collect(
+        new PlanBuilder(prog, lines, defaultYear,
+          overrideZone = cfg.overrideTimezone).snapshot())
+      (name, cells, prog.decls.map(d => d.exportName -> d.keys).toMap)
+    }
+    if (cfg.oneShotFormat == "json")
+      graft.streaming.Exporters.jsonMulti(results)
+    else
+      graft.streaming.Exporters.prometheusMulti(
+        results.map { case (n, cs, _) => n -> cs },
+        omitProgLabel = !cfg.emitProgLabel,
+        emitTimestamp = cfg.emitMetricTimestamp)
+  }
+
+  private def session(): SparkSession = {
+    val b = SparkSession.builder().appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+    // under spark-submit the master (and parallelism) come from the
+    // submit command; standalone falls back to every local core
+    val withMaster =
+      if (sys.props.contains("spark.master")) b
+      else {
+        val cores = Runtime.getRuntime.availableProcessors()
+        b.master(s"local[$cores]")
+          .config("spark.sql.shuffle.partitions", cores)
+          .config("spark.ui.enabled", "false")
+      }
+    val spark = withMaster.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    parseArgs(args.toSeq) match {
+      case Left(err) =>
+        System.err.println(err)
+        sys.exit(2)
+      case Right(cfg) =>
+        if (cfg.compileOnly) {
+          val errs = compileAll(cfg.progs).collect {
+            case (n, Some(e)) => s"compile failed for $n:\n$e"
+          }
+          errs.foreach(System.err.println)
+          sys.exit(if (errs.isEmpty) 0 else 1)
+        } else if (cfg.oneShot) {
+          val spark = session()
+          try println(oneShot(spark, cfg))
+          catch { case e: Exception =>
+            System.err.println(e.getMessage); sys.exit(1) }
+          finally spark.stop()
+        } else {
+          val spark = session()
+          // the reference daemon: progs dir + HUP reload, one pull
+          // port for every program, push sinks on a ticker
+          val t = Graft.tailProgs(spark, cfg.progs,
+            cfg.logs.mkString(","), cfg.port,
+            trigger =
+              Trigger.ProcessingTime(s"${cfg.pollIntervalMs} milliseconds"),
+            defaultYear = if (cfg.syslogUseCurrentYear)
+              java.time.Year.now.getValue else 0,
+            ignoreRegex = cfg.ignoreRegex,
+            overrideZone = cfg.overrideTimezone,
+            sighup = true,
+            pollMillis =
+              Some(cfg.progsPollIntervalMs).filter(_ > 0),
+            emitProgLabel = cfg.emitProgLabel,
+            emitMetricTimestamp = cfg.emitMetricTimestamp)
+          t.reloader.programErrors.foreach { case (n, e) =>
+            e.foreach(msg =>
+              System.err.println(s"compile failed for $n:\n$msg"))
+          }
+          // push sinks (exporter/graphite.go:20, statsd.go:16,
+          // collectd.go:22): register targets per flag, one shared
+          // ticker at -metric_push_interval
+          val pushTargets = cfg.graphiteHostPort.toSeq ++
+            cfg.statsdHostPort.toSeq ++ cfg.collectdSocketPath.toSeq
+          val pushers = if (pushTargets.isEmpty) Nil else {
+            t.multi.runners.toSeq.sortBy(_._1).map { case (n, r) =>
+              val p = new graft.streaming.PushExporter(r.store, n,
+                internal = Some(r.internalStore))
+              def hostPort(s: String): (String, Int) =
+                s.split(":", 2) match {
+                  case Array(h, pt) => (h, pt.toInt)
+                  case _ => (s, 0)
+                }
+              cfg.graphiteHostPort.foreach { hp =>
+                val (h, pt) = hostPort(hp)
+                p.registerGraphite(h, pt, cfg.graphitePrefix)
+              }
+              cfg.statsdHostPort.foreach { hp =>
+                val (h, pt) = hostPort(hp)
+                p.registerStatsd(h, pt, cfg.statsdPrefix)
+              }
+              cfg.collectdSocketPath.foreach(path =>
+                p.registerCollectd(path, cfg.collectdPrefix))
+              p.start(cfg.metricPushIntervalMs)
+              p
+            }
+          }
+          System.err.println(s"graft listening on port ${t.port}")
+          sys.addShutdownHook {
+            pushers.foreach(_.stop())
+            t.stop()
+            spark.stop()
+          }
+          t.query.awaitTermination()
+        }
+    }
+  }
+}

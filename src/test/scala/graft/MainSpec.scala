@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+/** CLI surface (`cmd/mtail/main.go:40-83`): flag parsing with Go flag
+  * semantics, -compile_only mirroring the reference's
+  * `compile_only_integration_test.go` (a bad program reports "compile
+  * failed", a good set reports nothing), and -one_shot reproducing the
+  * rsyncd golden run end-to-end through the Main code path.
+  */
+class MainSpec extends SparkSpec {
+
+  private val ref = "/root/reference"
+
+  private def withDir(f: Path => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft-main")
+    try f(dir)
+    finally {
+      val s = Files.list(dir)
+      try s.iterator().forEachRemaining(p => Files.deleteIfExists(p))
+      finally s.close()
+      Files.deleteIfExists(dir)
+    }
+  }
+
+  test("flag parsing: Go syntax, repeats, commas, bools, errors") {
+    val cfg = Main.parseArgs(Seq(
+      "--progs", "/p", "-logs", "/a.log,/b.log", "--logs=/c.log",
+      "-one_shot", "--one_shot_format=prometheus", "-port", "1234",
+      "--override_timezone", "America/New_York",
+      "-emit_prog_label=false", "--emit_metric_timestamp",
+      "-poll_interval", "1s", "--metric_push_interval=1h30m",
+      "-graphite_host_port", "gr:2003")).toOption.get
+    assert(cfg.progs == "/p")
+    assert(cfg.logs == Seq("/a.log", "/b.log", "/c.log"))
+    assert(cfg.oneShot && cfg.oneShotFormat == "prometheus")
+    assert(cfg.port == 1234)
+    assert(cfg.overrideTimezone == "America/New_York")
+    assert(!cfg.emitProgLabel && cfg.emitMetricTimestamp)
+    assert(cfg.pollIntervalMs == 1000)
+    assert(cfg.metricPushIntervalMs == 90 * 60 * 1000)
+    assert(cfg.graphiteHostPort.contains("gr:2003"))
+
+    // the reference's own exit messages for the two required flags
+    assert(Main.parseArgs(Seq("-logs", "/a")).swap.toOption.get
+      .contains("-progs"))
+    assert(Main.parseArgs(Seq("-progs", "/p")).swap.toOption.get
+      .contains("-logs"))
+    // -compile_only needs no logs (main.go:140-144)
+    assert(Main.parseArgs(Seq("-progs", "/p", "-compile_only")).isRight)
+    assert(Main.parseArgs(Seq("-bogus_flag")).isLeft)
+    assert(Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
+      "-one_shot_format", "csv")).isLeft)
+    assert(Main.parseArgs(Seq("positional")).isLeft)
+  }
+
+  test("Go duration parsing") {
+    assert(Main.parseDurationMs("250ms") == 250)
+    assert(Main.parseDurationMs("1h30m") == 90 * 60 * 1000)
+    assert(Main.parseDurationMs("1.5s") == 1500)
+    intercept[IllegalArgumentException](Main.parseDurationMs("250"))
+    intercept[IllegalArgumentException](Main.parseDurationMs("abc"))
+  }
+
+  test("compile_only: bad program reports compile failed, good is clean") {
+    // TestBadProgramFailsCompilation
+    // (internal/mtail/compile_only_integration_test.go:18-34)
+    withDir { dir =>
+      Files.write(dir.resolve("bad.mtail"),
+        "asdfasdf\n".getBytes(StandardCharsets.UTF_8))
+      Files.write(dir.resolve("good.mtail"),
+        "counter c\n/x/ {\n  c++\n}\n".getBytes(StandardCharsets.UTF_8))
+      // hidden + non-.mtail files are skipped (runtime.go:104-112)
+      Files.write(dir.resolve(".hidden.mtail"),
+        "also garbage\n".getBytes(StandardCharsets.UTF_8))
+      Files.write(dir.resolve("notes.txt"),
+        "not a program\n".getBytes(StandardCharsets.UTF_8))
+      val results = Main.compileAll(dir.toString).toMap
+      assert(results.keySet == Set("bad.mtail", "good.mtail"))
+      assert(results("bad.mtail").isDefined)
+      assert(results("good.mtail").isEmpty)
+    }
+  }
+
+  test("one_shot reproduces the rsyncd golden through the CLI path") {
+    withDir { progs =>
+      Files.copy(java.nio.file.Paths.get(s"$ref/examples/rsyncd.mtail"),
+        progs.resolve("rsyncd.mtail"))
+      val cfg = Main.parseArgs(Seq("-progs", progs.toString,
+        "-logs", s"$ref/internal/mtail/testdata/rsyncd.log",
+        "-one_shot", "-one_shot_format", "prometheus",
+        // golden timestamps are naive 2011 dates; year patching off
+        "-syslog_use_current_year=false")).toOption.get
+      val prom = Main.oneShot(spark, cfg)
+      // values straight from rsyncd.golden:1-3
+      assert(prom.contains("""bytes_total{operation="sent",""" +
+        """prog="rsyncd.mtail"} 62793673"""), prom)
+      assert(prom.contains(
+        """connections_total{prog="rsyncd.mtail"} 52"""), prom)
+
+      val json = Main.oneShot(spark,
+        cfg.copy(oneShotFormat = "json"))
+      assert(json.contains(""""Name": "bytes_total""""), json)
+      assert(json.contains(""""Program": "rsyncd.mtail""""), json)
+
+      // a bad program aborts the run (OneShot => ErrorsAbort,
+      // options.go:148-153)
+      Files.write(progs.resolve("bad.mtail"),
+        "asdfasdf\n".getBytes(StandardCharsets.UTF_8))
+      val e = intercept[RuntimeException](Main.oneShot(spark, cfg))
+      assert(e.getMessage.contains("compile failed for bad.mtail"))
+    }
+  }
+}
