@@ -344,7 +344,14 @@ object Dedup {
       // round's blocks can be freed NOW instead of waiting for the
       // ContextCleaner's next driver-GC cycle — on a large cluster the
       // dead rounds would otherwise stack up in executor block
-      // managers for the whole query (O(rounds) × edge-set bytes)
+      // managers for the whole query (O(rounds) × edge-set bytes).
+      // Trade-off: localCheckpoint is already non-fault-tolerant, and
+      // eager freeing SHARPENS that — `next`'s lineage is truncated at
+      // the freed predecessor, so a block of `next` lost to executor
+      // death cannot be recomputed (job failure, not slow recompute).
+      // Here the exposure window is one self-join round (seconds); a
+      // deployment that prefers ContextCleaner-paced cleanup can drop
+      // this call and accept the O(rounds) block growth.
       graft.plan.CheckpointUtil.freeCheckpoint(edges)
       edges = next
       if (prevSig.contains(sig)) converged = true
