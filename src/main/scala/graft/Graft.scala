@@ -164,7 +164,15 @@ object Graft {
       /** -emit_prog_label (main.go:60): `prog` label on /metrics,/varz. */
       emitProgLabel: Boolean = true,
       /** -emit_metric_timestamp (main.go:61): per-sample ts on /metrics. */
-      emitMetricTimestamp: Boolean = false): TailProgs = {
+      emitMetricTimestamp: Boolean = false,
+      /** -unix_socket (main.go:43): serve the pull endpoints over this
+        * unix domain socket INSTEAD of TCP (the reference binds one or
+        * the other); the returned handle's port is -1.
+        */
+      unixSocket: Option[String] = None,
+      /** -address (main.go:41): host/IP for the TCP listener;
+        * empty = all interfaces. */
+      bindAddress: String = ""): TailProgs = {
     val multi = new MultiRunner(Nil, spark, defaultYear, overrideZone)
     val reloader = new ProgramReloader(progsPath,
       multi.load, multi.unload)
@@ -179,8 +187,12 @@ object Graft {
       internals = () => sorted.map { case (n, r) =>
         n -> r.internalStore },
       emitTimestamp = emitMetricTimestamp,
-      omitProgLabel = !emitProgLabel)
-    val boundPort = server.start()
+      omitProgLabel = !emitProgLabel,
+      bindAddress = bindAddress)
+    val boundPort = unixSocket match {
+      case Some(path) => server.startUnix(path); -1
+      case None => server.start()
+    }
     val query =
       try multi.start(
         LogSources.open(spark, sourcePattern, ignoreRegex), trigger)

@@ -32,6 +32,11 @@ object Main {
       progs: String = "",
       logs: Seq[String] = Nil,
       port: Int = 3903,
+      /** -address (main.go:41): host/IP to bind the HTTP listener. */
+      address: String = "",
+      /** -unix_socket (main.go:43): bind the pull endpoints to this
+        * unix domain socket instead of the TCP port. */
+      unixSocket: Option[String] = None,
       oneShot: Boolean = false,
       oneShotFormat: String = "json",
       compileOnly: Boolean = false,
@@ -122,6 +127,10 @@ object Main {
         case "port" => value().flatMap(v => v.toIntOption
           .toRight(s"invalid port: '$v'")
           .map(p => cfg = cfg.copy(port = p)))
+        case "address" => value().map(v =>
+          cfg = cfg.copy(address = v))
+        case "unix_socket" => value().map(v =>
+          cfg = cfg.copy(unixSocket = Some(v).filter(_.nonEmpty)))
         case "one_shot" => setBool((c, b) => c.copy(oneShot = b))
         case "one_shot_format" => value().flatMap {
           case f @ ("json" | "prometheus") =>
@@ -302,7 +311,9 @@ object Main {
             pollMillis =
               Some(cfg.progsPollIntervalMs).filter(_ > 0),
             emitProgLabel = cfg.emitProgLabel,
-            emitMetricTimestamp = cfg.emitMetricTimestamp)
+            emitMetricTimestamp = cfg.emitMetricTimestamp,
+            unixSocket = cfg.unixSocket,
+            bindAddress = cfg.address)
           t.reloader.programErrors.foreach { case (n, e) =>
             e.foreach(msg =>
               System.err.println(s"compile failed for $n:\n$msg"))
@@ -335,7 +346,10 @@ object Main {
               p
             }
           }
-          System.err.println(s"graft listening on port ${t.port}")
+          System.err.println(cfg.unixSocket match {
+            case Some(p) => s"graft listening on unix socket $p"
+            case None => s"graft listening on port ${t.port}"
+          })
           sys.addShutdownHook {
             pushers.foreach(_.stop())
             t.stop()

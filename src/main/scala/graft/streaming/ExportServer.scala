@@ -1,7 +1,11 @@
 package graft.streaming
 
-import java.net.InetSocketAddress
+import java.net.{InetSocketAddress, StandardProtocolFamily,
+  UnixDomainSocketAddress}
+import java.nio.ByteBuffer
+import java.nio.channels.{ServerSocketChannel, SocketChannel}
 import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
@@ -10,6 +14,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * reference's mtail HTTP mux (`internal/mtail/mtail.go:120`), which
   * serves EVERY loaded program on the same port. JDK-built-in server:
   * no extra dependencies, good enough for a scrape endpoint.
+  *
+  * Two front-ends share one route table: the TCP [[start]] (JDK
+  * HttpServer) and the `-unix_socket` listener [[startUnix]]
+  * (`cmd/mtail/main.go:43`, `BindUnixSocket`) — a minimal HTTP/1.0
+  * responder over a unix domain socket, since the JDK server only
+  * binds TCP. Scrapers dial the socket and speak plain HTTP, exactly
+  * like the reference's `unix_socket_export_integration_test.go`.
   *
   * Build with [[ExportServer.single]] (one program — `Graft.tail`) or
   * [[ExportServer.multi]] (a live program set — `Graft.tailProgs`,
@@ -34,20 +45,15 @@ final class ExportServer private (
       * (prometheus.go:55, varz.go:52); graphite/statsd/collectd paths
       * and /json's Program field always carry the program name.
       */
-    omitProgLabel: Boolean) {
+    omitProgLabel: Boolean,
+    /** `-address` (main.go:41): host/IP to bind the TCP listener to;
+      * empty = all interfaces, like the reference's default.
+      */
+    bindAddress: String) {
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
-
-  private def handler(f: () => String): HttpHandler = new HttpHandler {
-    override def handle(ex: HttpExchange): Unit = {
-      val body = f().getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", "text/plain")
-      ex.sendResponseHeaders(200, body.length.toLong)
-      val os = ex.getResponseBody
-      os.write(body)
-      os.close()
-    }
-  }
+  private val server = HttpServer.create(
+    if (bindAddress.isEmpty) new InetSocketAddress(port)
+    else new InetSocketAddress(bindAddress, port), 0)
 
   private def internalProm(excludeNames: Set[String] = Set.empty)
       : String = {
@@ -67,104 +73,134 @@ final class ExportServer private (
         "mtail" -> cs }, omitProgLabel = true)
   }
 
-  server.createContext("/metrics",
-    handler { () =>
-      val snaps = sources().map(s => s.program -> s.store.snapshot())
-      Exporters.prometheusMulti(snaps, omitProgLabel = omitProgLabel,
-        emitTimestamp = emitTimestamp) +
-        internalProm(snaps.flatMap(_._2)
-          .map(_.name.replace("-", "_")).toSet)
-    })
-  server.createContext("/internalz", handler(() => internalProm()))
-  server.createContext("/json",
-    handler(() => Exporters.jsonMulti(sources().map(s =>
-      (s.program, s.store.snapshot(), s.keys)))))
-  server.createContext("/varz",
-    handler(() => Exporters.varzMulti(sources().map(s =>
-      s.program -> s.store.snapshot()), hostname, omitProgLabel)))
-  server.createContext("/graphite",
-    handler(() => sources().map(s =>
-      Exporters.graphite(s.store.snapshot(), s.program)).mkString))
-
   private def htmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
-  // the reference's online-status root page (httpstatus.go:13-30):
-  // links to every endpoint plus the loaded-program count
-  server.createContext("/", new HttpHandler {
-    override def handle(ex: HttpExchange): Unit = {
-      if (ex.getRequestURI.getPath != "/") {
-        ex.sendResponseHeaders(404, -1); ex.close(); return
-      }
-      val n = sources().size
-      val body = ("<!DOCTYPE html>\n<html><head><title>graft</title>" +
-        "</head>\n<body>\n<h1>graft</h1>\n" +
-        s"<p>$n program(s) loaded</p>\n" +
-        "<p>Metrics: <a href=\"/json\">json</a>, " +
-        "<a href=\"/graphite\">graphite</a>, " +
-        "<a href=\"/metrics\">prometheus</a></p>\n" +
-        "<p>Info: <a href=\"/varz\">varz</a>, " +
-        "<a href=\"/progz\">progz</a>, " +
-        "<a href=\"/internalz\">internalz</a></p>\n</body></html>\n")
-        .getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", "text/html")
-      ex.sendResponseHeaders(200, body.length.toLong)
-      val os = ex.getResponseBody; os.write(body); os.close()
+  private def metricsBody: String = {
+    val snaps = sources().map(s => s.program -> s.store.snapshot())
+    Exporters.prometheusMulti(snaps, omitProgLabel = omitProgLabel,
+      emitTimestamp = emitTimestamp) +
+      internalProm(snaps.flatMap(_._2)
+        .map(_.name.replace("-", "_")).toSet)
+  }
+
+  /** /debug/vars (`-http_debugging_endpoint`, main.go:75): the expvar
+    * shape — one JSON object, keyless internal metrics as numbers,
+    * labelled ones as an object keyed by the flattened label string,
+    * prefixed per program when several are loaded (Go expvar publishes
+    * mtail's internal counters the same way).
+    */
+  private def debugVarsBody: String = {
+    def valueJson(v: graft.mtail.Snapshot.Value): String = v match {
+      case graft.mtail.Snapshot.VInt(i) => i.toString
+      case graft.mtail.Snapshot.VFloat(f) => f.toString
+      case graft.mtail.Snapshot.VStr(s) =>
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }
-  })
+    val multi = internals().size > 1
+    val entries = internals().flatMap { case (p, s) =>
+      s.snapshot().groupBy(_.name).toSeq.sortBy(_._1).map {
+        case (name, cells) =>
+          val key = if (multi) s"$p.$name" else name
+          val v =
+            if (cells.forall(_.labels.isEmpty))
+              valueJson(cells.head.value)
+            else cells.sortBy(_.labels.toSeq.sorted.mkString(","))
+              .map { c =>
+                val lk = c.labels.toSeq.sortBy(_._1)
+                  .map { case (k, vv) => s"$k=$vv" }.mkString(",")
+                "\"" + lk + "\": " + valueJson(c.value)
+              }.mkString("{", ", ", "}")
+          "\"" + key + "\": " + v
+      }
+    }
+    entries.mkString("{", ", ", "}") + "\n"
+  }
+
+  private def rootBody: String = {
+    val n = sources().size
+    "<!DOCTYPE html>\n<html><head><title>graft</title>" +
+      "</head>\n<body>\n<h1>graft</h1>\n" +
+      s"<p>$n program(s) loaded</p>\n" +
+      "<p>Metrics: <a href=\"/json\">json</a>, " +
+      "<a href=\"/graphite\">graphite</a>, " +
+      "<a href=\"/metrics\">prometheus</a></p>\n" +
+      "<p>Info: <a href=\"/varz\">varz</a>, " +
+      "<a href=\"/progz\">progz</a>, " +
+      "<a href=\"/internalz\">internalz</a></p>\n</body></html>\n"
+  }
 
   // /progz (runtime/httpstatus.go:95-117): no query = the loaded
   // program list (with load-error state where the source provides
   // it); ?prog=name = that program's compiled form — the reference
   // dumps VM bytecode, graft dumps the typed IR the Spark plan is
   // built from — plus the last error
-  server.createContext("/progz", new HttpHandler {
+  private def progzBody(rawQuery: String): (Int, String, String) = {
+    // decode the query value: the listing URL-encodes program names
+    // (a name with &, spaces or quotes must round-trip)
+    val progQ = rawQuery.split("&").collectFirst {
+      case kv if kv.startsWith("prog=") =>
+        java.net.URLDecoder.decode(kv.drop(5), "UTF-8") }
+    val ss = sources()
+    progQ match {
+      case Some(name) =>
+        ss.find(_.program == name) match {
+          case None => (404, "text/plain", "No program found\n")
+          case Some(s) => (200, "text/plain", s.dump() +
+            s"\nLast load error:\n${s.error().getOrElse("")}\n")
+        }
+      case None =>
+        val items = ss.map { s =>
+          val err = s.error()
+            .map(e => s" - load error: ${htmlEscape(e)}")
+            .getOrElse("")
+          // the href value is URL-encoded (then HTML-escaped: URL
+          // encoding can itself produce no HTML-special chars, but
+          // the attribute context demands it) so a program name with
+          // quotes/&/spaces stays clickable and round-trips through
+          // the ?prog= decode above
+          val encoded = htmlEscape(
+            java.net.URLEncoder.encode(s.program, "UTF-8"))
+          s"""<li><a href="?prog=$encoded">${
+            htmlEscape(s.program)}</a>$err</li>"""
+        }.mkString
+        (200, "text/html", s"<ul>$items</ul>")
+    }
+  }
+
+  /** one route table for both front-ends: (status, content-type,
+    * body) for a request path + raw (undecoded) query string.
+    */
+  private def route(path: String, rawQuery: String)
+      : (Int, String, String) = path match {
+    case "/metrics" => (200, "text/plain", metricsBody)
+    case "/internalz" => (200, "text/plain", internalProm())
+    case "/json" => (200, "text/plain",
+      Exporters.jsonMulti(sources().map(s =>
+        (s.program, s.store.snapshot(), s.keys))))
+    case "/varz" => (200, "text/plain",
+      Exporters.varzMulti(sources().map(s =>
+        s.program -> s.store.snapshot()), hostname, omitProgLabel))
+    case "/graphite" => (200, "text/plain",
+      sources().map(s =>
+        Exporters.graphite(s.store.snapshot(), s.program)).mkString)
+    case "/debug/vars" => (200, "application/json", debugVarsBody)
+    case "/progz" => progzBody(rawQuery)
+    case "/" => (200, "text/html", rootBody)
+    case _ => (404, "text/plain", "404 page not found\n")
+  }
+
+  server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
-      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      // decode the query value: the listing URL-encodes program names
-      // (a name with &, spaces or quotes must round-trip)
-      val progQ = q.split("&").collectFirst {
-        case kv if kv.startsWith("prog=") =>
-          java.net.URLDecoder.decode(kv.drop(5), "UTF-8") }
-      val ss = sources()
-      progQ match {
-        case Some(name) =>
-          ss.find(_.program == name) match {
-            case None =>
-              val e = "No program found\n"
-                .getBytes(StandardCharsets.UTF_8)
-              ex.sendResponseHeaders(404, e.length.toLong)
-              val os = ex.getResponseBody; os.write(e); os.close()
-            case Some(s) =>
-              val body = (s.dump() +
-                s"\nLast load error:\n${s.error().getOrElse("")}\n")
-                .getBytes(StandardCharsets.UTF_8)
-              ex.getResponseHeaders.add("Content-Type", "text/plain")
-              ex.sendResponseHeaders(200, body.length.toLong)
-              val os = ex.getResponseBody; os.write(body); os.close()
-          }
-        case None =>
-          val items = ss.map { s =>
-            val err = s.error()
-              .map(e => s" - load error: ${htmlEscape(e)}")
-              .getOrElse("")
-            // the href value is URL-encoded (then HTML-escaped: URL
-            // encoding can itself produce no HTML-special chars, but
-            // the attribute context demands it) so a program name with
-            // quotes/&/spaces stays clickable and round-trips through
-            // the ?prog= decode above
-            val encoded = htmlEscape(
-              java.net.URLEncoder.encode(s.program, "UTF-8"))
-            s"""<li><a href="?prog=$encoded">${
-              htmlEscape(s.program)}</a>$err</li>"""
-          }.mkString
-          val body = s"<ul>$items</ul>"
-            .getBytes(StandardCharsets.UTF_8)
-          ex.getResponseHeaders.add("Content-Type", "text/html")
-          ex.sendResponseHeaders(200, body.length.toLong)
-          val os = ex.getResponseBody; os.write(body); os.close()
-      }
+      val (status, ctype, bodyStr) = route(ex.getRequestURI.getPath,
+        Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val body = bodyStr.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", ctype)
+      ex.sendResponseHeaders(status, body.length.toLong)
+      val os = ex.getResponseBody
+      os.write(body)
+      os.close()
     }
   })
 
@@ -174,7 +210,83 @@ final class ExportServer private (
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  // ---- unix-socket front-end (`-unix_socket`, BindUnixSocket) ----
+
+  @volatile private var unixChannel: Option[(ServerSocketChannel,
+    Path)] = None
+
+  /** Serve the same routes over a unix domain socket — a minimal
+    * HTTP/1.0 responder (request line + ignored headers in, one
+    * Content-Length'd response out, connection closed), which is all
+    * a scrape client speaks. A stale socket file is replaced, like
+    * net.Listen("unix") deployments expect after a crash.
+    */
+  def startUnix(socketPath: String): Unit = synchronized {
+    require(unixChannel.isEmpty, "unix listener already started")
+    val p = Paths.get(socketPath)
+    Files.deleteIfExists(p)
+    val ch = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
+    ch.bind(UnixDomainSocketAddress.of(p))
+    val t = new Thread(() => {
+      try while (true) {
+        val conn = ch.accept()
+        try serveUnixConn(conn)
+        catch { case _: Exception => () } // one bad client ≠ listener
+        finally conn.close()
+      } catch { case _: Exception => () } // channel closed by stop()
+    }, "graft-export-unix")
+    t.setDaemon(true)
+    t.start()
+    unixChannel = Some((ch, p))
+  }
+
+  private def serveUnixConn(conn: SocketChannel): Unit = {
+    // read the request head (8 KB cap — scrape requests are tiny)
+    val buf = ByteBuffer.allocate(8192)
+    var head = ""
+    var done = false
+    while (!done && buf.hasRemaining) {
+      if (conn.read(buf) < 0) done = true
+      else {
+        head = new String(buf.array(), 0, buf.position(),
+          StandardCharsets.ISO_8859_1)
+        done = head.contains("\r\n\r\n") || head.contains("\n\n")
+      }
+    }
+    val requestLine = head.linesIterator.nextOption().getOrElse("")
+    val parts = requestLine.split(" ")
+    val (status, ctype, bodyStr) =
+      if (parts.length < 2 || parts(0) != "GET")
+        (400, "text/plain", "bad request\n")
+      else parts(1).split("\\?", 2) match {
+        case Array(path, q) => route(path, q)
+        case Array(path) => route(path, "")
+      }
+    val body = bodyStr.getBytes(StandardCharsets.UTF_8)
+    val reason = status match {
+      case 200 => "OK"
+      case 404 => "Not Found"
+      case _ => "Bad Request"
+    }
+    val resp = ByteBuffer.wrap(
+      (s"HTTP/1.0 $status $reason\r\nContent-Type: $ctype\r\n" +
+        s"Content-Length: ${body.length}\r\nConnection: close\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1))
+    while (resp.hasRemaining) conn.write(resp)
+    val b = ByteBuffer.wrap(body)
+    while (b.hasRemaining) conn.write(b)
+  }
+
+  def stop(): Unit = {
+    server.stop(0)
+    synchronized {
+      unixChannel.foreach { case (ch, p) =>
+        try ch.close() catch { case _: Exception => () }
+        Files.deleteIfExists(p)
+      }
+      unixChannel = None
+    }
+  }
 }
 
 object ExportServer {
@@ -206,12 +318,14 @@ object ExportServer {
       dump: () => String = () => "",
       error: () => Option[String] = () => None,
       /** `-emit_prog_label=false`: drop `prog` from /metrics, /varz. */
-      omitProgLabel: Boolean = false): ExportServer =
+      omitProgLabel: Boolean = false,
+      /** `-address`: bind host/IP; empty = all interfaces. */
+      bindAddress: String = ""): ExportServer =
     new ExportServer(
       () => Seq(Source(program, store, keys(), dump, error)),
       port, hostname, () => internal.toSeq.map(program -> _),
       internalProgLabel = false, emitTimestamp = emitTimestamp,
-      omitProgLabel = omitProgLabel)
+      omitProgLabel = omitProgLabel, bindAddress = bindAddress)
 
   /** A live multi-program server (`Graft.tailProgs`): `sources` and
     * `internals` are functions so the scrape always serves the
@@ -221,8 +335,9 @@ object ExportServer {
       hostname: String = "localhost",
       internals: () => Seq[(String, MetricsStore)] = () => Nil,
       emitTimestamp: Boolean = false,
-      omitProgLabel: Boolean = false): ExportServer =
+      omitProgLabel: Boolean = false,
+      bindAddress: String = ""): ExportServer =
     new ExportServer(sources, port, hostname, internals,
       internalProgLabel = true, emitTimestamp = emitTimestamp,
-      omitProgLabel = omitProgLabel)
+      omitProgLabel = omitProgLabel, bindAddress = bindAddress)
 }

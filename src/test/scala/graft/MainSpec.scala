@@ -31,7 +31,8 @@ class MainSpec extends SparkSpec {
       "--override_timezone", "America/New_York",
       "-emit_prog_label=false", "--emit_metric_timestamp",
       "-poll_interval", "1s", "--metric_push_interval=1h30m",
-      "-graphite_host_port", "gr:2003")).toOption.get
+      "-graphite_host_port", "gr:2003",
+      "-address", "127.0.0.1", "-unix_socket", "/tmp/g.sock")).toOption.get
     assert(cfg.progs == "/p")
     assert(cfg.logs == Seq("/a.log", "/b.log", "/c.log"))
     assert(cfg.oneShot && cfg.oneShotFormat == "prometheus")
@@ -41,6 +42,8 @@ class MainSpec extends SparkSpec {
     assert(cfg.pollIntervalMs == 1000)
     assert(cfg.metricPushIntervalMs == 90 * 60 * 1000)
     assert(cfg.graphiteHostPort.contains("gr:2003"))
+    assert(cfg.address == "127.0.0.1")
+    assert(cfg.unixSocket.contains("/tmp/g.sock"))
 
     // the reference's own exit messages for the two required flags
     assert(Main.parseArgs(Seq("-logs", "/a")).swap.toOption.get

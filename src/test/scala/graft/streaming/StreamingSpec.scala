@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -474,6 +476,60 @@ class StreamingSpec extends SparkSpec {
       assert(!get("/varz").contains("prog="))
       assert(get("/json").contains(""""Program": "test""""))
     } finally srv.stop()
+  }
+
+  test("unix-socket listener serves the same routes; /debug/vars is expvar-shaped") {
+    // the reference's -unix_socket bind (cmd/mtail/main.go:43,
+    // unix_socket_export_integration_test.go): dial the socket, speak
+    // plain HTTP, get the same /metrics body the TCP port serves
+    val store = new MetricsStore
+    store.merge(Seq(Cell("counter", "c_total", Map.empty, VInt(9),
+      Some(100L))))
+    val internal = new MetricsStore
+    internal.merge(Seq(
+      Cell("counter", "lines_total", Map.empty, VInt(7), None),
+      Cell("counter", "log_lines_total", Map("logfile" -> "a.log"),
+        VInt(7), None)))
+    val sock = Files.createTempDirectory("graft-uds")
+      .resolve("export.sock")
+    val srv = ExportServer.single(store, "p.mtail", () => Map.empty,
+      internal = Some(internal))
+    srv.startUnix(sock.toString)
+    try {
+      def get(path: String): String = {
+        val ch = java.nio.channels.SocketChannel.open(
+          java.net.UnixDomainSocketAddress.of(sock))
+        try {
+          val req = java.nio.ByteBuffer.wrap(
+            s"GET $path HTTP/1.0\r\nHost: graft\r\n\r\n"
+              .getBytes("ISO-8859-1"))
+          while (req.hasRemaining) ch.write(req)
+          val sb = new StringBuilder
+          val buf = java.nio.ByteBuffer.allocate(65536)
+          while (ch.read(buf) >= 0) {
+            buf.flip()
+            sb.append(new String(buf.array(), 0, buf.limit(), "UTF-8"))
+            buf.clear()
+          }
+          sb.toString
+        } finally ch.close()
+      }
+      val metrics = get("/metrics")
+      assert(metrics.startsWith("HTTP/1.0 200 OK\r\n"), metrics)
+      assert(metrics.contains("""c_total{prog="p.mtail"} 9"""), metrics)
+      assert(get("/nope").startsWith("HTTP/1.0 404"))
+
+      // /debug/vars: keyless internals as numbers, labelled ones as a
+      // label-keyed object (the Go expvar rendering mtail publishes)
+      val vars = get("/debug/vars")
+      assert(vars.contains(""""lines_total": 7"""), vars)
+      assert(vars.contains(""""log_lines_total": {"logfile=a.log": 7}"""),
+        vars)
+    } finally {
+      srv.stop()
+      assert(!Files.exists(sock)) // stop() removes the socket file
+      Files.deleteIfExists(sock.getParent)
+    }
   }
 
   test("export server serves endpoints") {

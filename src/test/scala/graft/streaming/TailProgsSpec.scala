@@ -139,6 +139,51 @@ class TailProgsSpec extends SparkSpec {
     }
   }
 
+  test("tailProgs daemon binds a unix socket instead of TCP") {
+    // the reference's -unix_socket bind (main.go:43,
+    // unix_socket_export_integration_test.go): the daemon comes up on
+    // the socket, a plain-HTTP GET scrapes it, and load-time zero-init
+    // means the program's cells are visible before any data flows
+    withDir { progs =>
+      withDir { logs =>
+        write(progs, "gets.mtail", getsProg)
+        Files.write(logs.resolve("t.log"),
+          "get 1\n".getBytes(StandardCharsets.UTF_8))
+        val sockDir = Files.createTempDirectory("graft-uds")
+        val sock = sockDir.resolve("mtail.sock")
+        val t = graft.Graft.tailProgs(spark, progs.toString,
+          s"$logs/*.log",
+          trigger = org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("200 milliseconds"),
+          unixSocket = Some(sock.toString))
+        try {
+          assert(t.port == -1) // no TCP listener in unix-socket mode
+          val ch = java.nio.channels.SocketChannel.open(
+            java.net.UnixDomainSocketAddress.of(sock))
+          val resp = try {
+            val req = java.nio.ByteBuffer.wrap(
+              "GET /metrics HTTP/1.0\r\n\r\n".getBytes("ISO-8859-1"))
+            while (req.hasRemaining) ch.write(req)
+            val sb = new StringBuilder
+            val buf = java.nio.ByteBuffer.allocate(65536)
+            while (ch.read(buf) >= 0) {
+              buf.flip()
+              sb.append(new String(buf.array(), 0, buf.limit(), "UTF-8"))
+              buf.clear()
+            }
+            sb.toString
+          } finally ch.close()
+          assert(resp.startsWith("HTTP/1.0 200 OK\r\n"), resp)
+          assert(resp.contains("""gets{prog="gets.mtail"}"""), resp)
+        } finally {
+          t.stop()
+          Files.deleteIfExists(sock)
+          Files.deleteIfExists(sockDir)
+        }
+      }
+    }
+  }
+
   test("one pull endpoint serves every loaded program") {
     withDir { dir =>
       write(dir, "gets.mtail", getsProg)
