@@ -157,6 +157,46 @@ object Dedup {
       .orderBy(col("df").desc, col("gh"))
       .limit(topN)
 
+  /** Boilerplate-fraction filter — the ACT to [[boilerplateGrams]]'
+    * survey: score each document by the share of its distinct n-grams
+    * that are corpus-common (df ≥ `minDf`), and flag documents at or
+    * under `maxFrac` as kept. This is the RefinedWeb/CCNet-style
+    * document-level boilerplate cut: a page that is mostly navigation
+    * chrome, license header or template scores high and is dropped
+    * before training.
+    *
+    * Output: (doc_id, nset, ncommon, boiler_frac, kept) for every
+    * document with ≥1 gram, ordered by doc_id — the flag rather than a
+    * filtered subset, so the decision boundary itself is oracle-checked
+    * on both sides of the cut.
+    *
+    * 100 TB shape: two passes over one map-side gram extraction. Pass 1
+    * aggregates df per 8-byte gram hash (two-phase, map-side partials);
+    * pass 2 joins doc-grams to the common-gram set ON THE HASH — a
+    * plain equi-join, NOT a forced broadcast: at trillions of grams the
+    * df≥minDf survivor set can be arbitrarily large, so the join
+    * shuffles 8-byte keys and AQE downgrades it to broadcast exactly
+    * when the survivor set is actually small — then reduces per doc
+    * (16-byte rows). No text ever leaves the map side.
+    */
+  def boilerplateFilter(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long, maxFrac: Double): DataFrame = {
+    val grams = gramHashes(docs, idCol, textCol, n)
+    val common = grams.groupBy("gh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gh"), lit(1L).as("hit"))
+    val frac = col("ncommon").cast("double") / col("nset")
+    grams.join(common, Seq("gh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("nset"),
+        sum(coalesce(col("hit"), lit(0L))).as("ncommon"))
+      .select(col("id").as("doc_id"), col("nset"), col("ncommon"),
+        round(frac, 4).as("boiler_frac"),
+        (frac <= maxFrac).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** SKEW GUARD for bucket-local self-joins: a bucket holding K rows
     * yields K² candidate pairs, so one degenerate bucket — boilerplate
     * documents sharing every band, or malformed rows concentrating in a

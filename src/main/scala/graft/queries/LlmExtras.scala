@@ -144,6 +144,13 @@ object LlmExtras {
         .select(col("df"), col("example_doc"))
         .orderBy(col("df").desc, col("example_doc"))),
 
+    // boilerplate-fraction filter: per-doc share of corpus-common
+    // 3-grams (df ≥ 5) with the keep decision at ≤ 0.2 — the survey's
+    // companion act; both sides of the cut are oracle-compared
+    "text_boilerplate_filter" -> ((s, dir) =>
+      Dedup.boilerplateFilter(docs(s, dir), "doc_id", "text", 3,
+        minDf = 5L, maxFrac = 0.2)),
+
     // sequence packing: concat-then-chunk documents into 512-token
     // training bins within each source, parallel across sources
     "pipeline_pack_sequences" -> ((s, dir) =>
@@ -576,8 +583,27 @@ object LlmExtras {
          FROM bp WHERE df >= 5
          ORDER BY df DESC, example_doc"""
 
+  /** Filter oracle: same w/g CTEs; common grams over gram STRINGS,
+    * per-doc LEFT-JOIN count (cg is distinct so the join never fans
+    * out), the fraction in DOUBLE on both engines (identical IEEE
+    * division → identical ≤ comparison), rounded to 4 decimals for the
+    * exported score only.
+    */
+  private val boilerplateFilterSql =
+    s"""WITH $jaccardCtes,
+         bp AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+         cg AS (SELECT gram FROM bp WHERE df >= 5),
+         pd AS (SELECT g.id, CAST(count(*) AS BIGINT) AS nset,
+                  CAST(count(cg.gram) AS BIGINT) AS ncommon
+                FROM g LEFT JOIN cg USING (gram) GROUP BY 1)
+         SELECT id AS doc_id, nset, ncommon,
+           round(CAST(ncommon AS DOUBLE) / nset, 4) AS boiler_frac,
+           (CAST(ncommon AS DOUBLE) / nset) <= 0.2 AS kept
+         FROM pd ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
     "text_boilerplate_grams" -> boilerplateSql,
+    "text_boilerplate_filter" -> boilerplateFilterSql,
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_decontaminate" -> decontaminateSql,
     "dedup_near_cluster" -> nearClusterSql,

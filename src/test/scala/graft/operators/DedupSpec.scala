@@ -53,6 +53,32 @@ class DedupSpec extends SparkSpec {
       rows.map(r => (r._1, r._2) -> r._3).toMap
   }
 
+  test("boilerplateFilter scores the common-gram share and flags the cut") {
+    import spark.implicits._
+    // "a b c" appears in docs 0-2 (df 3 ≥ 2 → common); every other
+    // gram is unique; doc 3's repeated-token text collapses to ONE
+    // distinct gram (GramHashes de-dups), none common
+    val docs = Seq(
+      (0L, "a b c d"), // grams {a b c, b c d}: 1 of 2 common
+      (1L, "a b c e"),
+      (2L, "a b c f"),
+      (3L, "z z z z z")) // grams {z z z}: 0 of 1 common
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.boilerplateFilter(
+        docs, "doc_id", "text", 3, minDf = 2L, maxFrac = 0.4)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 0.5, false), // 0.5 > 0.4: dropped as boilerplate
+      (1L, 2L, 1L, 0.5, false),
+      (2L, 2L, 1L, 0.5, false),
+      (3L, 1L, 0L, 0.0, true)), got)
+    // boundary is inclusive: frac == maxFrac keeps
+    val edge = graft.operators.Dedup.boilerplateFilter(
+        docs, "doc_id", "text", 3, minDf = 2L, maxFrac = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(edge.forall(_._5), edge.toSeq)
+  }
+
   test("gram-df cap drops join-exploding grams, keeps planted dups") {
     // every doc shares one universal trigram ("shared boiler plate"),
     // which alone would connect all 2+k docs pairwise (K² join rows);
