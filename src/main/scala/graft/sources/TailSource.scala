@@ -134,24 +134,54 @@ object TailSource {
   def readRange(path: String, start: Long, end: Long): LineRangeIterator =
     new LineRangeIterator(path, start, end)
 
-  /** glob expansion relative to the pattern's parent dir; files whose
-    * NAME matches `ignoreRegex` are skipped — the reference's
-    * -ignore_filename_regex_pattern filter (`internal/tailer/
-    * tail.go:222-253`).
+  /** glob expansion with metacharacters allowed in ANY path component
+    * — Go's filepath.Glob semantics, which the reference's log-pattern
+    * poll relies on for multi-level layouts like "logs/&#42;/app.log"
+    * (`multiple_levels_directory_integration_test.go`: a subdirectory
+    * created AFTER startup is discovered on the next poll). Each
+    * component matches one directory level (filepath.Glob has no
+    * `**`). Files whose NAME matches `ignoreRegex` are skipped — the
+    * reference's -ignore_filename_regex_pattern filter
+    * (`internal/tailer/tail.go:222-253`); directories matching the
+    * file component are ignored like `TestGlobIgnoreFolder`.
     */
   def expand(pattern: String,
       ignoreRegex: Option[String] = None): Seq[Path] = {
     val p = Paths.get(pattern)
-    val dir = Option(p.getParent).getOrElse(Paths.get("."))
-    if (!Files.isDirectory(dir)) return Nil
-    val matcher = dir.getFileSystem.getPathMatcher(
-      "glob:" + p.getFileName.toString)
+    val comps = (0 until p.getNameCount).map(p.getName(_).toString)
+    val meta = Set('*', '?', '[', '{')
+    val litCount = comps.takeWhile(c => !c.exists(meta)).length
+    // a fully-glob relative pattern anchors at "." (the old behavior)
+    val anchor =
+      if (p.isAbsolute) p.getRoot
+      else if (litCount == 0) Paths.get(".")
+      else Paths.get("")
+    val base = comps.take(litCount).foldLeft(anchor)(_.resolve(_))
+    val rest = comps.drop(litCount)
     val ignore = ignoreRegex.map(_.r)
-    Files.list(dir).iterator().asScala
-      .filter(f => Files.isRegularFile(f) &&
-        matcher.matches(f.getFileName) &&
-        !ignore.exists(_.findFirstIn(f.getFileName.toString).isDefined))
-      .toSeq.sortBy(_.toString)
+    def ignored(f: Path): Boolean =
+      ignore.exists(_.findFirstIn(f.getFileName.toString).isDefined)
+    // fully literal pattern: the file itself (tail of one known path)
+    if (rest.isEmpty)
+      return if (Files.isRegularFile(base) && !ignored(base)) Seq(base)
+      else Nil
+    if (!Files.isDirectory(base)) return Nil
+    // Files.list must be closed or the directory fd leaks every poll
+    def children(d: Path): Seq[Path] = {
+      val s = Files.list(d)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    def matching(d: Path, comp: String): Seq[Path] = {
+      val m = d.getFileSystem.getPathMatcher("glob:" + comp)
+      children(d).filter(f => m.matches(f.getFileName))
+    }
+    // intermediate components select directories, the last selects files
+    val dirs = rest.init.foldLeft(Seq(base)) { (ds, comp) =>
+      ds.flatMap(d => matching(d, comp).filter(Files.isDirectory(_)))
+    }
+    dirs.flatMap(d => matching(d, rest.last)
+        .filter(f => Files.isRegularFile(f) && !ignored(f)))
+      .sortBy(_.toString)
   }
 
   def fileKey(p: Path): String =

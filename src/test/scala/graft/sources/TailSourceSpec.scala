@@ -153,6 +153,37 @@ class TailSourceSpec extends SparkSpec {
     assert(b2 == Seq("z"))
   }
 
+  test("glob metacharacters work in directory components; new subdirs " +
+      "are discovered after start") {
+    // TestPollLogPathPatterns (multiple_levels_directory_integration_
+    // test.go): the pattern logs/*/app.log matches one directory level
+    // per component, and a subdirectory created AFTER the stream
+    // starts joins the tail on the next poll — Go filepath.Glob
+    // semantics, not filename-only globbing
+    val root = tmpDir()
+    Files.createDirectories(root.resolve("a"))
+    write(root.resolve("a/app.log"), "one\n")
+    val stream = new TailMicroBatchStream(s"$root/*/app.log")
+    val (b1, o1) = deltaLines(stream, stream.initialOffset())
+    assert(b1 == Seq("one"))
+    // a whole new level appears while tailing
+    Files.createDirectories(root.resolve("b"))
+    write(root.resolve("b/app.log"), "two\n")
+    val (b2, _) = deltaLines(stream, o1)
+    assert(b2 == Seq("two"))
+
+    // directories matching the FILE component are ignored
+    // (TestGlobIgnoreFolder): a dir named like a log is not tailed
+    Files.createDirectories(root.resolve("a/ignored.log"))
+    assert(!TailSource.expand(s"$root/a/*.log")
+      .exists(_.getFileName.toString == "ignored.log"))
+
+    // literal (no-glob) patterns still resolve to the single file
+    assert(TailSource.expand(s"$root/a/app.log").map(_.getFileName
+      .toString) == Seq("app.log"))
+    assert(TailSource.expand(s"$root/missing/app.log").isEmpty)
+  }
+
   test("batch reads are split-invariant: offsets give total order") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir()
