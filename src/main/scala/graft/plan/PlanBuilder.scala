@@ -525,7 +525,15 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       lazy val lc = exprColumn(l, frames, tReg, siteIdx, reading)
       lazy val rc = exprColumn(r, frames, tReg, siteIdx, reading)
       op match {
-        case "+" => lc + rc
+        case "+" =>
+          // mtail's + concatenates when the unified type is String
+          // (codegen.go:373-378 maps PLUS@String → code.Cat;
+          // vm.go:907-918 pops both as strings); Spark's column + on
+          // strings is arithmetic (an analysis error on string+string
+          // since 4.x), so the typed IR picks the op
+          if (irType(e, frames) == StringType)
+            concat(lc.cast(StringType), rc.cast(StringType))
+          else lc + rc
         case "-" => lc - rc
         case "*" => lc * rc
         case "/" =>
@@ -663,6 +671,64 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   private def ordKey(idx: Int): Column =
     struct(col("ord").as("o"), lit(idx).as("s"))
 
+  private def siteFrame(s: Site, vt: DataType): DataFrame = {
+    val labelCols = s.keys.zipWithIndex.map { case (k, i) =>
+      exprColumn(k, s.frames, s.timeReg, s.idx).cast(StringType)
+        .as(s"k$i")
+    }
+    val delta = s.op match {
+      case OpDel => zeroOf(vt)
+      case _ => exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx)
+        .cast(vt)
+    }
+    // project BEFORE filtering: values/keys may contain cross-line
+    // metric reads whose windows must see every line
+    df.select((labelCols :+ delta.as("v") :+
+        s.timeReg.as("ts") :+ ordKey(s.idx).as("ordk") :+
+        coalesce(s.cond, lit(false)).as("__cond")): _*)
+      .filter(col("__cond")).drop("__cond")
+      // null value = failed capref conversion — the reference aborts
+      // the line (vm.go:97-129); drop the update
+      .filter(col("v").isNotNull || lit(s.op == OpDel))
+  }
+
+  /** Immediate (non-TTL) del sites of a metric. */
+  private def delSites(name: String): Seq[Site] =
+    sites.filter(s => s.metric.name == name && s.op == OpDel &&
+      s.afterSeconds.isEmpty).toSeq
+
+  /** exported metrics with immediate del sites — the streaming runner
+    * counts these as extra readers of the shared extraction.
+    */
+  def deleteMetricCount: Int =
+    program.decls.count(d => !d.hidden && delSites(d.name).nonEmpty)
+
+  /** Per-batch delete propagation for streaming: for each exported
+    * metric with immediate `del` sites, the DISTINCT label tuples
+    * whose delete fired in this batch (keyless metrics yield one dummy
+    * row when the del fired at all). The runner removes these keys
+    * from the cumulative store BEFORE merging the batch snapshot, so a
+    * `del` in batch N+1 erases a cell merged in batch ≤ N exactly like
+    * the one-shot plan drops it — without this the store-level cell
+    * would silently survive every later delete. Export-sized: bounded
+    * by keys actually deleted this batch, so the runner's collect is
+    * as bounded as the snapshot collect itself.
+    */
+  def batchDeleteDfs(): Seq[(Ir.MetricDecl, DataFrame)] =
+    program.decls.filter(!_.hidden).flatMap { decl =>
+      val dels = delSites(decl.name)
+      if (dels.isEmpty) None
+      else Some {
+        val vt = metricType(decl.name)
+        val keyNames = decl.keys.indices.map(i => s"k$i")
+        val u = dels.map(siteFrame(_, vt)).reduce(_ unionAll _)
+        val keyed =
+          if (keyNames.isEmpty) u.select(lit(1).as("k0"))
+          else u.select(keyNames.map(col): _*)
+        decl -> keyed.distinct()
+      }
+    }
+
   def metricFrame(decl: Ir.MetricDecl): DataFrame = {
     val mSites = sites.filter(_.metric.name == decl.name)
     val updates = mSites.filter(_.op != OpDel).toSeq
@@ -670,34 +736,13 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       .toSeq
     val vt = metricType(decl.name)
 
-    def siteFrame(s: Site): DataFrame = {
-      val labelCols = s.keys.zipWithIndex.map { case (k, i) =>
-        exprColumn(k, s.frames, s.timeReg, s.idx).cast(StringType)
-          .as(s"k$i")
-      }
-      val delta = s.op match {
-        case OpDel => zeroOf(vt)
-        case _ => exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx)
-          .cast(vt)
-      }
-      // project BEFORE filtering: values/keys may contain cross-line
-      // metric reads whose windows must see every line
-      df.select((labelCols :+ delta.as("v") :+
-          s.timeReg.as("ts") :+ ordKey(s.idx).as("ordk") :+
-          coalesce(s.cond, lit(false)).as("__cond")): _*)
-        .filter(col("__cond")).drop("__cond")
-        // null value = failed capref conversion — the reference aborts
-        // the line (vm.go:97-129); drop the update
-        .filter(col("v").isNotNull || lit(s.op == OpDel))
-    }
-
     val keyNames = decl.keys.indices.map(i => s"k$i")
-    val unioned = updates.map(siteFrame).reduceOption(_ unionAll _)
+    val unioned = updates.map(siteFrame(_, vt)).reduceOption(_ unionAll _)
 
     val afterDel: Option[DataFrame] = unioned.map { u =>
       if (dels.isEmpty) u
       else {
-        val delDf = dels.map(siteFrame).reduce(_ unionAll _)
+        val delDf = dels.map(siteFrame(_, vt)).reduce(_ unionAll _)
           .groupBy(keyNames.map(col): _*)
           .agg(max("ordk").as("__del_ord"))
         if (keyNames.isEmpty) {

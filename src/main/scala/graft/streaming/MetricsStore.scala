@@ -67,6 +67,17 @@ final class MetricsStore {
   private def maxTs(a: Option[Long], b: Option[Long]): Option[Long] =
     (a ++ b).reduceOption(_ max _)
 
+  /** Remove one cell — the runtime `del` reaching the cumulative
+    * store (the reference's metric.RemoveDatum via the VM's Delete,
+    * `metric.go:223-258`): streaming batches propagate the label
+    * tuples whose delete fired, so a cell merged in an earlier batch
+    * does not survive a later `del`. Unknown keys are a no-op. A
+    * restarted metric (updates after the del in the same batch) is
+    * re-created by the following merge of the batch snapshot.
+    */
+  def remove(name: String, labels: Map[String, String]): Unit =
+    lock.synchronized { cells -= ((name, labels)) }
+
   def snapshot(): Seq[Cell] = lock.synchronized { cells.values.toSeq }
 
   def clear(): Unit = lock.synchronized { cells.clear() }

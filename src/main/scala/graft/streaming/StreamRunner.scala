@@ -220,9 +220,10 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       // once too); released at the end of the batch
       val t0 = System.nanoTime()
       // +1 for instrumentation(), plus one state relation per
-      // cross-line-read metric — all scan the same extraction
+      // cross-line-read metric and one delete-key frame per metric
+      // with del sites — all scan the same extraction
       pb.materializeExtraction(extraReaders = 1 + prog.decls.count(d =>
-        pb.readMetrics.contains(d.name)))
+        pb.readMetrics.contains(d.name)) + pb.deleteMetricCount)
       val nLines =
         try processWithPlan(pb)
         finally pb.unpersistExtraction()
@@ -266,6 +267,19 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
 
   private def processWithPlan(pb: PlanBuilder): Long = {
       val cells = Snapshot.collect(pb.snapshot())
+      // runtime `del` reaching the cumulative store: label tuples
+      // whose delete fired THIS batch lose their pre-batch cell before
+      // the merge, so the snapshot's post-del state (restarted cell,
+      // or absence) fully replaces it — exactly the one-shot plan's
+      // delete-last/restart semantics composed across batches. Without
+      // this a del in batch N+1 could never erase a cell merged in
+      // batch ≤ N (the store had no delete path at all).
+      pb.batchDeleteDfs().foreach { case (decl, keys) =>
+        keys.collect().foreach { row =>
+          store.remove(decl.exportName, decl.keys.zipWithIndex.map {
+            case (k, i) => k -> row.getString(i) }.toMap)
+        }
+      }
       // zero-init counter cells (0 @ epoch-0) merge too: creating the
       // key means a declared-but-never-matched counter is exported as
       // 0 from the first batch, like the reference's zero-init

@@ -71,6 +71,23 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("bad", Map.empty)) == VInt(4))
   }
 
+  test("+ on strings concatenates like the VM's Cat op") {
+    // codegen.go:373-378 maps PLUS@String -> code.Cat (vm.go:907-918);
+    // found by the StreamEquivalenceSpec fuzz: the lowering emitted
+    // arithmetic + for string operands, which Spark 4 rejects at
+    // analysis (the compile-only prop sweep never executed the plan)
+    val cells = run(
+      """text t0
+        |text t1
+        |/^(?P<s>\w+) (?P<x>\d+)$/ {
+        |  t0 = $s + "-" + string($x)
+        |  t1 = "n=" + string($x + 1)
+        |}
+        |""".stripMargin, Seq("abc 7"))
+    assert(cells(("t0", Map.empty)) == VStr("abc-7"))
+    assert(cells(("t1", Map.empty)) == VStr("n=8"))
+  }
+
   test("string builtins: len, tolower, subst literal + regex, strtol") {
     val cells = run(
       """gauge l

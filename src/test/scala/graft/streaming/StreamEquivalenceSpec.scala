@@ -1,0 +1,192 @@
+package graft.streaming
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.mtail.{Frontend, LogLines, Snapshot}
+import graft.plan.PlanBuilder
+
+/** Differential fuzz: the SAME random program over the SAME lines must
+  * produce the SAME final store whether it runs as one one-shot batch
+  * or split across arbitrary consecutive microbatches — the streaming
+  * contract (`StreamRunner` scaladoc: "within-batch semantics identical
+  * to one-shot mode", store merge composes batches). This is the net
+  * over exactly the machinery single-case specs under-cover: carried
+  * hidden-metric state (keyed and keyless) across random batch
+  * boundaries, counter/histogram merge accumulation, gauge/text
+  * last-write-wins across batches, cross-batch `del` (a delete in a
+  * later batch must erase cells merged earlier — the store remove
+  * path), and zero-init interplay.
+  *
+  * Deliberately outside the pool:
+  *  - `limit N` — the newest-N trim tie-breaks on equal timestamps
+  *    nondeterministically, so batch-split results can legitimately
+  *    differ within a tie;
+  *  - `del … after` TTL — expiry runs at batch-end GC ticks in stream
+  *    time, so WHERE the batch boundaries fall legitimately changes
+  *    which cells have lapsed (the reference's GC-loop timing has the
+  *    same property);
+  *  - `strptime`/`settime` — the streaming store merges timestamps
+  *    with MAX while one-shot keeps the last write's stamp, so a
+  *    time register that moves backwards across a batch boundary
+  *    diverges in tsSec (every exporter renders both identically; the
+  *    export surface is what the contract covers).
+  * Timestamps are normalized via getOrElse(0): a counter's zero-init
+  * cell carries epoch-0 where one-shot keeps null ts — both render as
+  * 0 on every export path.
+  */
+class StreamEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val decls =
+    """counter c0
+      |counter c1 by a
+      |gauge g0
+      |gauge g1 by a, b
+      |text t0
+      |histogram h0 buckets 1, 4, 16
+      |hidden gauge hid0
+      |hidden gauge hid1 by p, q
+      |""".stripMargin
+
+  // every pattern binds x (digits → Int) and s (word → String)
+  private val patterns = Seq(
+    """(?P<x>\d+) (?P<s>\w+)""",
+    """val=(?P<x>\d+) tag=(?P<s>\w+).*""",
+    """(?P<s>[a-z]+): (?P<x>\d+)""")
+
+  private def leaf(rnd: Random): String = {
+    val numExprs = Seq("$x", "$x + 1", "$x * 2", "$x % 5", "len($s)",
+      "$x / 2.0", "hid0 + $x", "float($x)")
+    val strExprs = Seq("$s", "tolower($s)", "$s + \"!\"",
+      "string($x)")
+    val pool = Seq(
+      "c0++",
+      "c1[$s]++",
+      s"c1[$$s] += ${Seq("$x", "1", "$x % 7")(rnd.nextInt(3))}",
+      s"g0 = ${numExprs(rnd.nextInt(numExprs.length))}",
+      s"g1[$$s][$$x] = ${numExprs(rnd.nextInt(numExprs.length))}",
+      s"t0 = ${strExprs(rnd.nextInt(strExprs.length))}",
+      "h0 = $x", // int-valued: cross-batch double sums stay exact
+      s"hid0 = ${Seq("$x", "$x + 1", "hid0 + 1")(rnd.nextInt(3))}",
+      "hid1[$s][$x] = $x",
+      "g1[$s][$x] = hid1[$s][$x] + 1", // keyed carried-state read
+      "del c1[$s]", // cross-batch delete of a keyed cell
+      "stop")
+    pool(rnd.nextInt(pool.length))
+  }
+
+  private def block(rnd: Random, depth: Int): String = {
+    val p = patterns(rnd.nextInt(patterns.length))
+    val n = 1 + rnd.nextInt(3)
+    val body = Seq.fill(n)(stmt(rnd, depth - 1)).mkString("\n")
+    rnd.nextInt(4) match {
+      case 0 => // expression sub-cond with optional otherwise
+        val c = Seq("$x > 3", "$x % 2 == 0", "$s =~ /a/",
+          "len($s) > 3 && $x < 50")(rnd.nextInt(4))
+        val o = if (rnd.nextBoolean()) "\notherwise {\nc0++\n}" else ""
+        s"/$p/ {\n$c {\n$body\n}$o\n}"
+      case 1 => // else branch (capref-free there)
+        s"/$p/ {\n$body\n} else {\nc0++\n}"
+      case 2 => // keyless del under a dedicated trigger line
+        "/^reset$/ {\ndel g0\ndel c0\n}"
+      case _ => s"/$p/ {\n$body\n}"
+    }
+  }
+
+  private def stmt(rnd: Random, depth: Int): String =
+    if (depth <= 0) leaf(rnd) else block(rnd, depth)
+
+  private def genProgram(rnd: Random): String =
+    decls + Seq.fill(1 + rnd.nextInt(4))(block(rnd, 2)).mkString("\n") +
+      "\n"
+
+  private def genLines(rnd: Random): Seq[String] = {
+    val words = Seq("alpha", "beta", "gamma", "ab", "a", "bc", "abc")
+    Seq.fill(20 + rnd.nextInt(30))(rnd.nextInt(5) match {
+      case 0 => s"${rnd.nextInt(100)} ${words(rnd.nextInt(words.length))}"
+      case 1 => s"val=${rnd.nextInt(100)} tag=${words(rnd.nextInt(words.length))}"
+      case 2 => s"${words(rnd.nextInt(words.length))}: ${rnd.nextInt(100)}"
+      case 3 => "reset"
+      case _ => "no match here !!"
+    })
+  }
+
+  /** (kind, value, tsSec-or-0, buckets) per (name, labels). */
+  private def norm(cells: Seq[Snapshot.Cell])
+      : Map[(String, Map[String, String]), (String, Snapshot.Value,
+        Long, Option[Map[String, Long]])] =
+    cells.map(c => (c.name, c.labels) ->
+      ((c.kind, c.value, c.tsSec.getOrElse(0L), c.buckets))).toMap
+
+  test("streaming over any batch split equals the one-shot run") {
+    (1 to 25).foreach { i =>
+      val rnd = new Random(4200 + i)
+      val src = genProgram(rnd)
+      try runOne(i, rnd, src)
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case e: Throwable => fail(
+          s"iteration $i crashed: ${e.getMessage}\n--- program:\n$src", e)
+      }
+    }
+  }
+
+  private def runOne(i: Int, rnd: Random, src: String): Unit = {
+      val prog = Frontend.parse(src, "eq.mtail")
+      val lines = genLines(rnd)
+
+      val oneShot = norm(Snapshot.collect(new PlanBuilder(prog,
+        LogLines.fromLines(lines.toDF("line"), "line"), 2020)
+        .snapshot()))
+
+      // split into 2-4 consecutive chunks at random cut points
+      // (possibly-empty chunks exercise the empty-batch skip)
+      val nCuts = 1 + rnd.nextInt(3)
+      val cuts = Seq.fill(nCuts)(rnd.nextInt(lines.length + 1))
+        .sorted
+      val bounds = (0 +: cuts) :+ lines.length
+      val runner = new StreamRunner(prog, spark, 2020)
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(a, b), bi) =>
+        runner.processBatch(lines.slice(a, b).toDF("line"), bi.toLong)
+      }
+      val streamed = norm(runner.store.snapshot())
+
+      assert(streamed == oneShot,
+        s"""iteration $i diverged (cuts=$cuts)
+           |one-shot only: ${(oneShot.toSet -- streamed.toSet).toSeq.sortBy(_._1.toString)}
+           |streamed only: ${(streamed.toSet -- oneShot.toSet).toSeq.sortBy(_._1.toString)}
+           |--- program:
+           |$src""".stripMargin)
+  }
+
+  test("cross-batch del erases a previously merged cell (directed)") {
+    val src =
+      """counter hits by a
+        |gauge last
+        |/^add (?P<s>\w+) (?P<x>\d+)$/ {
+        |  hits[$s]++
+        |  last = $x
+        |}
+        |/^drop (?P<s>\w+)$/ {
+        |  del hits[$s]
+        |}
+        |/^clear$/ {
+        |  del last
+        |}
+        |""".stripMargin
+    val prog = Frontend.parse(src, "del.mtail")
+    val runner = new StreamRunner(prog, spark, 0)
+    runner.processBatch(Seq("add a 1", "add b 2").toDF("line"), 0)
+    assert(norm(runner.store.snapshot())
+      .contains(("hits", Map("a" -> "a"))))
+    // batch 2 deletes a cell merged in batch 1, and restarts another
+    runner.processBatch(
+      Seq("drop a", "drop b", "add b 7", "clear").toDF("line"), 1)
+    val cells = norm(runner.store.snapshot())
+    assert(!cells.contains(("hits", Map("a" -> "a"))), cells)
+    assert(cells(("hits", Map("a" -> "b")))._2 == Snapshot.VInt(1),
+      cells) // restarted after the del, not 2
+    assert(!cells.contains(("last", Map.empty)), cells)
+  }
+}
