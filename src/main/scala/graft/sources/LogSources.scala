@@ -12,13 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LogSources {
 
   /** streaming DataFrame of lines for a source pattern:
-    *  - `udp://h:p`, `unixgram:///p`, `tcp://h:p`, `unix:///p`,
-    *    `fifo:///p`, `stdin://`, `-` → graft-lines push source;
+    *  - `udp://h:p`, `unixgram://…/p`, `tcp://h:p`, `unix://…/p`,
+    *    `fifo://…/p`, `stdin://`, `-` → graft-lines push source;
     *  - anything else → graft-tail file glob, with an optional
     *    filename ignore regex (tail.go:222-253).
+    *
+    * A COMMA-SEPARATED list opens every pattern and unions the
+    * streams — the reference's repeatable `-logs` flag splits its
+    * values the same way (`cmd/mtail/main.go:30-36`), so one string
+    * can carry a whole `-logs` list (mixing schemes is fine).
     */
   def open(spark: SparkSession, pattern: String,
-      ignoreRegex: Option[String] = None): DataFrame = {
+      ignoreRegex: Option[String] = None): DataFrame =
+    pattern.split(",").filter(_.nonEmpty).toSeq match {
+      case Seq(single) => openOne(spark, single, ignoreRegex)
+      case many => many.map(openOne(spark, _, ignoreRegex))
+        .reduce(_ unionByName _)
+    }
+
+  private def openOne(spark: SparkSession, pattern: String,
+      ignoreRegex: Option[String]): DataFrame = {
     val pushSchemes =
       Seq("udp://", "unixgram://", "tcp://", "unix://", "fifo://",
         "stdin://")

@@ -102,4 +102,29 @@ class GraftSpec extends SparkSpec {
       assert(metrics().contains("reloaded_total"))
     } finally t.stop()
   }
+
+  test("comma-separated -logs list tails every pattern") {
+    // the reference's -logs flag splits on commas (main.go:30-36);
+    // one source string carries the whole list, streams unioned
+    val dirA = Files.createTempDirectory("graftlogsA")
+    val dirB = Files.createTempDirectory("graftlogsB")
+    Files.write(dirA.resolve("a.log"), "get 1\n".getBytes(UTF_8))
+    Files.write(dirB.resolve("b.log"),
+      "get 2\nget 3\n".getBytes(UTF_8))
+    val t = Graft.tail(spark, src, "facade.mtail",
+      s"$dirA/*.log,$dirB/*.log",
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      def metrics(): String = {
+        val url = new java.net.URI(
+          s"http://localhost:${t.port}/metrics").toURL
+        scala.io.Source.fromInputStream(url.openStream()).mkString
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (!metrics().contains("""by_op{op="get",prog="facade.mtail"} 3""")
+        && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(metrics().contains(
+        """by_op{op="get",prog="facade.mtail"} 3"""))
+    } finally t.stop()
+  }
 }
