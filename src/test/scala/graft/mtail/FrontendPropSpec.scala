@@ -180,6 +180,44 @@ class FrontendPropSpec extends SparkSpec {
     assert(compiled >= 990, s"only $compiled/1000 compiled")
   }
 
+  test("generated programs also EXECUTE: analysis and runtime clean") {
+    // compile-only sweeps miss errors Spark raises at analysis or
+    // runtime (round 9: string + lowered to arithmetic — an analysis
+    // error — passed 1k compile-only iterations); execute a sample of
+    // generated programs end-to-end over lines that hit every pattern
+    val params = Gen.Parameters.default
+    var seed = Seed(4242L)
+    val lines = Seq("12 abc", "7 de", "val=7 tag=foo x", "bar: 3",
+      "0 a", "junk !!", "999 zz")
+    import spark.implicits._
+    val df = LogLines.fromLines(lines.toDF("line"), "line")
+    var executed = 0
+    (1 to 60).foreach { i =>
+      val src = program.pureApply(params, seed)
+      seed = seed.next
+      val compiled =
+        try Some(Frontend.parse(src, "prop.mtail"))
+        catch { case _: IllegalArgumentException => None }
+      compiled.foreach { prog =>
+        try {
+          new PlanBuilder(prog, df, 2020).snapshot().collect()
+          executed += 1
+        } catch {
+          // the typed compile error stays legal at plan/materialize
+          // time (e.g. a generated cyclic self-read, rejected like the
+          // reference checker would); anything else — Spark analysis
+          // errors included — is the regression this sweep hunts
+          case _: IllegalArgumentException => ()
+          case e: Throwable => fail(
+            s"program $i failed to execute with ${e.getClass.getName}: " +
+              s"${e.getMessage}\n--- source:\n$src", e)
+        }
+      }
+    }
+    info(s"$executed programs executed")
+    assert(executed >= 50, s"only $executed/60 executed")
+  }
+
   test("arbitrary and mutated input never crashes the frontend") {
     // the reference's fuzz target feeds raw bytes through the compiler
     // asserting no panic (fuzz.go:27-61); same contract here — any
