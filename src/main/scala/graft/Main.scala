@@ -301,8 +301,11 @@ object Main {
           // port for every program, push sinks on a ticker
           val t = Graft.tailProgs(spark, cfg.progs,
             cfg.logs.mkString(","), cfg.port,
-            trigger =
-              Trigger.ProcessingTime(s"${cfg.pollIntervalMs} milliseconds"),
+            // 0 falls back to the 250ms default like the reference
+            // (main.go:149-152 "no poll log data interval specified")
+            trigger = Trigger.ProcessingTime(
+              s"${if (cfg.pollIntervalMs <= 0) 250L
+                else cfg.pollIntervalMs} milliseconds"),
             defaultYear = if (cfg.syslogUseCurrentYear)
               java.time.Year.now.getValue else 0,
             ignoreRegex = cfg.ignoreRegex,
