@@ -26,11 +26,12 @@ import graft.plan.PlanBuilder
   *    time, so WHERE the batch boundaries fall legitimately changes
   *    which cells have lapsed (the reference's GC-loop timing has the
   *    same property);
-  *  - `strptime`/`settime` — the streaming store merges timestamps
-  *    with MAX while one-shot keeps the last write's stamp, so a
-  *    time register that moves backwards across a batch boundary
-  *    diverges in tsSec (every exporter renders both identically; the
-  *    export surface is what the contract covers).
+  *  - BACKWARDS-moving time — the streaming store merges timestamps
+  *    with MAX while one-shot keeps the last write's stamp, so a time
+  *    register that moves backwards across a batch boundary diverges
+  *    in tsSec (every exporter renders both identically; the export
+  *    surface is what the contract covers). `settime` IS in the pool,
+  *    with line numbers generated monotone so stamps only advance.
   * Timestamps are normalized via getOrElse(0): a counter's zero-init
   * cell carries epoch-0 where one-shot keeps null ts — both render as
   * 0 on every export path.
@@ -72,6 +73,10 @@ class StreamEquivalenceSpec extends SparkSpec {
       "hid1[$s][$x] = $x",
       "g1[$s][$x] = hid1[$s][$x] + 1", // keyed carried-state read
       "del c1[$s]", // cross-batch delete of a keyed cell
+      // timestamp machinery: line numbers are MONOTONE (genLines), so
+      // the store's max-ts merge agrees with one-shot last-write and
+      // the settime exclusion in the scaladoc doesn't apply
+      "settime($x)\nc0++",
       "stop")
     pool(rnd.nextInt(pool.length))
   }
@@ -103,10 +108,16 @@ class StreamEquivalenceSpec extends SparkSpec {
 
   private def genLines(rnd: Random): Seq[String] = {
     val words = Seq("alpha", "beta", "gamma", "ab", "a", "bc", "abc")
+    // numeric values are MONOTONE along the line sequence so that
+    // settime stamps never move backwards across a batch boundary
+    // (where the store's max-ts merge and one-shot's last-write-wins
+    // would legitimately differ — see the scaladoc exclusions)
+    var v = 0
+    def num(): Int = { v += 1 + rnd.nextInt(5); v }
     Seq.fill(20 + rnd.nextInt(30))(rnd.nextInt(5) match {
-      case 0 => s"${rnd.nextInt(100)} ${words(rnd.nextInt(words.length))}"
-      case 1 => s"val=${rnd.nextInt(100)} tag=${words(rnd.nextInt(words.length))}"
-      case 2 => s"${words(rnd.nextInt(words.length))}: ${rnd.nextInt(100)}"
+      case 0 => s"${num()} ${words(rnd.nextInt(words.length))}"
+      case 1 => s"val=${num()} tag=${words(rnd.nextInt(words.length))}"
+      case 2 => s"${words(rnd.nextInt(words.length))}: ${num()}"
       case 3 => "reset"
       case _ => "no match here !!"
     })
