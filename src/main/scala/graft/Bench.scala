@@ -153,7 +153,11 @@ object Bench {
     // ~30 bytes per registered query, so precision degrades (ms → cs →
     // ds) before it can ever outgrow the window again.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def emitHeadline(all: Seq[(String, Double)], extraKv: Seq[String],
+    // extraKv is precision-parameterized so the degradation ladder
+    // reaches the ~10 replay extras too, not just the query map —
+    // pre-rendered extras would quietly shrink the ladder's slack
+    def emitHeadline(all: Seq[(String, Double)],
+        extraKv: (Double => String) => Seq[String],
         partial: Option[String]): Unit = {
       val total = all.collect { case (_, v) if v >= 0 => v }.sum
       def headline(prec: Int): String = {
@@ -162,7 +166,7 @@ object Bench {
           else s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
         val qsP = all.map { case (k, v) => "\"" + k + "\":" + p(v) }
           .mkString("{", ",", "}")
-        val extra = (extraKv ++
+        val extra = (extraKv(p) ++
           partial.map(s => s""""partial":"$s"""").toSeq :+
           s""""bench_wall_secs":${p(wallSecs)}""").mkString(",")
         s"""{"metric":"total","value":${p(total)},"unit":"sec","queries":$qsP,"sf":"$sfDir","failed":$failedJson,"extra":{$extra}}"""
@@ -173,7 +177,7 @@ object Bench {
     // stage boundary: if the replay or fingerprint below overruns the
     // driver window, this line is already a complete, parseable
     // headline carrying the whole battery
-    emitHeadline(results, Seq.empty, Some("battery"))
+    emitHeadline(results, _ => Seq.empty, Some("battery"))
 
     // mtail replay: the engine_counters program over replicated event
     // lines — the reference's per-line-engine benchmark shape
@@ -246,7 +250,7 @@ object Bench {
       s""""battery_steal_cpu_secs_sum":${p(rawPasses.flatten.map(_._4).sum)}""")
     // stage boundary: battery + replay complete; only the fingerprint
     // and detail line remain at risk past this point
-    emitHeadline(all, replayKv(ms), Some("replay"))
+    emitHeadline(all, replayKv, Some("replay"))
 
     // data fingerprint: per-table (rows, order-insensitive content hash
     // = 32-bit murmur3 row hashes summed into a long, overflow-free
@@ -274,7 +278,7 @@ object Bench {
     // bulky detail SECOND-TO-LAST on its own line; the compact headline
     // is the LAST line so a tail-truncating capture always retains it
     println(s"""{"detail":{"battery_passes":${rawPasses.map(qjson).mkString("[", ",", "]")},"battery_steal_cpu_secs":${rawPasses.map(sjson).mkString("[", ",", "]")},"replay_warm_secs_all":${warmSecs.mkString("[", ",", "]")},"replay_warm_steal_cpu_secs":${warmRuns.map(r => ms(r._2)).mkString("[", ",", "]")},"data_fingerprint":$fpJson,"queries_are":"per-query min of observed passes (pass 2 only for queries ≥1s in pass 1), -1 = a pass threw (see failed); replay is median of $replayWarmRuns warm runs; *_steal_cpu_secs = hypervisor-stolen cpu-secs (/proc/stat) during that window — high steal means the wall time is host noise, not engine time","baseline_klines_per_sec_4core":"6-37 (benchmark_results.csv)"}}""")
-    emitHeadline(all, replayKv(ms), None)
+    emitHeadline(all, replayKv, None)
     spark.stop()
   }
 }

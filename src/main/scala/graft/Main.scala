@@ -60,18 +60,26 @@ object Main {
       statsdHostPort: Option[String] = None,
       statsdPrefix: String = "",
       collectdSocketPath: Option[String] = None,
-      collectdPrefix: String = "")
+      collectdPrefix: String = "",
+      showVersion: Boolean = false,
+      showHelp: Boolean = false)
 
   /** Go duration syntax (`250ms`, `1m`, `1h30m`) → milliseconds; the
     * reference's duration flags use time.ParseDuration. Throws on a
-    * bare number — Go requires units.
+    * bare nonzero number — Go requires units — but accepts the
+    * special-cased `"0"` (ParseDuration does too; `-poll_interval 0`
+    * means "use the default").
     */
   def parseDurationMs(s: String): Long = {
+    val sign = if (s.startsWith("-")) -1L else 1L
+    val unsigned = s.stripPrefix("+").stripPrefix("-")
+    if (unsigned == "0") return 0L
     val re = """(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)""".r
-    val parts = re.findAllMatchIn(s).toSeq
+    val parts = re.findAllMatchIn(unsigned).toSeq
     val consumed = parts.map(_.matched).mkString
-    require(parts.nonEmpty && consumed == s.stripPrefix("+"),
+    require(parts.nonEmpty && consumed == unsigned,
       s"invalid duration: '$s' (Go syntax, e.g. 250ms, 1h30m)")
+    sign *
     parts.map { m =>
       val v = m.group(1).toDouble
       v * (m.group(2) match {
@@ -85,13 +93,11 @@ object Main {
     }.sum.round
   }
 
-  /** Parse the Go-style flag vector; Left = usage error message. */
+  /** Parse the Go-style flag vector; Left = usage error message.
+    * Bool flags accept an optional =value but never consume the next
+    * token, like Go's flag package.
+    */
   def parseArgs(args: Seq[String]): Either[String, Config] = {
-    // (canonical name, takes value?) — bool flags accept an optional
-    // =value but never consume the next token, like Go's flag package
-    val boolFlags = Set("one_shot", "compile_only",
-      "syslog_use_current_year", "emit_prog_label",
-      "emit_metric_timestamp", "version", "help")
     var cfg = Config()
     var i = 0
     def boolVal(v: String): Either[String, Boolean] = v match {
@@ -164,12 +170,14 @@ object Main {
             cfg = cfg.copy(metricPushIntervalMs = parseDurationMs(v)) }
           catch { case e: IllegalArgumentException =>
             Left(e.getMessage) })
-        case "graphite_host_port" => value().map(v =>
-          cfg = cfg.copy(graphiteHostPort = Some(v).filter(_.nonEmpty)))
+        case "graphite_host_port" => value().flatMap(v =>
+          validHostPort("graphite_host_port", v).map(hp =>
+            cfg = cfg.copy(graphiteHostPort = hp)))
         case "graphite_prefix" => value().map(v =>
           cfg = cfg.copy(graphitePrefix = v))
-        case "statsd_hostport" => value().map(v =>
-          cfg = cfg.copy(statsdHostPort = Some(v).filter(_.nonEmpty)))
+        case "statsd_hostport" => value().flatMap(v =>
+          validHostPort("statsd_hostport", v).map(hp =>
+            cfg = cfg.copy(statsdHostPort = hp)))
         case "statsd_prefix" => value().map(v =>
           cfg = cfg.copy(statsdPrefix = v))
         case "collectd_socketpath" => value().map(v =>
@@ -177,6 +185,8 @@ object Main {
             Some(v).filter(_.nonEmpty)))
         case "collectd_prefix" => value().map(v =>
           cfg = cfg.copy(collectdPrefix = v))
+        case "version" => setBool((c, b) => c.copy(showVersion = b))
+        case "help" | "h" => setBool((c, b) => c.copy(showHelp = b))
         case other => Left(s"unknown flag: -$other")
       }
       res match {
@@ -185,7 +195,8 @@ object Main {
       }
       i += 1
     }
-    if (cfg.progs.isEmpty)
+    if (cfg.showVersion || cfg.showHelp) Right(cfg)
+    else if (cfg.progs.isEmpty)
       Left("graft requires programs that instruct it how to extract " +
         "metrics from logs; please use the flag -progs to specify the " +
         "directory containing the programs.")
@@ -195,6 +206,44 @@ object Main {
         "more times to specify glob patterns describing these logs.")
     else Right(cfg)
   }
+
+  /** `host:port` validation at parse time — a malformed push target
+    * must be a usage error, not a NumberFormatException after the
+    * daemon is already up. Empty = unset.
+    */
+  private def validHostPort(flag: String,
+      v: String): Either[String, Option[String]] =
+    if (v.isEmpty) Right(None)
+    else v.split(":", 2) match {
+      case Array(h, p) if h.nonEmpty && p.toIntOption.exists(i =>
+        i > 0 && i <= 65535) => Right(Some(v))
+      case _ => Left(s"invalid -$flag: '$v' (expected host:port)")
+    }
+
+  /** one line per flag — printed for -help. */
+  def usage: String =
+    """Usage: graft.Main -progs <path> -logs <pattern>[,...] [flags]
+      |  -progs path                 directory of *.mtail programs (or one file)
+      |  -logs pattern               log glob / socket URL; repeatable or comma-separated
+      |  -port n                     HTTP pull port (default 3903)
+      |  -address host               bind host for the HTTP listener
+      |  -unix_socket path           serve pulls on a unix socket instead of TCP
+      |  -one_shot                   read logs to EOF, print the store, exit
+      |  -one_shot_format f          json | prometheus (default json)
+      |  -compile_only               compile programs and exit
+      |  -ignore_filename_regex_pattern re   skip matching filenames
+      |  -override_timezone tz       zone for naive strptime timestamps
+      |  -syslog_use_current_year[=b] patch yearless timestamps (default true)
+      |  -emit_prog_label[=b]        prog label on /metrics,/varz (default true)
+      |  -emit_metric_timestamp[=b]  per-sample timestamps on /metrics
+      |  -poll_interval d            log poll cadence, Go duration (default 250ms)
+      |  -progs_poll_interval d      progs-dir rescan cadence (0 = HUP only)
+      |  -metric_push_interval d     push-sink cadence (default 1m)
+      |  -graphite_host_port h:p / -graphite_prefix s
+      |  -statsd_hostport h:p / -statsd_prefix s
+      |  -collectd_socketpath path / -collectd_prefix s
+      |  -version / -help
+      |""".stripMargin
 
   /** progs-path scan with the reference's hidden/extension gate
     * (`runtime.go:104-112`): a directory yields its non-hidden
@@ -283,7 +332,13 @@ object Main {
         System.err.println(err)
         sys.exit(2)
       case Right(cfg) =>
-        if (cfg.compileOnly) {
+        if (cfg.showHelp) {
+          println(usage)
+          sys.exit(0)
+        } else if (cfg.showVersion) {
+          println("graft (Spark-native mtail engine)")
+          sys.exit(0)
+        } else if (cfg.compileOnly) {
           val errs = compileAll(cfg.progs).collect {
             case (n, Some(e)) => s"compile failed for $n:\n$e"
           }
@@ -322,19 +377,23 @@ object Main {
               System.err.println(s"compile failed for $n:\n$msg"))
           }
           // push sinks (exporter/graphite.go:20, statsd.go:16,
-          // collectd.go:22): register targets per flag, one shared
-          // ticker at -metric_push_interval
+          // collectd.go:22): ONE ticker at -metric_push_interval that
+          // re-reads the LIVE program set each tick, so programs
+          // added by a progs-dir reload push too and removed
+          // programs' exporters are dropped (a startup snapshot of
+          // runners would freeze the push surface forever)
           val pushTargets = cfg.graphiteHostPort.toSeq ++
             cfg.statsdHostPort.toSeq ++ cfg.collectdSocketPath.toSeq
-          val pushers = if (pushTargets.isEmpty) Nil else {
-            t.multi.runners.toSeq.sortBy(_._1).map { case (n, r) =>
+          val pushTicker = if (pushTargets.isEmpty) None else Some {
+            def hostPort(s: String): (String, Int) = {
+              // shape validated at flag-parse time
+              val Array(h, pt) = s.split(":", 2)
+              (h, pt.toInt)
+            }
+            def exporterFor(n: String, r: graft.streaming.StreamRunner)
+                : graft.streaming.PushExporter = {
               val p = new graft.streaming.PushExporter(r.store, n,
                 internal = Some(r.internalStore))
-              def hostPort(s: String): (String, Int) =
-                s.split(":", 2) match {
-                  case Array(h, pt) => (h, pt.toInt)
-                  case _ => (s, 0)
-                }
               cfg.graphiteHostPort.foreach { hp =>
                 val (h, pt) = hostPort(hp)
                 p.registerGraphite(h, pt, cfg.graphitePrefix)
@@ -345,16 +404,33 @@ object Main {
               }
               cfg.collectdSocketPath.foreach(path =>
                 p.registerCollectd(path, cfg.collectdPrefix))
-              p.start(cfg.metricPushIntervalMs)
               p
             }
+            val cache = scala.collection.mutable
+              .Map[String, graft.streaming.PushExporter]()
+            val ex = java.util.concurrent.Executors
+              .newSingleThreadScheduledExecutor { r =>
+                val th = new Thread(r, "graft-push-ticker")
+                th.setDaemon(true)
+                th
+              }
+            ex.scheduleAtFixedRate(() => {
+              val live = t.multi.runners
+              (cache.keySet -- live.keySet).toSeq
+                .foreach(cache.remove)
+              live.toSeq.sortBy(_._1).foreach { case (n, r) =>
+                cache.getOrElseUpdate(n, exporterFor(n, r)).pushOnce()
+              }
+            }, cfg.metricPushIntervalMs, cfg.metricPushIntervalMs,
+              java.util.concurrent.TimeUnit.MILLISECONDS)
+            ex
           }
           System.err.println(cfg.unixSocket match {
             case Some(p) => s"graft listening on unix socket $p"
             case None => s"graft listening on port ${t.port}"
           })
           sys.addShutdownHook {
-            pushers.foreach(_.stop())
+            pushTicker.foreach(_.shutdownNow())
             t.stop()
             spark.stop()
           }

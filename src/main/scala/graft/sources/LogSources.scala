@@ -20,15 +20,37 @@ object LogSources {
     * A COMMA-SEPARATED list opens every pattern and unions the
     * streams — the reference's repeatable `-logs` flag splits its
     * values the same way (`cmd/mtail/main.go:30-36`), so one string
-    * can carry a whole `-logs` list (mixing schemes is fine).
+    * can carry a whole `-logs` list (mixing schemes is fine). Commas
+    * INSIDE braces do not split: `*.{err,out}` stays one glob
+    * alternation (the reference's flag-level split would break it;
+    * there, brace patterns must arrive via separate -logs flags).
     */
   def open(spark: SparkSession, pattern: String,
       ignoreRegex: Option[String] = None): DataFrame =
-    pattern.split(",").filter(_.nonEmpty).toSeq match {
+    splitList(pattern) match {
       case Seq(single) => openOne(spark, single, ignoreRegex)
       case many => many.map(openOne(spark, _, ignoreRegex))
         .reduce(_ unionByName _)
     }
+
+  /** split on commas at brace depth 0 only. */
+  private[sources] def splitList(pattern: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    pattern.foreach {
+      case '{' => depth += 1; cur += '{'
+      case '}' => depth = math.max(0, depth - 1); cur += '}'
+      case ',' if depth == 0 =>
+        if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result() match {
+      case Seq() => Seq(pattern) // all-comma degenerate input
+      case ps => ps
+    }
+  }
 
   private def openOne(spark: SparkSession, pattern: String,
       ignoreRegex: Option[String]): DataFrame = {

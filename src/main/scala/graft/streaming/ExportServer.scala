@@ -51,9 +51,11 @@ final class ExportServer private (
       */
     bindAddress: String) {
 
-  private val server = HttpServer.create(
-    if (bindAddress.isEmpty) new InetSocketAddress(port)
-    else new InetSocketAddress(bindAddress, port), 0)
+  /** created (and bound) on [[start]] only — a unix-socket-only server
+    * must not claim the TCP port as a side effect of construction
+    * (HttpServer.create binds immediately).
+    */
+  @volatile private var server: Option[HttpServer] = None
 
   private def internalProm(excludeNames: Set[String] = Set.empty)
       : String = {
@@ -92,14 +94,25 @@ final class ExportServer private (
     * mtail's internal counters the same way).
     */
   private def debugVarsBody: String = {
+    // every key and string value goes through the escape, and
+    // non-finite floats quote (bare NaN/Infinity is invalid JSON)
+    def esc(s: String): String =
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      }
     def valueJson(v: graft.mtail.Snapshot.Value): String = v match {
       case graft.mtail.Snapshot.VInt(i) => i.toString
-      case graft.mtail.Snapshot.VFloat(f) => f.toString
-      case graft.mtail.Snapshot.VStr(s) =>
-        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case graft.mtail.Snapshot.VFloat(f) =>
+        if (java.lang.Double.isFinite(f)) f.toString
+        else "\"" + f.toString + "\""
+      case graft.mtail.Snapshot.VStr(s) => "\"" + esc(s) + "\""
     }
-    val multi = internals().size > 1
-    val entries = internals().flatMap { case (p, s) =>
+    val ints = internals() // ONE snapshot of the live program set
+    val multi = ints.size > 1
+    val entries = ints.flatMap { case (p, s) =>
       s.snapshot().groupBy(_.name).toSeq.sortBy(_._1).map {
         case (name, cells) =>
           val key = if (multi) s"$p.$name" else name
@@ -110,9 +123,9 @@ final class ExportServer private (
               .map { c =>
                 val lk = c.labels.toSeq.sortBy(_._1)
                   .map { case (k, vv) => s"$k=$vv" }.mkString(",")
-                "\"" + lk + "\": " + valueJson(c.value)
+                "\"" + esc(lk) + "\": " + valueJson(c.value)
               }.mkString("{", ", ", "}")
-          "\"" + key + "\": " + v
+          "\"" + esc(key) + "\": " + v
       }
     }
     entries.mkString("{", ", ", "}") + "\n"
@@ -191,23 +204,27 @@ final class ExportServer private (
     case _ => (404, "text/plain", "404 page not found\n")
   }
 
-  server.createContext("/", new HttpHandler {
-    override def handle(ex: HttpExchange): Unit = {
-      val (status, ctype, bodyStr) = route(ex.getRequestURI.getPath,
-        Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      val body = bodyStr.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", ctype)
-      ex.sendResponseHeaders(status, body.length.toLong)
-      val os = ex.getResponseBody
-      os.write(body)
-      os.close()
-    }
-  })
-
-  def start(): Int = {
-    server.setExecutor(null)
-    server.start()
-    server.getAddress.getPort
+  def start(): Int = synchronized {
+    require(server.isEmpty, "already started")
+    val s = HttpServer.create(
+      if (bindAddress.isEmpty) new InetSocketAddress(port)
+      else new InetSocketAddress(bindAddress, port), 0)
+    s.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (status, ctype, bodyStr) = route(ex.getRequestURI.getPath,
+          Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+        val body = bodyStr.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", ctype)
+        ex.sendResponseHeaders(status, body.length.toLong)
+        val os = ex.getResponseBody
+        os.write(body)
+        os.close()
+      }
+    })
+    s.setExecutor(null)
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
   }
 
   // ---- unix-socket front-end (`-unix_socket`, BindUnixSocket) ----
@@ -230,9 +247,17 @@ final class ExportServer private (
     val t = new Thread(() => {
       try while (true) {
         val conn = ch.accept()
-        try serveUnixConn(conn)
-        catch { case _: Exception => () } // one bad client ≠ listener
-        finally conn.close()
+        // one thread per connection: a stalled or idle client must not
+        // head-of-line-block every other scraper (the accept loop
+        // itself never reads). Scrape concurrency is tiny, so
+        // unpooled daemon threads are fine.
+        val worker = new Thread(() => {
+          try serveUnixConn(conn)
+          catch { case _: Exception => () } // one bad client ≠ listener
+          finally { try conn.close() catch { case _: Exception => () } }
+        }, "graft-export-unix-conn")
+        worker.setDaemon(true)
+        worker.start()
       } catch { case _: Exception => () } // channel closed by stop()
     }, "graft-export-unix")
     t.setDaemon(true)
@@ -242,17 +267,26 @@ final class ExportServer private (
 
   private def serveUnixConn(conn: SocketChannel): Unit = {
     // read the request head (8 KB cap — scrape requests are tiny)
+    // non-blocking with a 5 s deadline: unix-domain channels have no
+    // SO_TIMEOUT, and a blocking read would pin this worker forever on
+    // a client that connects and never writes
+    conn.configureBlocking(false)
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
     val buf = ByteBuffer.allocate(8192)
     var head = ""
     var done = false
-    while (!done && buf.hasRemaining) {
-      if (conn.read(buf) < 0) done = true
+    while (!done && buf.hasRemaining &&
+        System.nanoTime() < deadline) {
+      val n = conn.read(buf)
+      if (n < 0) done = true
+      else if (n == 0) Thread.sleep(2)
       else {
         head = new String(buf.array(), 0, buf.position(),
           StandardCharsets.ISO_8859_1)
         done = head.contains("\r\n\r\n") || head.contains("\n\n")
       }
     }
+    conn.configureBlocking(true)
     val requestLine = head.linesIterator.nextOption().getOrElse("")
     val parts = requestLine.split(" ")
     val (status, ctype, bodyStr) =
@@ -277,15 +311,14 @@ final class ExportServer private (
     while (b.hasRemaining) conn.write(b)
   }
 
-  def stop(): Unit = {
-    server.stop(0)
-    synchronized {
-      unixChannel.foreach { case (ch, p) =>
-        try ch.close() catch { case _: Exception => () }
-        Files.deleteIfExists(p)
-      }
-      unixChannel = None
+  def stop(): Unit = synchronized {
+    server.foreach(_.stop(0))
+    server = None
+    unixChannel.foreach { case (ch, p) =>
+      try ch.close() catch { case _: Exception => () }
+      Files.deleteIfExists(p)
     }
+    unixChannel = None
   }
 }
 

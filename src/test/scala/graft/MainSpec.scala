@@ -56,12 +56,25 @@ class MainSpec extends SparkSpec {
     assert(Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
       "-one_shot_format", "csv")).isLeft)
     assert(Main.parseArgs(Seq("positional")).isLeft)
+    // malformed push targets are usage errors at parse time, not a
+    // NumberFormatException after the daemon is up
+    assert(Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
+      "-graphite_host_port", "gr:abc")).isLeft)
+    assert(Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
+      "-statsd_hostport", "nocolon")).isLeft)
+    // -version/-help parse without the required flags
+    assert(Main.parseArgs(Seq("-version")).toOption
+      .exists(_.showVersion))
+    assert(Main.parseArgs(Seq("--help")).toOption.exists(_.showHelp))
   }
 
   test("Go duration parsing") {
     assert(Main.parseDurationMs("250ms") == 250)
     assert(Main.parseDurationMs("1h30m") == 90 * 60 * 1000)
     assert(Main.parseDurationMs("1.5s") == 1500)
+    // ParseDuration's special case: bare "0" is legal (no unit needed)
+    assert(Main.parseDurationMs("0") == 0)
+    assert(Main.parseDurationMs("-1s") == -1000)
     intercept[IllegalArgumentException](Main.parseDurationMs("250"))
     intercept[IllegalArgumentException](Main.parseDurationMs("abc"))
   }

@@ -307,6 +307,16 @@ class PushLineSourceSpec extends SparkSpec {
     } finally stream.stop()
   }
 
+  test("comma list splits outside braces only") {
+    // `-logs a,b` splits; a `{err,out}` glob alternation stays whole
+    assert(LogSources.splitList("a.log,b.log") == Seq("a.log", "b.log"))
+    assert(LogSources.splitList("logs/*.{err,out}") ==
+      Seq("logs/*.{err,out}"))
+    assert(LogSources.splitList("x.{a,b},y.log") ==
+      Seq("x.{a,b}", "y.log"))
+    assert(LogSources.splitList(",,a") == Seq("a"))
+  }
+
   test("glob ignore-regex filters discovered files") {
     val dir = Files.createTempDirectory("ignoresrc")
     Files.write(dir.resolve("app.log"), "keep\n".getBytes(UTF_8))

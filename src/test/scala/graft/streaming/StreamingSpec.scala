@@ -492,8 +492,17 @@ class StreamingSpec extends SparkSpec {
         VInt(7), None)))
     val sock = Files.createTempDirectory("graft-uds")
       .resolve("export.sock")
+    // unix-only mode must not bind the TCP port as a construction
+    // side effect: two servers built on the SAME fixed port can both
+    // serve unix sockets (an eager HttpServer.create would throw
+    // BindException on the second)
     val srv = ExportServer.single(store, "p.mtail", () => Map.empty,
-      internal = Some(internal))
+      port = 39915, internal = Some(internal))
+    val srv2 = ExportServer.single(store, "p.mtail", () => Map.empty,
+      port = 39915)
+    val sock2 = sock.getParent.resolve("export2.sock")
+    srv2.startUnix(sock2.toString)
+    srv2.stop()
     srv.startUnix(sock.toString)
     try {
       def get(path: String): String = {
