@@ -50,6 +50,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // pinned up front so concurrent queries never plan under a conf
+      // another query's LogLines.batch flipped mid-flight
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     val spark = localDir.fold(builder)(d =>

@@ -129,7 +129,9 @@ object Main {
       val res: Either[String, Unit] = name match {
         case "progs" => value().map(v => cfg = cfg.copy(progs = v))
         case "logs" => value().map(v => cfg = cfg.copy(
-          logs = cfg.logs ++ v.split(",").filter(_.nonEmpty)))
+          // brace-aware split: "*.{err,out}" is ONE pattern, not two
+          logs = cfg.logs ++ sources.LogSources.splitList(v)
+            .filter(_.exists(_ != ','))))
         case "port" => value().flatMap(v => v.toIntOption
           .toRight(s"invalid port: '$v'")
           .map(p => cfg = cfg.copy(port = p)))
@@ -214,10 +216,28 @@ object Main {
   private def validHostPort(flag: String,
       v: String): Either[String, Option[String]] =
     if (v.isEmpty) Right(None)
-    else v.split(":", 2) match {
-      case Array(h, p) if h.nonEmpty && p.toIntOption.exists(i =>
-        i > 0 && i <= 65535) => Right(Some(v))
+    else splitHostPort(v) match {
+      case Some((h, p)) if h.nonEmpty && p > 0 && p <= 65535 =>
+        Right(Some(v))
       case _ => Left(s"invalid -$flag: '$v' (expected host:port)")
+    }
+
+  /** Go net.SplitHostPort shape: bracketed IPv6 `[::1]:2003` splits at
+    * the `]:` boundary; otherwise split on the LAST ':' and reject a
+    * host that still contains ':' (unbracketed IPv6 — "too many
+    * colons" in Go).
+    */
+  private[graft] def splitHostPort(s: String): Option[(String, Int)] =
+    if (s.startsWith("[")) {
+      val i = s.indexOf("]:")
+      if (i < 0) None
+      else s.substring(i + 2).toIntOption.map(p =>
+        (s.substring(1, i), p))
+    } else {
+      val i = s.lastIndexOf(':')
+      if (i < 0 || s.substring(0, i).contains(':')) None
+      else s.substring(i + 1).toIntOption.map(p =>
+        (s.substring(0, i), p))
     }
 
   /** one line per flag — printed for -help. */
@@ -311,6 +331,7 @@ object Main {
   private def session(): SparkSession = {
     val b = SparkSession.builder().appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
     // under spark-submit the master (and parallelism) come from the
     // submit command; standalone falls back to every local core
     val withMaster =
@@ -385,11 +406,10 @@ object Main {
           val pushTargets = cfg.graphiteHostPort.toSeq ++
             cfg.statsdHostPort.toSeq ++ cfg.collectdSocketPath.toSeq
           val pushTicker = if (pushTargets.isEmpty) None else Some {
-            def hostPort(s: String): (String, Int) = {
+            def hostPort(s: String): (String, Int) =
               // shape validated at flag-parse time
-              val Array(h, pt) = s.split(":", 2)
-              (h, pt.toInt)
-            }
+              splitHostPort(s).getOrElse(
+                sys.error(s"unreachable: unvalidated host:port '$s'"))
             def exporterFor(n: String, r: graft.streaming.StreamRunner)
                 : graft.streaming.PushExporter = {
               val p = new graft.streaming.PushExporter(r.store, n,
@@ -415,11 +435,20 @@ object Main {
                 th
               }
             ex.scheduleAtFixedRate(() => {
-              val live = t.multi.runners
-              (cache.keySet -- live.keySet).toSeq
-                .foreach(cache.remove)
-              live.toSeq.sortBy(_._1).foreach { case (n, r) =>
-                cache.getOrElseUpdate(n, exporterFor(n, r)).pushOnce()
+              // an escaping exception would permanently cancel
+              // scheduleAtFixedRate and silently stop all pushes —
+              // log and keep ticking instead
+              try {
+                val live = t.multi.runners
+                (cache.keySet -- live.keySet).toSeq
+                  .foreach(cache.remove)
+                live.toSeq.sortBy(_._1).foreach { case (n, r) =>
+                  cache.getOrElseUpdate(n, exporterFor(n, r))
+                    .pushOnce()
+                }
+              } catch {
+                case e: Exception =>
+                  System.err.println(s"push tick failed: $e")
               }
             }, cfg.metricPushIntervalMs, cfg.metricPushIntervalMs,
               java.util.concurrent.TimeUnit.MILLISECONDS)

@@ -42,6 +42,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Queries run concurrently on this one session; the mtail paths
+      // need non-ANSI cast/overflow semantics and would otherwise flip
+      // the conf mid-flight (LogLines.batch) so which neighbours plan
+      // under which mode becomes timing-dependent. Pin it up front so
+      // every query plans under the same conf.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

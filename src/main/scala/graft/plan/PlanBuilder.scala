@@ -987,5 +987,8 @@ object PlanBuilder {
     */
   def joinKeys(keyCols: Seq[Column]): Column =
     if (keyCols.isEmpty) lit("")
-    else concat_ws("\u0001", keyCols: _*)
+    // concat_ws SKIPS null inputs (so (null,"a") and ("a",null) would
+    // both join to "a"); coalesce each position to a NUL marker so
+    // arity and position survive regardless of nulls.
+    else concat_ws("\u0001", keyCols.map(c => coalesce(c, lit("\u0000"))): _*)
 }

@@ -33,8 +33,9 @@ object LogSources {
         .reduce(_ unionByName _)
     }
 
-  /** split on commas at brace depth 0 only. */
-  private[sources] def splitList(pattern: String): Seq[String] = {
+  /** split on commas at brace depth 0 only (shared with the CLI's
+    * -logs flag handling so a brace glob survives both paths). */
+  private[graft] def splitList(pattern: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0

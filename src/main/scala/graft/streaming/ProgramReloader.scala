@@ -124,13 +124,28 @@ final class ProgramReloader(programPath: String,
   /** Install a HUP handler calling [[loadAll]] — `runtime.go:311-332`.
     * Errors are swallowed like the reference's `glog.Info(err)`: a
     * signal must never kill the daemon.
+    *
+    * Returns false when the JVM inherited an IGNORED disposition for
+    * SIGHUP (e.g. launched under `nohup` or a supervisor that sets
+    * SIG_IGN): `sun.misc.Signal.handle` still succeeds, but the signal
+    * is never delivered to the process, so the handler can never fire.
+    * Go's `signal.Notify` overrides an ignored disposition, so the
+    * reference *does* reload under nohup — the JVM cannot; we warn and
+    * point at the `-progs_poll_interval` fallback instead.
     */
-  def installSighup(): Unit = {
+  def installSighup(): Boolean = {
     import sun.misc.{Signal, SignalHandler}
-    Signal.handle(new Signal("HUP"), new SignalHandler {
+    val prev = Signal.handle(new Signal("HUP"), new SignalHandler {
       override def handle(sig: Signal): Unit =
         try loadAll() catch { case _: Exception => () }
     })
+    val inheritedIgnore = prev eq SignalHandler.SIG_IGN
+    if (inheritedIgnore)
+      System.err.println(
+        "warning: SIGHUP was ignored when this JVM started (nohup?); " +
+          "HUP-triggered program reload will not work — use " +
+          "-progs_poll_interval for polling reload instead")
+    !inheritedIgnore
   }
 
   /** Watch the program path by polling every `intervalMillis` — the

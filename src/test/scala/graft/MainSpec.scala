@@ -68,6 +68,27 @@ class MainSpec extends SparkSpec {
     assert(Main.parseArgs(Seq("--help")).toOption.exists(_.showHelp))
   }
 
+  test("-logs split is brace-aware in both modes") {
+    // "*.{err,out}" is ONE glob; the comma inside braces must not
+    // split it (previously one_shot got the broken halves while the
+    // daemon path accidentally repaired them)
+    val cfg = Main.parseArgs(Seq("-progs", "/p",
+      "-logs", "/var/log/app.{err,out},/var/log/b.log")).toOption.get
+    assert(cfg.logs == Seq("/var/log/app.{err,out}", "/var/log/b.log"))
+  }
+
+  test("host:port validation accepts bracketed IPv6") {
+    assert(Main.splitHostPort("[::1]:2003").contains(("::1", 2003)))
+    assert(Main.splitHostPort("host:2003").contains(("host", 2003)))
+    assert(Main.splitHostPort("1.2.3.4:80").contains(("1.2.3.4", 80)))
+    // unbracketed IPv6 = "too many colons" (Go net.SplitHostPort)
+    assert(Main.splitHostPort("::1:2003").isEmpty)
+    assert(Main.splitHostPort("noport").isEmpty)
+    assert(Main.splitHostPort("[::1]2003").isEmpty)
+    assert(Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
+      "-graphite_host_port", "[::1]:2003")).isRight)
+  }
+
   test("Go duration parsing") {
     assert(Main.parseDurationMs("250ms") == 250)
     assert(Main.parseDurationMs("1h30m") == 90 * 60 * 1000)

@@ -165,7 +165,7 @@ class DedupSpec extends SparkSpec {
     val n = 1000L
     val chain = (1L to n).map(i => (i, "x")).toDF("doc_id", "text")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val idsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val (canon, rounds) =
       Dedup.canonicalIdsWithRounds(chain, "doc_id", pairs)
     assert(rounds <= 20, s"chain of $n took $rounds rounds")
@@ -178,7 +178,11 @@ class DedupSpec extends SparkSpec {
     // localCheckpoints only the final round's edge set may still hold
     // blocks — without the eager free this is O(rounds) entries until
     // the driver's next GC cycle
-    val live = spark.sparkContext.getPersistentRDDs.size - persistedBefore
+    // count only RDDs persisted BY THIS TEST (set difference, not a
+    // size delta — the ContextCleaner may free other suites' RDDs
+    // concurrently and skew a raw count)
+    val live =
+      (spark.sparkContext.getPersistentRDDs.keySet -- idsBefore).size
     assert(live <= 1,
       s"$live new persisted RDDs alive after $rounds checkpointed " +
         "rounds — superseded rounds are not being freed eagerly")
@@ -247,14 +251,18 @@ class DedupSpec extends SparkSpec {
     val df = Seq((1L, 2L)).toDF("a", "b")
     assert(CheckpointUtil.checkpointRdd(df.filter($"a" > 0)).isEmpty,
       "non-leaf plans must be left alone")
-    val before = spark.sparkContext.getPersistentRDDs.size
     val ck = df.localCheckpoint(true)
     val rdd = CheckpointUtil.checkpointRdd(ck)
     assert(rdd.isDefined, "LogicalRDD reflection broke — eager " +
       "checkpoint cleanup has silently degraded to GC-paced cleanup")
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    // assert on THIS rdd's id, not the global persistent-RDD count —
+    // the ContextCleaner may unpersist other suites' RDDs mid-test
+    val id = rdd.get.id
+    assert(spark.sparkContext.getPersistentRDDs.contains(id),
+      "the checkpoint's backing RDD should be persisted")
     CheckpointUtil.freeCheckpoint(ck)
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(id),
+      "freeCheckpoint should unpersist the backing RDD")
   }
 
   test("LSH recall matches exact jaccard on the real documents table") {

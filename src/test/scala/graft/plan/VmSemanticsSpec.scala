@@ -229,4 +229,15 @@ class VmSemanticsSpec extends SparkSpec {
           |""".stripMargin, Seq("x"))
     }
   }
+
+  test("joinKeys preserves key arity and position under nulls") {
+    // concat_ws skips nulls, so without the per-position coalesce the
+    // distinct tuples (null,"a") and ("a",null) alias to one state key
+    import org.apache.spark.sql.functions.col
+    val df = Seq[(String, String)]((null, "a"), ("a", null), ("a", "a"))
+      .toDF("k1", "k2")
+      .select(PlanBuilder.joinKeys(Seq(col("k1"), col("k2"))).as("k"))
+    assert(df.distinct().count() == 3,
+      "null key positions must not alias")
+  }
 }

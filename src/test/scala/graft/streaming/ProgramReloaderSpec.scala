@@ -125,7 +125,13 @@ class ProgramReloaderSpec extends AnyFunSuite {
         _ => loads.incrementAndGet())
       r.loadAll()
       assert(loads.get == 1)
-      r.installSighup()
+      val deliverable = r.installSighup()
+      // under nohup/supervisors the JVM inherits SIGHUP=SIG_IGN and
+      // the raise below is never delivered — that's an environment
+      // property, not a bug; skip rather than fail (installSighup
+      // already warned and pointed at -progs_poll_interval)
+      assume(deliverable,
+        "SIGHUP inherited as ignored (nohup?) — skipping raise test")
       write(dir, "a.mtail", good2)
       sun.misc.Signal.raise(new sun.misc.Signal("HUP"))
       val deadline = System.nanoTime() + 5_000_000_000L
