@@ -172,10 +172,15 @@ object Graft {
       unixSocket: Option[String] = None,
       /** -address (main.go:41): host/IP for the TCP listener;
         * empty = all interfaces. */
-      bindAddress: String = ""): TailProgs = {
+      bindAddress: String = "",
+      /** compile resource guards (main.go:69-70); 0 = defaults. */
+      maxRegexpLength: Int = 0,
+      maxRecursionDepth: Int = 0): TailProgs = {
     val multi = new MultiRunner(Nil, spark, defaultYear, overrideZone)
     val reloader = new ProgramReloader(progsPath,
-      multi.load, multi.unload)
+      multi.load, multi.unload,
+      maxRegexpLength = maxRegexpLength,
+      maxRecursionDepth = maxRecursionDepth)
     reloader.loadAll()
     def sorted = multi.runners.toSeq.sortBy(_._1)
     val server = ExportServer.multi(

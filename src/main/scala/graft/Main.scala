@@ -61,6 +61,12 @@ object Main {
       statsdPrefix: String = "",
       collectdSocketPath: Option[String] = None,
       collectdPrefix: String = "",
+      /** -max_regexp_length (main.go:69): compile-time cap on a folded
+        * regex pattern's byte length. */
+      maxRegexpLength: Int = 1024,
+      /** -max_recursion_depth (main.go:70): compile-time cap on IR
+        * nesting depth. */
+      maxRecursionDepth: Int = 100,
       showVersion: Boolean = false,
       showHelp: Boolean = false)
 
@@ -187,6 +193,12 @@ object Main {
             Some(v).filter(_.nonEmpty)))
         case "collectd_prefix" => value().map(v =>
           cfg = cfg.copy(collectdPrefix = v))
+        case "max_regexp_length" => value().flatMap(v =>
+          v.toIntOption.toRight(s"invalid -max_regexp_length: '$v'")
+            .map(n => cfg = cfg.copy(maxRegexpLength = n)))
+        case "max_recursion_depth" => value().flatMap(v =>
+          v.toIntOption.toRight(s"invalid -max_recursion_depth: '$v'")
+            .map(n => cfg = cfg.copy(maxRecursionDepth = n)))
         case "version" => setBool((c, b) => c.copy(showVersion = b))
         case "help" | "h" => setBool((c, b) => c.copy(showHelp = b))
         case other => Left(s"unknown flag: -$other")
@@ -262,6 +274,8 @@ object Main {
       |  -graphite_host_port h:p / -graphite_prefix s
       |  -statsd_hostport h:p / -statsd_prefix s
       |  -collectd_socketpath path / -collectd_prefix s
+      |  -max_regexp_length n        compile-time regex length cap (default 1024)
+      |  -max_recursion_depth n      compile-time expression depth cap (default 100)
       |  -version / -help
       |""".stripMargin
 
@@ -287,12 +301,14 @@ object Main {
     * failures. The reference fails server start with "compile failed
     * for <name>:\n<errs>" (`runtime.go:161`).
     */
-  def compileAll(progs: String): Seq[(String, Option[String])] =
+  def compileAll(progs: String, maxRegexpLength: Int = 1024,
+      maxRecursionDepth: Int = 100): Seq[(String, Option[String])] =
     programFiles(progs).map { f =>
       val name = f.getFileName.toString
       try {
         Frontend.parse(new String(Files.readAllBytes(f),
-          StandardCharsets.UTF_8), name)
+          StandardCharsets.UTF_8), name,
+          maxRegexpLength, maxRecursionDepth)
         name -> None
       } catch {
         case e: Exception => name -> Some(e.getMessage)
@@ -311,7 +327,8 @@ object Main {
       val name = f.getFileName.toString
       val prog =
         try Frontend.parse(new String(Files.readAllBytes(f),
-          StandardCharsets.UTF_8), name)
+          StandardCharsets.UTF_8), name,
+          cfg.maxRegexpLength, cfg.maxRecursionDepth)
         catch { case e: Exception => throw new RuntimeException(
           s"compile failed for $name:\n${e.getMessage}", e) }
       val cells = Snapshot.collect(
@@ -360,7 +377,8 @@ object Main {
           println("graft (Spark-native mtail engine)")
           sys.exit(0)
         } else if (cfg.compileOnly) {
-          val errs = compileAll(cfg.progs).collect {
+          val errs = compileAll(cfg.progs, cfg.maxRegexpLength,
+            cfg.maxRecursionDepth).collect {
             case (n, Some(e)) => s"compile failed for $n:\n$e"
           }
           errs.foreach(System.err.println)
@@ -392,7 +410,9 @@ object Main {
             emitProgLabel = cfg.emitProgLabel,
             emitMetricTimestamp = cfg.emitMetricTimestamp,
             unixSocket = cfg.unixSocket,
-            bindAddress = cfg.address)
+            bindAddress = cfg.address,
+            maxRegexpLength = cfg.maxRegexpLength,
+            maxRecursionDepth = cfg.maxRecursionDepth)
           t.reloader.programErrors.foreach { case (n, e) =>
             e.foreach(msg =>
               System.err.println(s"compile failed for $n:\n$msg"))

@@ -180,8 +180,75 @@ object Frontend {
 
   // ---------------- parser ----------------
 
-  def parse(src: String, name: String): Program =
-    constFold(new Parser(lex(src), name).parseProgram())
+  /** Reference compiler resource-guard defaults
+    * (`cmd/mtail/main.go:69-70`). `<= 0` means "use the default", like
+    * the reference checker's zero-value handling
+    * (`compiler/checker/checker.go:46-52`).
+    */
+  val DefaultMaxRegexpLength = 1024
+  val DefaultMaxRecursionDepth = 100
+
+  def parse(src: String, name: String,
+      maxRegexpLength: Int = DefaultMaxRegexpLength,
+      maxRecursionDepth: Int = DefaultMaxRecursionDepth): Program = {
+    val prog = constFold(new Parser(lex(src), name).parseProgram())
+    checkResourceLimits(prog,
+      if (maxRegexpLength <= 0) DefaultMaxRegexpLength
+      else maxRegexpLength,
+      if (maxRecursionDepth <= 0) DefaultMaxRecursionDepth
+      else maxRecursionDepth)
+    prog
+  }
+
+  /** Compiler resource guards — the checker's pattern-length and
+    * walk-depth budgets (`compiler/checker/checker.go:66-71,883-887`).
+    * Run on the folded IR: `const` fragments are already inlined, so
+    * the measured pattern is the one the engine actually compiles
+    * (the reference too checks the concatenated pattern). A
+    * pathological program must be a compile error, not a planner DoS.
+    */
+  private def checkResourceLimits(prog: Program, maxRe: Int,
+      maxDepth: Int): Unit = {
+    def err(m: String): Nothing =
+      throw new IllegalArgumentException(s"${prog.name}: $m")
+    def checkRe(p: String): Unit = {
+      val plen = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .length
+      if (plen > maxRe) err(
+        s"Exceeded maximum regular expression pattern length of " +
+          s"$maxRe bytes with $plen.\n\tExcessively long patterns " +
+          "are likely to cause compilation and runtime performance " +
+          "problems.")
+    }
+    // depth mirrors the reference's checker-walk counter: every IR
+    // node (stmt, cond, expr) adds one level
+    def dExpr(e: Expr): Int = 1 + (e match {
+      case Binop(_, l, r) => math.max(dExpr(l), dExpr(r))
+      case Unop(_, x) => dExpr(x)
+      case Call(_, args) => (0 +: args.map(dExpr)).max
+      case MetricRead(_, ks) => (0 +: ks.map(dExpr)).max
+      case PatternLit(re) => checkRe(re); 0
+      case LineMatch(re, _) => checkRe(re); 0
+      case _ => 0
+    })
+    def dStmt(s: Stmt): Int = 1 + (s match {
+      case CondBlock(cond, body, elseBody) =>
+        val dc = cond match {
+          case CondPattern(re, _) => checkRe(re); 1
+          case CondExpr(e) => 1 + dExpr(e)
+          case CondOtherwise => 1
+        }
+        (dc +: (body ++ elseBody).map(b => 1 + dStmt(b))).max
+      case IncStmt(_, ks, delta) => (ks :+ delta).map(dExpr).max
+      case SetStmt(_, ks, v) => (ks :+ v).map(dExpr).max
+      case DelStmt(_, ks, _) => (0 +: ks.map(dExpr)).max
+      case ExprStmt(e) => dExpr(e)
+      case _ => 0
+    })
+    val depth = (0 +: prog.stmts.map(s => 1 + dStmt(s))).max
+    if (depth > maxDepth) err(
+      s"Expression exceeded maximum recursion depth of $maxDepth")
+  }
 
   // ------------- compile-time constant folding -------------
 

@@ -44,7 +44,11 @@ import graft.mtail.{Frontend, Ir}
   */
 final class ProgramReloader(programPath: String,
     load: Ir.Program => Unit,
-    unload: String => Unit = _ => ()) {
+    unload: String => Unit = _ => (),
+    /** compile resource guards (`cmd/mtail/main.go:69-70`);
+      * `<= 0` = reference defaults. */
+    maxRegexpLength: Int = 0,
+    maxRecursionDepth: Int = 0) {
 
   /** name → sha-256 of the last successfully loaded contents. */
   @volatile private var loaded = Map.empty[String, String]
@@ -96,7 +100,8 @@ final class ProgramReloader(programPath: String,
             StandardCharsets.UTF_8)
           val hash = sha256(src)
           if (!loaded.get(name).contains(hash)) {
-            load(Frontend.parse(src, name))
+            load(Frontend.parse(src, name,
+              maxRegexpLength, maxRecursionDepth))
             loaded += name -> hash
             programErrors += name -> None
           } else {

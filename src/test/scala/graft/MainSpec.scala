@@ -77,6 +77,27 @@ class MainSpec extends SparkSpec {
     assert(cfg.logs == Seq("/var/log/app.{err,out}", "/var/log/b.log"))
   }
 
+  test("-max_regexp_length / -max_recursion_depth reach the compiler") {
+    val cfg = Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
+      "-max_regexp_length", "64",
+      "--max_recursion_depth=10")).toOption.get
+    assert(cfg.maxRegexpLength == 64 && cfg.maxRecursionDepth == 10)
+    assert(Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
+      "-max_regexp_length", "abc")).isLeft)
+    withDir { dir =>
+      // 70-char regex: fine under the 1024 default, over a 64 cap
+      Files.write(dir.resolve("long.mtail"),
+        ("counter c\n/" + "x" * 70 + "/ {\n  c++\n}\n")
+          .getBytes(StandardCharsets.UTF_8))
+      assert(Main.compileAll(dir.toString)
+        .forall(_._2.isEmpty), "under the default cap: compiles")
+      val errs = Main.compileAll(dir.toString, maxRegexpLength = 64)
+        .collect { case (n, Some(e)) => n -> e }
+      assert(errs.size == 1 && errs.head._2.contains(
+        "maximum regular expression pattern length of 64"))
+    }
+  }
+
   test("host:port validation accepts bracketed IPv6") {
     assert(Main.splitHostPort("[::1]:2003").contains(("::1", 2003)))
     assert(Main.splitHostPort("host:2003").contains(("host", 2003)))

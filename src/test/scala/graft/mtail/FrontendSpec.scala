@@ -182,4 +182,54 @@ class FrontendSpec extends AnyFunSuite {
       case other => fail(s"unexpected: $other")
     }
   }
+
+  test("resource guards: oversized regex and too-deep expressions " +
+      "are compile errors (checker.go:66-71,883-887)") {
+    // a 2000-char pattern exceeds the 1024-byte default cap
+    val longRe = "/" + ("c" * 1500) + "/ { }\n"
+    val e1 = intercept[IllegalArgumentException] {
+      Frontend.parse("counter c\n" + longRe, "guards")
+    }
+    assert(e1.getMessage.contains(
+      "Exceeded maximum regular expression pattern length of 1024 " +
+        "bytes with 1500"))
+    // the cap applies to the FOLDED pattern: two under-limit const
+    // fragments concatenated over the limit must still reject
+    val half = "x" * 600
+    val e2 = intercept[IllegalArgumentException] {
+      Frontend.parse(
+        s"""const A /$half/
+           |const B /$half/
+           |A + B {
+           |}
+           |""".stripMargin, "guards")
+    }
+    assert(e2.getMessage.contains("maximum regular expression"))
+    // subst's pattern argument is guarded too (checker_test.go:288)
+    val e3 = intercept[IllegalArgumentException] {
+      Frontend.parse("counter c\n/(?P<x>.*)/ {\n  subst(/" +
+        ("y" * 1500) + "/, \"\", $x)\n  c++\n}\n", "guards")
+    }
+    assert(e3.getMessage.contains("maximum regular expression"))
+
+    // a ~300-token expression chain exceeds the depth-100 default.
+    // NOTE the chain must not be constant: like the reference, the
+    // optimiser folds literal arithmetic BEFORE the checker runs
+    // (compiler.go:103-114), so "1 + 1 + ..." never reaches the guard
+    // in either engine; anchoring on a capref keeps it unfoldable
+    val deep = "counter c\n/(?P<x>\\d+)/ {\n  c += $x + " +
+      Seq.fill(150)("1").mkString(" + ") + "\n}\n"
+    val e4 = intercept[IllegalArgumentException] {
+      Frontend.parse(deep, "guards", maxRecursionDepth = 100)
+    }
+    assert(e4.getMessage.contains(
+      "Expression exceeded maximum recursion depth of 100"))
+
+    // raised limits admit both; every reference example stays under
+    // the defaults (the "all reference example programs parse" test
+    // above already proves the guards don't over-reject)
+    Frontend.parse("counter c\n" + longRe, "guards",
+      maxRegexpLength = 4096)
+    Frontend.parse(deep, "guards", maxRecursionDepth = 1000)
+  }
 }
