@@ -27,7 +27,7 @@ object Graft {
     * graft's analogue of the reference VM's DumpByteCode
     * (`runtime/httpstatus.go:105`).
     */
-  private def irDump(p: Ir.Program): String =
+  private[graft] def irDump(p: Ir.Program): String =
     (s"program ${p.name}" +:
       (p.decls.map("decl " + _) ++ p.stmts.map("stmt " + _)))
       .mkString("\n")

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.mtail.{Frontend, Snapshot}
+import graft.mtail.{Frontend, Ir, LogLines, Re2, Snapshot}
 import graft.plan.PlanBuilder
 
 /** CLI entry point — the reference binary's user-facing flag surface
@@ -67,6 +67,13 @@ object Main {
       /** -max_recursion_depth (main.go:70): compile-time cap on IR
         * nesting depth. */
       maxRecursionDepth: Int = 100,
+      /** -dump_ast / -dump_ast_types / -dump_bytecode
+        * (main.go:53-55): emit compile-stage artifacts to stderr —
+        * the parsed IR, the IR with inferred capture-group types, and
+        * the optimized Catalyst plan (this engine's "bytecode"). */
+      dumpAst: Boolean = false,
+      dumpAstTypes: Boolean = false,
+      dumpBytecode: Boolean = false,
       showVersion: Boolean = false,
       showHelp: Boolean = false)
 
@@ -199,6 +206,11 @@ object Main {
         case "max_recursion_depth" => value().flatMap(v =>
           v.toIntOption.toRight(s"invalid -max_recursion_depth: '$v'")
             .map(n => cfg = cfg.copy(maxRecursionDepth = n)))
+        case "dump_ast" => setBool((c, b) => c.copy(dumpAst = b))
+        case "dump_ast_types" =>
+          setBool((c, b) => c.copy(dumpAstTypes = b))
+        case "dump_bytecode" =>
+          setBool((c, b) => c.copy(dumpBytecode = b))
         case "version" => setBool((c, b) => c.copy(showVersion = b))
         case "help" | "h" => setBool((c, b) => c.copy(showHelp = b))
         case other => Left(s"unknown flag: -$other")
@@ -276,6 +288,9 @@ object Main {
       |  -collectd_socketpath path / -collectd_prefix s
       |  -max_regexp_length n        compile-time regex length cap (default 1024)
       |  -max_recursion_depth n      compile-time expression depth cap (default 100)
+      |  -dump_ast                   dump the parsed IR to stderr
+      |  -dump_ast_types             dump the IR with inferred capref types
+      |  -dump_bytecode              dump the optimized Catalyst plan
       |  -version / -help
       |""".stripMargin
 
@@ -314,6 +329,101 @@ object Main {
         case e: Exception => name -> Some(e.getMessage)
       }
     }
+
+  /** Every regex pattern reachable from the program, in source order
+    * (conds, line matches, `=~` / `subst` pattern args). */
+  private def programPatterns(p: Ir.Program): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    def expr(e: Ir.Expr): Unit = e match {
+      case Ir.Binop(_, l, r) => expr(l); expr(r)
+      case Ir.Unop(_, x) => expr(x)
+      case Ir.Call(_, args) => args.foreach(expr)
+      case Ir.MetricRead(_, ks) => ks.foreach(expr)
+      case Ir.PatternLit(re) => out += re
+      case Ir.LineMatch(re, _) => out += re
+      case _ => ()
+    }
+    def stmt(s: Ir.Stmt): Unit = s match {
+      case Ir.CondBlock(c, b, eb) =>
+        c match {
+          case Ir.CondPattern(re, _) => out += re
+          case Ir.CondExpr(e) => expr(e)
+          case _ => ()
+        }
+        (b ++ eb).foreach(stmt)
+      case Ir.IncStmt(_, ks, d) => (ks :+ d).foreach(expr)
+      case Ir.SetStmt(_, ks, v) => (ks :+ v).foreach(expr)
+      case Ir.DelStmt(_, ks, _) => ks.foreach(expr)
+      case Ir.ExprStmt(e) => expr(e)
+      case _ => ()
+    }
+    p.stmts.foreach(stmt)
+    out.toSeq
+  }
+
+  /** -dump_ast_types: the IR dump plus each pattern's capture groups
+    * with their inferred types (the reference's post-check typed AST,
+    * main.go:54; inference per `checker.go` capref typing). */
+  private[graft] def typedDump(p: Ir.Program): String = {
+    val types = programPatterns(p).flatMap { re =>
+      scala.util.Try(Re2.parse(re)).toOption.map { parsed =>
+        val groups = parsed.groups.map { g =>
+          val ty = Re2.inferCaprefType(parsed, g.index) match {
+            case Re2.CapInt => "Int"
+            case Re2.CapFloat => "Float"
+            case Re2.CapString => "String"
+          }
+          val label = g.name.fold(s"$$${g.index}")(n =>
+            s"$$$n (${g.index})")
+          s"  $label: $ty"
+        }
+        (s"pattern /$re/:" +: groups).mkString("\n")
+      }
+    }
+    (Graft.irDump(p) +: types).mkString("\n")
+  }
+
+  /** -dump_bytecode: what this engine compiles a program TO is a
+    * Catalyst plan, not a VM opcode list — dump the optimized logical
+    * plan of the snapshot query over an empty probe frame
+    * (main.go:55's closest analogue). */
+  private[graft] def bytecodeDump(spark: SparkSession,
+      p: Ir.Program, cfg: Config): String = {
+    val probe = LogLines.fromLines(
+      spark.range(0).selectExpr("CAST('' AS STRING) AS line"), "line")
+    val defaultYear = if (cfg.syslogUseCurrentYear)
+      java.time.Year.now.getValue else 0
+    val df = new PlanBuilder(p, probe, defaultYear,
+      overrideZone = cfg.overrideTimezone).snapshot()
+    df.queryExecution.optimizedPlan.treeString
+  }
+
+  /** Emit the -dump_* artifacts for every program to stderr (the
+    * reference logs them at INFO, `compiler.go:98-121`); returns the
+    * rendered chunks for the spec. Dump failures are per-program and
+    * non-fatal — the mode run that follows reports compile errors
+    * itself.
+    */
+  def dumpPrograms(cfg: Config,
+      sparkForPlan: () => SparkSession): Seq[String] = {
+    if (!(cfg.dumpAst || cfg.dumpAstTypes || cfg.dumpBytecode)) Nil
+    else programFiles(cfg.progs).flatMap { f =>
+      val name = f.getFileName.toString
+      try {
+        val prog = Frontend.parse(new String(Files.readAllBytes(f),
+          StandardCharsets.UTF_8), name,
+          cfg.maxRegexpLength, cfg.maxRecursionDepth)
+        (if (cfg.dumpAst)
+           Seq(s"$name AST:\n${Graft.irDump(prog)}") else Nil) ++
+        (if (cfg.dumpAstTypes)
+           Seq(s"$name AST with Type Annotation:\n" +
+             typedDump(prog)) else Nil) ++
+        (if (cfg.dumpBytecode)
+           Seq(s"$name plan:\n" +
+             bytecodeDump(sparkForPlan(), prog, cfg)) else Nil)
+      } catch { case _: Exception => Nil }
+    }
+  }
 
   /** -one_shot: run every program over the logs read start-to-EOF,
     * render the final store in `format` (main.go:244-276). Compile
@@ -377,6 +487,8 @@ object Main {
           println("graft (Spark-native mtail engine)")
           sys.exit(0)
         } else if (cfg.compileOnly) {
+          dumpPrograms(cfg, () => session())
+            .foreach(System.err.println)
           val errs = compileAll(cfg.progs, cfg.maxRegexpLength,
             cfg.maxRecursionDepth).collect {
             case (n, Some(e)) => s"compile failed for $n:\n$e"
@@ -385,12 +497,14 @@ object Main {
           sys.exit(if (errs.isEmpty) 0 else 1)
         } else if (cfg.oneShot) {
           val spark = session()
+          dumpPrograms(cfg, () => spark).foreach(System.err.println)
           try println(oneShot(spark, cfg))
           catch { case e: Exception =>
             System.err.println(e.getMessage); sys.exit(1) }
           finally spark.stop()
         } else {
           val spark = session()
+          dumpPrograms(cfg, () => spark).foreach(System.err.println)
           // the reference daemon: progs dir + HUP reload, one pull
           // port for every program, push sinks on a ticker
           val t = Graft.tailProgs(spark, cfg.progs,

@@ -98,6 +98,40 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("-dump_ast / -dump_ast_types / -dump_bytecode emit the " +
+      "compile-stage artifacts (main.go:53-55)") {
+    withDir { dir =>
+      Files.write(dir.resolve("d.mtail"),
+        """counter lines by op
+          |/(?P<op>\w+) (?P<n>\d+)/ {
+          |  lines[$op] += $n
+          |}
+          |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      val base = Main.parseArgs(Seq("-progs", dir.toString,
+        "-logs", "/dev/null", "-dump_ast", "-dump_ast_types",
+        "-dump_bytecode")).toOption.get
+      assert(base.dumpAst && base.dumpAstTypes && base.dumpBytecode)
+      val dumps = Main.dumpPrograms(base, () => spark)
+      assert(dumps.size == 3)
+      // parsed IR
+      assert(dumps(0).startsWith("d.mtail AST:"))
+      assert(dumps(0).contains("program d.mtail") &&
+        dumps(0).contains("decl ") && dumps(0).contains("stmt "))
+      // typed IR: capture groups with inferred types
+      assert(dumps(1).startsWith("d.mtail AST with Type Annotation:"))
+      assert(dumps(1).contains("$op (1): String"))
+      assert(dumps(1).contains("$n (2): Int"))
+      // "bytecode" = the optimized Catalyst plan
+      assert(dumps(2).startsWith("d.mtail plan:"))
+      assert(dumps(2).contains("Aggregate") ||
+        dumps(2).contains("Project"), s"no plan nodes in: ${dumps(2)}")
+      // no flags → no dumps
+      assert(Main.dumpPrograms(base.copy(dumpAst = false,
+        dumpAstTypes = false, dumpBytecode = false),
+        () => spark).isEmpty)
+    }
+  }
+
   test("host:port validation accepts bracketed IPv6") {
     assert(Main.splitHostPort("[::1]:2003").contains(("::1", 2003)))
     assert(Main.splitHostPort("host:2003").contains(("host", 2003)))
