@@ -395,7 +395,10 @@ object Main {
       java.time.Year.now.getValue else 0
     val df = new PlanBuilder(p, probe, defaultYear,
       overrideZone = cfg.overrideTimezone).snapshot()
-    df.queryExecution.optimizedPlan.treeString
+    // Dump the *analyzed* plan: the probe frame is empty, and the
+    // optimizer's PropagateEmptyRelation would fold the whole tree to
+    // `LocalRelation <empty>`, hiding the program's operator structure.
+    df.queryExecution.analyzed.treeString
   }
 
   /** Emit the -dump_* artifacts for every program to stderr (the
@@ -421,7 +424,16 @@ object Main {
         (if (cfg.dumpBytecode)
            Seq(s"$name plan:\n" +
              bytecodeDump(sparkForPlan(), prog, cfg)) else Nil)
-      } catch { case _: Exception => Nil }
+      } catch {
+        // StackOverflowError included: a pathologically nested program
+        // can blow the JVM stack inside the parser before the depth
+        // guard fires; a dump must not kill the caller's thread.
+        case e @ (_: Exception | _: StackOverflowError) =>
+          Console.err.println(
+            s"graft: dump of $name failed: ${e.getClass.getSimpleName}:" +
+              s" ${Option(e.getMessage).getOrElse("")}")
+          Nil
+      }
     }
   }
 
@@ -474,6 +486,22 @@ object Main {
     spark
   }
 
+  /** The -compile_only mode body, exit code returned instead of
+    * exited so the spec can drive the full argv→stderr path
+    * (`mtail.go:41-52` CompileOnly). Dumps go to stderr first (like
+    * the reference's INFO log), then per-program compile errors.
+    */
+  private[graft] def compileOnlyRun(cfg: Config,
+      sparkForPlan: () => SparkSession): Int = {
+    dumpPrograms(cfg, sparkForPlan).foreach(System.err.println)
+    val errs = compileAll(cfg.progs, cfg.maxRegexpLength,
+      cfg.maxRecursionDepth).collect {
+      case (n, Some(e)) => s"compile failed for $n:\n$e"
+    }
+    errs.foreach(System.err.println)
+    if (errs.isEmpty) 0 else 1
+  }
+
   def main(args: Array[String]): Unit = {
     parseArgs(args.toSeq) match {
       case Left(err) =>
@@ -487,14 +515,7 @@ object Main {
           println("graft (Spark-native mtail engine)")
           sys.exit(0)
         } else if (cfg.compileOnly) {
-          dumpPrograms(cfg, () => session())
-            .foreach(System.err.println)
-          val errs = compileAll(cfg.progs, cfg.maxRegexpLength,
-            cfg.maxRecursionDepth).collect {
-            case (n, Some(e)) => s"compile failed for $n:\n$e"
-          }
-          errs.foreach(System.err.println)
-          sys.exit(if (errs.isEmpty) 0 else 1)
+          sys.exit(compileOnlyRun(cfg, () => session()))
         } else if (cfg.oneShot) {
           val spark = session()
           dumpPrograms(cfg, () => spark).foreach(System.err.println)

@@ -219,6 +219,12 @@ object Frontend {
           s"$maxRe bytes with $plen.\n\tExcessively long patterns " +
           "are likely to cause compilation and runtime performance " +
           "problems.")
+      // syntax check at compile time, like the reference checker's
+      // regexp.Compile walk (checker.go:269-283): a malformed pattern
+      // must be a compile error, not a plan-time failure deep in the
+      // engine (or worse, a silent never-matching condition)
+      try Re2.parse(p)
+      catch { case e: IllegalArgumentException => err(e.getMessage) }
     }
     // depth mirrors the reference's checker-walk counter: every IR
     // node (stmt, cond, expr) adds one level
@@ -238,14 +244,17 @@ object Frontend {
           case CondExpr(e) => 1 + dExpr(e)
           case CondOtherwise => 1
         }
-        (dc +: (body ++ elseBody).map(b => 1 + dStmt(b))).max
+        // body stmts count via dStmt's own `1 +` wrapper — no extra
+        // level here, so the metric stays one-level-per-IR-node like
+        // the reference's checker-walk counter (checker.go:883-887)
+        (dc +: (body ++ elseBody).map(dStmt)).max
       case IncStmt(_, ks, delta) => (ks :+ delta).map(dExpr).max
       case SetStmt(_, ks, v) => (ks :+ v).map(dExpr).max
       case DelStmt(_, ks, _) => (0 +: ks.map(dExpr)).max
       case ExprStmt(e) => dExpr(e)
       case _ => 0
     })
-    val depth = (0 +: prog.stmts.map(s => 1 + dStmt(s))).max
+    val depth = (0 +: prog.stmts.map(dStmt)).max
     if (depth > maxDepth) err(
       s"Expression exceeded maximum recursion depth of $maxDepth")
   }

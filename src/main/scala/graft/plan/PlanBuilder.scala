@@ -980,15 +980,26 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
 object PlanBuilder {
   /** join a metric key tuple into one state-map key (scalars → "").
-    * Separator is "\u0001" (an unprintable byte that cannot appear in
-    * label values extracted from text lines), so ("ab","c") never
-    * collides with ("a","bc"). Both writers (finalReadState) and
-    * readers (element_at lookup) go through this one function.
+    * The encoding is INJECTIVE for any values, including ones that
+    * contain the separator/escape bytes themselves: inside each value
+    * the escape byte "\u0000" is doubled and the separator "\u0001"
+    * becomes "\u0000\u0002", so no encoded component contains a bare
+    * separator; NULL encodes as a lone "\u0000", which no escaped
+    * value can equal (every "\u0000" in an escaped value is followed
+    * by another byte). So ("ab","c") ≠ ("a","bc"), (null,"a") ≠
+    * ("a",null), and "\u0000" ≠ null. Keys are only ever compared,
+    * never split back, so injectivity is all that's needed. Both
+    * writers (finalReadState) and readers (element_at lookup) go
+    * through this one function.
     */
   def joinKeys(keyCols: Seq[Column]): Column =
     if (keyCols.isEmpty) lit("")
     // concat_ws SKIPS null inputs (so (null,"a") and ("a",null) would
-    // both join to "a"); coalesce each position to a NUL marker so
-    // arity and position survive regardless of nulls.
-    else concat_ws("\u0001", keyCols.map(c => coalesce(c, lit("\u0000"))): _*)
+    // otherwise both join to "a") — hence the explicit null marker.
+    else concat_ws("\u0001", keyCols.map { c =>
+      coalesce(
+        regexp_replace(regexp_replace(c, "\u0000", "\u0000\u0000"),
+          "\u0001", "\u0000\u0002"),
+        lit("\u0000"))
+    }: _*)
 }

@@ -112,10 +112,15 @@ final class ProgramReloader(programPath: String,
             programErrors += name -> None
           }
         } catch {
-          case e: Exception =>
+          // StackOverflowError: a pathologically nested program blows
+          // the JVM stack inside the recursive-descent parser before
+          // the depth guard can fire; it must surface as a per-program
+          // compile error, not kill the reload/signal thread.
+          case e @ (_: Exception | _: StackOverflowError) =>
             // old program (if any) keeps running; its hash stays so
             // reverting the bad edit is seen as unchanged-and-healthy
-            programErrors += name -> Some(e.getMessage)
+            programErrors += name -> Some(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
         }
       }
     }
@@ -142,7 +147,7 @@ final class ProgramReloader(programPath: String,
     import sun.misc.{Signal, SignalHandler}
     val prev = Signal.handle(new Signal("HUP"), new SignalHandler {
       override def handle(sig: Signal): Unit =
-        try loadAll() catch { case _: Exception => () }
+        try loadAll() catch { case _: Exception | _: StackOverflowError => () }
     })
     val inheritedIgnore = prev eq SignalHandler.SIG_IGN
     if (inheritedIgnore)
@@ -163,7 +168,7 @@ final class ProgramReloader(programPath: String,
     val t = new Thread(() => {
       try while (!Thread.interrupted()) {
         Thread.sleep(intervalMillis)
-        try loadAll() catch { case _: Exception => () }
+        try loadAll() catch { case _: Exception | _: StackOverflowError => () }
       } catch { case _: InterruptedException => () }
     }, "graft-prog-reloader")
     t.setDaemon(true)

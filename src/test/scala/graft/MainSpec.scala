@@ -132,6 +132,44 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("-compile_only -dump_ast_types drives the argv → stderr " +
+      "wiring end to end (mtail.go:41-52)") {
+    withDir { dir =>
+      Files.write(dir.resolve("d.mtail"),
+        """counter lines by op
+          |/(?P<op>\w+) (?P<n>\d+)/ {
+          |  lines[$op] += $n
+          |}
+          |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      val cfg = Main.parseArgs(Seq("-compile_only", "-dump_ast_types",
+        "-progs", dir.toString)).toOption.get
+      val buf = new java.io.ByteArrayOutputStream()
+      val prevErr = System.err
+      val rc =
+        try {
+          System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+          Main.compileOnlyRun(cfg, () => spark)
+        } finally System.setErr(prevErr)
+      val err = new String(buf.toByteArray, StandardCharsets.UTF_8)
+      assert(rc == 0)
+      assert(err.contains("d.mtail AST with Type Annotation:"))
+      assert(err.contains("$op (1): String") &&
+        err.contains("$n (2): Int"))
+      // a broken program flips the exit code and reports on stderr
+      Files.write(dir.resolve("bad.mtail"),
+        "asdfasdf\n".getBytes(StandardCharsets.UTF_8))
+      val buf2 = new java.io.ByteArrayOutputStream()
+      val rc2 =
+        try {
+          System.setErr(new java.io.PrintStream(buf2, true, "UTF-8"))
+          Main.compileOnlyRun(cfg, () => spark)
+        } finally System.setErr(prevErr)
+      assert(rc2 == 1)
+      assert(new String(buf2.toByteArray, StandardCharsets.UTF_8)
+        .contains("compile failed for bad.mtail"))
+    }
+  }
+
   test("host:port validation accepts bracketed IPv6") {
     assert(Main.splitHostPort("[::1]:2003").contains(("::1", 2003)))
     assert(Main.splitHostPort("host:2003").contains(("host", 2003)))

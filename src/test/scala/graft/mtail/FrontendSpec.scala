@@ -232,4 +232,18 @@ class FrontendSpec extends AnyFunSuite {
       maxRegexpLength = 4096)
     Frontend.parse(deep, "guards", maxRecursionDepth = 1000)
   }
+
+  test("malformed regex is a compile error, not a plan-time failure " +
+      "(checker.go:269-283)") {
+    val e = intercept[IllegalArgumentException] {
+      Frontend.parse("counter c\n/(unclosed/ {\n  c++\n}\n", "syn")
+    }
+    assert(e.getMessage.contains("regex"))
+    // subst's pattern argument is syntax-checked too
+    val e2 = intercept[IllegalArgumentException] {
+      Frontend.parse("counter c\n/(?P<x>.*)/ {\n" +
+        "  subst(/[bad/, \"\", $x)\n  c++\n}\n", "syn")
+    }
+    assert(e2.getMessage.contains("regex"))
+  }
 }

@@ -240,4 +240,21 @@ class VmSemanticsSpec extends SparkSpec {
     assert(df.distinct().count() == 3,
       "null key positions must not alias")
   }
+
+  test("joinKeys is injective even for values containing the " +
+      "separator/escape bytes") {
+    import org.apache.spark.sql.functions.col
+    // adversarial tuples that alias under naive sentinel schemes: a
+    // literal NUL value vs an actual null key; values carrying the
+    // \u0001 separator that shift bytes across a component boundary
+    val rows = Seq[(String, String)](
+      ("\u0000", "a"), (null, "a"),         // NUL value vs null key
+      ("a\u0001", "b"), ("a", "\u0001b"),  // separator inside a value
+      ("a", "b"),                            // vs the plain pair
+      ("\u0000\u0001", ""), ("\u0000", "\u0001"))
+    val df = rows.toDF("k1", "k2")
+      .select(PlanBuilder.joinKeys(Seq(col("k1"), col("k2"))).as("k"))
+    assert(df.distinct().count() == rows.size,
+      "distinct key tuples must encode to distinct state keys")
+  }
 }
