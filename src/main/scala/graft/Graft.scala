@@ -175,8 +175,21 @@ object Graft {
       bindAddress: String = "",
       /** compile resource guards (main.go:69-70); 0 = defaults. */
       maxRegexpLength: Int = 0,
-      maxRecursionDepth: Int = 0): TailProgs = {
-    val multi = new MultiRunner(Nil, spark, defaultYear, overrideZone)
+      maxRecursionDepth: Int = 0,
+      /** -poll_log_interval (main.go:66): glob-rescan cadence for the
+        * tail source, decoupled from the data-poll trigger; None =
+        * every micro-batch, Some(0) = startup file set only. */
+      pollLogMs: Option[Long] = None,
+      /** -expired_metrics_gc_interval (main.go:67); <=0 = every batch. */
+      gcIntervalMs: Long = 0L,
+      /** -vm_logs_runtime_errors (main.go:62). */
+      logRuntimeErrors: Boolean = true,
+      /** -http_debugging_endpoint / -http_info_endpoint
+        * (main.go:75-76): route-family toggles on the pull server. */
+      httpDebugEndpoints: Boolean = true,
+      httpInfoEndpoints: Boolean = true): TailProgs = {
+    val multi = new MultiRunner(Nil, spark, defaultYear, overrideZone,
+      gcIntervalMs = gcIntervalMs, logRuntimeErrors = logRuntimeErrors)
     val reloader = new ProgramReloader(progsPath,
       multi.load, multi.unload,
       maxRegexpLength = maxRegexpLength,
@@ -193,14 +206,17 @@ object Graft {
         n -> r.internalStore },
       emitTimestamp = emitMetricTimestamp,
       omitProgLabel = !emitProgLabel,
-      bindAddress = bindAddress)
+      bindAddress = bindAddress,
+      debugEndpoints = httpDebugEndpoints,
+      infoEndpoints = httpInfoEndpoints)
     val boundPort = unixSocket match {
       case Some(path) => server.startUnix(path); -1
       case None => server.start()
     }
     val query =
       try multi.start(
-        LogSources.open(spark, sourcePattern, ignoreRegex), trigger)
+        LogSources.open(spark, sourcePattern, ignoreRegex, pollLogMs),
+        trigger)
       catch { case e: Throwable => server.stop(); throw e }
     if (sighup) reloader.installSighup()
     pollMillis.foreach(reloader.startPolling)

@@ -49,6 +49,21 @@ object Main {
         * is its Spark analogue — each tick is one microbatch.
         */
       pollIntervalMs: Long = 250,
+      /** -poll_log_interval (main.go:66): cadence of the glob rescan
+        * that discovers NEW matched files, decoupled from the data
+        * poll; 0 = only files present at startup are tailed.
+        */
+      pollLogIntervalMs: Long = 250,
+      /** -expired_metrics_gc_interval (main.go:67): cadence of the
+        * store GC (TTL expiry + limit trim). */
+      expiredMetricsGcIntervalMs: Long = 3600000,
+      /** -vm_logs_runtime_errors (main.go:62): log runtime error
+        * counts to the standard log. */
+      vmLogsRuntimeErrors: Boolean = true,
+      /** -http_debugging_endpoint / -http_info_endpoint
+        * (main.go:75-76). */
+      httpDebugEndpoints: Boolean = true,
+      httpInfoEndpoints: Boolean = true,
       /** graft extension: re-scan the progs path every N ms (the
         * filesystem analogue of the reference's HUP-only reload, for
         * deployments that cannot signal the JVM). 0 = HUP only.
@@ -171,6 +186,22 @@ object Main {
           setBool((c, b) => c.copy(emitProgLabel = b))
         case "emit_metric_timestamp" =>
           setBool((c, b) => c.copy(emitMetricTimestamp = b))
+        case "poll_log_interval" => value().flatMap(v =>
+          try Right { cfg = cfg.copy(pollLogIntervalMs =
+            parseDurationMs(v)) }
+          catch { case e: IllegalArgumentException =>
+            Left(e.getMessage) })
+        case "expired_metrics_gc_interval" => value().flatMap(v =>
+          try Right { cfg = cfg.copy(expiredMetricsGcIntervalMs =
+            parseDurationMs(v)) }
+          catch { case e: IllegalArgumentException =>
+            Left(e.getMessage) })
+        case "vm_logs_runtime_errors" =>
+          setBool((c, b) => c.copy(vmLogsRuntimeErrors = b))
+        case "http_debugging_endpoint" =>
+          setBool((c, b) => c.copy(httpDebugEndpoints = b))
+        case "http_info_endpoint" =>
+          setBool((c, b) => c.copy(httpInfoEndpoints = b))
         case "poll_interval" => value().flatMap(v =>
           try Right { cfg = cfg.copy(pollIntervalMs = parseDurationMs(v)) }
           catch { case e: IllegalArgumentException =>
@@ -281,6 +312,11 @@ object Main {
       |  -emit_prog_label[=b]        prog label on /metrics,/varz (default true)
       |  -emit_metric_timestamp[=b]  per-sample timestamps on /metrics
       |  -poll_interval d            log poll cadence, Go duration (default 250ms)
+      |  -poll_log_interval d        new-file glob rescan cadence (0 = startup set only)
+      |  -expired_metrics_gc_interval d  store GC cadence (default 1h)
+      |  -vm_logs_runtime_errors[=b] log runtime errors (default true)
+      |  -http_debugging_endpoint[=b] serve /debug/* endpoints (default true)
+      |  -http_info_endpoint[=b]     serve /progz,/varz (default true)
       |  -progs_poll_interval d      progs-dir rescan cadence (0 = HUP only)
       |  -metric_push_interval d     push-sink cadence (default 1m)
       |  -graphite_host_port h:p / -graphite_prefix s
@@ -547,7 +583,12 @@ object Main {
             unixSocket = cfg.unixSocket,
             bindAddress = cfg.address,
             maxRegexpLength = cfg.maxRegexpLength,
-            maxRecursionDepth = cfg.maxRecursionDepth)
+            maxRecursionDepth = cfg.maxRecursionDepth,
+            pollLogMs = Some(cfg.pollLogIntervalMs),
+            gcIntervalMs = cfg.expiredMetricsGcIntervalMs,
+            logRuntimeErrors = cfg.vmLogsRuntimeErrors,
+            httpDebugEndpoints = cfg.httpDebugEndpoints,
+            httpInfoEndpoints = cfg.httpInfoEndpoints)
           t.reloader.programErrors.foreach { case (n, e) =>
             e.foreach(msg =>
               System.err.println(s"compile failed for $n:\n$msg"))

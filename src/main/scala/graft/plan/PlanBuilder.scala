@@ -306,9 +306,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       (bool, Nil)
   }
 
-  /** null typed caprefs referenced by `e`: evaluating one raises a
-    * runtime error in the VM (S2i of an unmatched/unparseable group) and
-    * aborts the rest of the line (vm.go:97-129).
+  /** conditions under which evaluating `e` raises a runtime error in
+    * the VM and aborts the rest of the line (vm.go:97-129): a null
+    * typed capref (S2i of an unmatched/unparseable group), or an
+    * integer division/modulo whose divisor is zero (vm.go:675-683 —
+    * the VM's errorf aborts and counts, it does not just drop the
+    * one update).
     */
   private def typedCaprefNullCond(e: Expr, frames: List[Frame])
       : Option[Column] = {
@@ -319,6 +322,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           case (c, LongType | DoubleType) => nulls += c.isNull
           case _ =>
         }
+      case Binop(op @ ("/" | "%"), l, r) =>
+        if (irType(x, frames) == LongType || op == "%") {
+          val rc = exprColumn(r, frames, timeReg, siteSeq)
+          nulls += coalesce(rc === 0, lit(false))
+        }
+        visit(l); visit(r)
       case Binop(_, l, r) => visit(l); visit(r)
       case Unop(_, y) => visit(y)
       case Call(_, args) => args.foreach(visit)

@@ -26,10 +26,14 @@ object LogSources {
     * there, brace patterns must arrive via separate -logs flags).
     */
   def open(spark: SparkSession, pattern: String,
-      ignoreRegex: Option[String] = None): DataFrame =
+      ignoreRegex: Option[String] = None,
+      /** glob-rescan cadence for file patterns (`-poll_log_interval`,
+        * see [[graft.sources.TailMicroBatchStream]]); None = every
+        * micro-batch. Push schemes ignore it. */
+      pollLogMs: Option[Long] = None): DataFrame =
     splitList(pattern) match {
-      case Seq(single) => openOne(spark, single, ignoreRegex)
-      case many => many.map(openOne(spark, _, ignoreRegex))
+      case Seq(single) => openOne(spark, single, ignoreRegex, pollLogMs)
+      case many => many.map(openOne(spark, _, ignoreRegex, pollLogMs))
         .reduce(_ unionByName _)
     }
 
@@ -54,7 +58,8 @@ object LogSources {
   }
 
   private def openOne(spark: SparkSession, pattern: String,
-      ignoreRegex: Option[String]): DataFrame = {
+      ignoreRegex: Option[String],
+      pollLogMs: Option[Long] = None): DataFrame = {
     val pushSchemes =
       Seq("udp://", "unixgram://", "tcp://", "unix://", "fifo://",
         "stdin://")
@@ -62,9 +67,11 @@ object LogSources {
       spark.readStream.format("graft-lines")
         .option("address", pattern).load()
     else {
-      val r = spark.readStream.format("graft-tail")
+      val r0 = spark.readStream.format("graft-tail")
         .option("path", pattern)
-      ignoreRegex.fold(r)(re => r.option("ignoreRegex", re)).load()
+      val r1 = ignoreRegex.fold(r0)(re => r0.option("ignoreRegex", re))
+      pollLogMs.fold(r1)(ms => r1.option("pollLogMs", ms.toString))
+        .load()
     }
   }
 }

@@ -46,7 +46,8 @@ final class TailSource extends TableProvider with DataSourceRegister {
     new TailTable(properties.get("path"),
       Option(properties.get("ignoreRegex")),
       Option(properties.get("staleAfterMs")).map(_.toLong)
-        .getOrElse(TailMicroBatchStream.DefaultStaleMs))
+        .getOrElse(TailMicroBatchStream.DefaultStaleMs),
+      Option(properties.get("pollLogMs")).map(_.toLong).getOrElse(-1L))
 }
 
 object TailSource {
@@ -216,7 +217,8 @@ object TailSource {
 
 final class TailTable(pathPattern: String,
     ignoreRegex: Option[String] = None,
-    staleAfterMs: Long = TailMicroBatchStream.DefaultStaleMs)
+    staleAfterMs: Long = TailMicroBatchStream.DefaultStaleMs,
+    pollLogMs: Long = -1L)
     extends Table with SupportsRead {
   override def name(): String = s"graft-tail($pathPattern)"
   override def schema(): StructType = TailSource.schema
@@ -230,7 +232,8 @@ final class TailTable(pathPattern: String,
       override def readSchema(): StructType = TailSource.schema
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
-        new TailMicroBatchStream(pathPattern, ignoreRegex, staleAfterMs)
+        new TailMicroBatchStream(pathPattern, ignoreRegex, staleAfterMs,
+          pollLogMs)
       override def toBatch: Batch = new Batch {
         // files split into byte ranges for parallelism — SAFE because
         // each line carries its byte offset as the ordering key, so
@@ -282,8 +285,23 @@ object TailMicroBatchStream {
 
 final class TailMicroBatchStream(pathPattern: String,
     ignoreRegex: Option[String] = None,
-    staleAfterMs: Long = TailMicroBatchStream.DefaultStaleMs)
+    staleAfterMs: Long = TailMicroBatchStream.DefaultStaleMs,
+    /** `-poll_log_interval` (cmd/mtail/main.go:66): cadence of the
+      * GLOB RESCAN that discovers newly matched files, decoupled from
+      * the data poll (the trigger interval). `< 0` = rescan every
+      * micro-batch (library default); `0` = rescan never after
+      * startup, so only files present at start are tailed (the
+      * reference's documented zero behavior); `> 0` = rescan at most
+      * every this-many ms. At scale a glob over a wide directory tree
+      * is driver-side metadata I/O on every batch — this knob bounds
+      * it independently of how hot the data poll runs.
+      */
+    pollLogMs: Long = -1L)
     extends MicroBatchStream {
+
+  /** wall-clock ms of the last glob rescan, and its result. */
+  private var lastExpandMs: Long = Long.MinValue
+  private var cachedPaths: Seq[Path] = Nil
 
   /** Driver-side stale tracking, the analogue of the reference's
     * 24h idle cancellation (`reader.go:55-56`): a file that produced
@@ -309,7 +327,13 @@ final class TailMicroBatchStream(pathPattern: String,
   override def latestOffset(): Offset = {
     val now = System.currentTimeMillis()
     val state = mutable.Map[String, FileState]()
-    val existing = TailSource.expand(pathPattern, ignoreRegex)
+    val existing =
+      if (pollLogMs < 0 || lastExpandMs == Long.MinValue ||
+          (pollLogMs > 0 && now - lastExpandMs >= pollLogMs)) {
+        cachedPaths = TailSource.expand(pathPattern, ignoreRegex)
+        lastExpandMs = now
+        cachedPaths
+      } else cachedPaths
     // a path deleted from disk can never resume (a recreated file is a
     // new inode → reads from 0), so drop its tracking entries — else a
     // dated-logrotate dir grows one driver-map entry per historical
@@ -330,31 +354,38 @@ final class TailMicroBatchStream(pathPattern: String,
       // which keeps reading an in-place-rewritten file from its old
       // offset (`filestream.go:178-190` only resets when size shrinks
       // below the offset).
-      val attrs = Files.readAttributes(p,
-        classOf[java.nio.file.attribute.BasicFileAttributes],
-        java.nio.file.LinkOption.NOFOLLOW_LINKS)
-      val key = Option(attrs.fileKey).map(_.toString).getOrElse(path)
-      val size = attrs.size
-      val mtime = attrs.lastModifiedTime.toMillis
-      parked.get(path) match {
-        case Some((fs, sz, mt))
-            if fs.key == key && sz == size && mt == mtime =>
-          // still idle: no line-end scan; the recorded position stays
-          // in the offset state so restarts resume exactly
-          state(path) = fs
-        case prev =>
-          prev.foreach(_ => parked.remove(path)) // woke up
-          val pos = TailSource.lastLineEnd(p, 0L, size)
-          val since = lastSeen.get(path) match {
-            case Some((k0, p0, s0)) if k0 == key && p0 == pos => s0
-            case _ => now
-          }
-          lastSeen(path) = (key, pos, since)
-          if (staleAfterMs > 0 && now - since > staleAfterMs) {
-            parked(path) = (FileState(key, pos), size, mtime)
-            lastSeen.remove(path)
-          }
-          state(path) = FileState(key, pos)
+      // with a cached glob (pollLogMs >= 0) the path may have been
+      // deleted since the last rescan; skip it this batch (the next
+      // rescan drops its tracking entries like a glob miss would)
+      val attrsOpt =
+        try Some(Files.readAttributes(p,
+          classOf[java.nio.file.attribute.BasicFileAttributes],
+          java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        catch { case _: java.io.IOException => None }
+      attrsOpt.foreach { attrs =>
+        val key = Option(attrs.fileKey).map(_.toString).getOrElse(path)
+        val size = attrs.size
+        val mtime = attrs.lastModifiedTime.toMillis
+        parked.get(path) match {
+          case Some((fs, sz, mt))
+              if fs.key == key && sz == size && mt == mtime =>
+            // still idle: no line-end scan; the recorded position
+            // stays in the offset state so restarts resume exactly
+            state(path) = fs
+          case prev =>
+            prev.foreach(_ => parked.remove(path)) // woke up
+            val pos = TailSource.lastLineEnd(p, 0L, size)
+            val since = lastSeen.get(path) match {
+              case Some((k0, p0, s0)) if k0 == key && p0 == pos => s0
+              case _ => now
+            }
+            lastSeen(path) = (key, pos, since)
+            if (staleAfterMs > 0 && now - since > staleAfterMs) {
+              parked(path) = (FileState(key, pos), size, mtime)
+              lastSeen.remove(path)
+            }
+            state(path) = FileState(key, pos)
+        }
       }
     }
     new TailOffset(state.toMap)

@@ -49,7 +49,15 @@ final class ExportServer private (
     /** `-address` (main.go:41): host/IP to bind the TCP listener to;
       * empty = all interfaces, like the reference's default.
       */
-    bindAddress: String) {
+    bindAddress: String,
+    /** `-http_debugging_endpoint` (main.go:75): serve the debug
+      * paths (here /debug/vars and /internalz); false = 404.
+      */
+    debugEndpoints: Boolean,
+    /** `-http_info_endpoint` (main.go:76): serve the info pages
+      * (/progz, /varz); false = 404.
+      */
+    infoEndpoints: Boolean) {
 
   /** created (and bound) on [[start]] only — a unix-socket-only server
     * must not claim the TCP port as a side effect of construction
@@ -185,8 +193,17 @@ final class ExportServer private (
   /** one route table for both front-ends: (status, content-type,
     * body) for a request path + raw (undecoded) query string.
     */
+  private val notFound =
+    (404, "text/plain", "404 page not found\n")
+
   private def route(path: String, rawQuery: String)
       : (Int, String, String) = path match {
+    // flag-gated route families FIRST, so a disabled endpoint is
+    // indistinguishable from an unknown path (the reference simply
+    // never registers the handler, mtail.go:163-181)
+    case p if !debugEndpoints &&
+      (p.startsWith("/debug") || p == "/internalz") => notFound
+    case ("/progz" | "/varz") if !infoEndpoints => notFound
     case "/metrics" => (200, "text/plain", metricsBody)
     case "/internalz" => (200, "text/plain", internalProm())
     case "/json" => (200, "text/plain",
@@ -201,7 +218,7 @@ final class ExportServer private (
     case "/debug/vars" => (200, "application/json", debugVarsBody)
     case "/progz" => progzBody(rawQuery)
     case "/" => (200, "text/html", rootBody)
-    case _ => (404, "text/plain", "404 page not found\n")
+    case _ => notFound
   }
 
   def start(): Int = synchronized {
@@ -353,12 +370,15 @@ object ExportServer {
       /** `-emit_prog_label=false`: drop `prog` from /metrics, /varz. */
       omitProgLabel: Boolean = false,
       /** `-address`: bind host/IP; empty = all interfaces. */
-      bindAddress: String = ""): ExportServer =
+      bindAddress: String = "",
+      debugEndpoints: Boolean = true,
+      infoEndpoints: Boolean = true): ExportServer =
     new ExportServer(
       () => Seq(Source(program, store, keys(), dump, error)),
       port, hostname, () => internal.toSeq.map(program -> _),
       internalProgLabel = false, emitTimestamp = emitTimestamp,
-      omitProgLabel = omitProgLabel, bindAddress = bindAddress)
+      omitProgLabel = omitProgLabel, bindAddress = bindAddress,
+      debugEndpoints = debugEndpoints, infoEndpoints = infoEndpoints)
 
   /** A live multi-program server (`Graft.tailProgs`): `sources` and
     * `internals` are functions so the scrape always serves the
@@ -369,8 +389,11 @@ object ExportServer {
       internals: () => Seq[(String, MetricsStore)] = () => Nil,
       emitTimestamp: Boolean = false,
       omitProgLabel: Boolean = false,
-      bindAddress: String = ""): ExportServer =
+      bindAddress: String = "",
+      debugEndpoints: Boolean = true,
+      infoEndpoints: Boolean = true): ExportServer =
     new ExportServer(sources, port, hostname, internals,
       internalProgLabel = true, emitTimestamp = emitTimestamp,
-      omitProgLabel = omitProgLabel, bindAddress = bindAddress)
+      omitProgLabel = omitProgLabel, bindAddress = bindAddress,
+      debugEndpoints = debugEndpoints, infoEndpoints = infoEndpoints)
 }

@@ -14,7 +14,10 @@ import graft.mtail.{Ir, Snapshot}
   * programs don't re-read the source N times, then released.
   */
 final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
-    defaultYear: Int, overrideZone: String = "UTC") {
+    defaultYear: Int, overrideZone: String = "UTC",
+    /** pass-throughs to each [[StreamRunner]] (see its scaladoc). */
+    gcIntervalMs: Long = 0L,
+    logRuntimeErrors: Boolean = true) {
 
   require(programs.map(_.name).distinct.size == programs.size,
     "duplicate program names: every program needs a distinct name " +
@@ -22,7 +25,7 @@ final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
 
   @volatile private var runnersNow: Map[String, StreamRunner] =
     programs.map(p => p.name -> new StreamRunner(p, spark,
-      defaultYear, overrideZone)).toMap
+      defaultYear, overrideZone, gcIntervalMs, logRuntimeErrors)).toMap
 
   /** The currently loaded program set. Each micro-batch reads this
     * once, so a concurrent load/unload applies cleanly from the NEXT
@@ -41,7 +44,8 @@ final class MultiRunner(programs: Seq[Ir.Program], spark: SparkSession,
     runnersNow.get(p.name) match {
       case Some(r) => r.reload(p)
       case None => runnersNow += p.name ->
-        new StreamRunner(p, spark, defaultYear, overrideZone)
+        new StreamRunner(p, spark, defaultYear, overrideZone,
+          gcIntervalMs, logRuntimeErrors)
     }
   }
 

@@ -35,7 +35,23 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
     defaultYear: Int,
     /** the reference's -override_timezone: naive strptime timestamps
       * are interpreted in this zone (options.go:98-109). */
-    overrideZone: String = "UTC") {
+    overrideZone: String = "UTC",
+    /** `-expired_metrics_gc_interval` (main.go:67): min ms between
+      * store-level GC runs (TTL expiry + limit trim), the analogue of
+      * the reference's GC ticker (`metrics/store.go` StartGcLoop).
+      * `<= 0` = every batch (the tightest cadence; tests use this).
+      * The in-flight hidden-state TTL filter is NOT on this tick — it
+      * is part of `del … after` semantics and applies per batch.
+      */
+    gcIntervalMs: Long = 0L,
+    /** `-vm_logs_runtime_errors` (main.go:62): log per-batch runtime
+      * error counts to the standard log; false = errors are only
+      * visible on the HTTP console (prog_runtime_errors_total).
+      */
+    logRuntimeErrors: Boolean = true) {
+
+  /** wall-clock of the last store GC run (gcIntervalMs pacing). */
+  private var lastGcMs: Long = Long.MinValue
 
   /** current program; swapped atomically by [[reload]] between
     * microbatches (the reference's SIGHUP reload,
@@ -338,8 +354,13 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       val ttls =
         if (maxEventSec > Long.MinValue) ttlByExport
         else Map.empty[String, Long]
-      if (ttls.nonEmpty || limitByExport.nonEmpty)
+      val nowMs = System.currentTimeMillis()
+      if ((ttls.nonEmpty || limitByExport.nonEmpty) &&
+          (gcIntervalMs <= 0 || lastGcMs == Long.MinValue ||
+            nowMs - lastGcMs >= gcIntervalMs)) {
         store.gc(maxEventSec, ttls, limitByExport)
+        lastGcMs = nowMs
+      }
       // self-instrumentation: per-file line/error counts this batch
       val instr = pb.instrumentation().collect()
       val totalLines = instr.map(_.getAs[Long]("lines")).sum
@@ -354,6 +375,14 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
           Seq(Snapshot.Cell("counter", "prog_runtime_errors_total",
             Map("prog" -> prog.name), Snapshot.VInt(totalErrs), None))
         else Nil))
+      // -vm_logs_runtime_errors: the reference logs each runtime error
+      // to the standard log (vm.go errorf → glog); the distributed
+      // analogue logs the per-batch count (individual messages stay on
+      // the executors — shipping every bad line to the driver would be
+      // a collect on the error path)
+      if (logRuntimeErrors && totalErrs > 0)
+        System.err.println(s"prog ${prog.name}: $totalErrs runtime " +
+          "error(s) this batch; lines dropped")
       // all of this batch's jobs have run; the previous batch's state
       // checkpoints are unreachable from any future plan — free them.
       // Trade-off (same as Dedup's star-contraction loop): the new

@@ -77,6 +77,31 @@ class MainSpec extends SparkSpec {
     assert(cfg.logs == Seq("/var/log/app.{err,out}", "/var/log/b.log"))
   }
 
+  test("config-granularity flags parse: poll_log_interval, " +
+      "expired_metrics_gc_interval, vm_logs_runtime_errors, " +
+      "http endpoints (main.go:62,66-67,75-76)") {
+    val cfg = Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
+      "-poll_log_interval", "0",
+      "-expired_metrics_gc_interval", "30m",
+      "-vm_logs_runtime_errors=false",
+      "-http_debugging_endpoint=false",
+      "-http_info_endpoint=false")).toOption.get
+    assert(cfg.pollLogIntervalMs == 0)
+    assert(cfg.expiredMetricsGcIntervalMs == 30L * 60 * 1000)
+    assert(!cfg.vmLogsRuntimeErrors)
+    assert(!cfg.httpDebugEndpoints && !cfg.httpInfoEndpoints)
+    // defaults mirror the reference's
+    val d = Main.parseArgs(Seq("-progs", "/p", "-logs", "/a"))
+      .toOption.get
+    assert(d.pollLogIntervalMs == 250)
+    assert(d.expiredMetricsGcIntervalMs == 3600L * 1000)
+    assert(d.vmLogsRuntimeErrors && d.httpDebugEndpoints &&
+      d.httpInfoEndpoints)
+    // bad duration is a usage error
+    assert(Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
+      "-poll_log_interval", "250")).isLeft) // Go durations need units
+  }
+
   test("-max_regexp_length / -max_recursion_depth reach the compiler") {
     val cfg = Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
       "-max_regexp_length", "64",

@@ -58,7 +58,8 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("r", Map.empty)) == VInt(-1)) // Go: -7%3 = -1
   }
 
-  test("div-by-zero drops the update (runtime error semantics)") {
+  test("div-by-zero is a runtime error: aborts the line, counted " +
+      "(vm.go:675-683)") {
     val cells = run(
       """counter total
         |gauge bad
@@ -69,6 +70,10 @@ class VmSemanticsSpec extends SparkSpec {
         |""".stripMargin, Seq("7 0", "8 2"))
     // the 7/0 line's gauge write is dropped; 8/2 lands
     assert(cells(("bad", Map.empty)) == VInt(4))
+    // the error ABORTS the line: total++ after the bad division must
+    // not fire for "7 0" (the VM's errorf stops execution, it doesn't
+    // just skip one update)
+    assert(cells(("total", Map.empty)) == VInt(1))
   }
 
   test("+ on strings concatenates like the VM's Cat op") {

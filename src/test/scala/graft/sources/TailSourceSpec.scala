@@ -283,4 +283,44 @@ class TailSourceSpec extends SparkSpec {
       .map(_.getString(0)).toSeq
     assert(rows == Seq("l1", "l2"))
   }
+
+  test("poll_log_interval=0: only the startup file set is tailed " +
+      "(main.go:66 zero behavior)") {
+    val dir = tmpDir()
+    write(dir.resolve("a.log"), "a1\n")
+    val stream = new TailMicroBatchStream(s"$dir/*.log", pollLogMs = 0L)
+    val (b1, o1) = deltaLines(stream, stream.initialOffset())
+    assert(b1 == Seq("a1"))
+    // a file created after startup is never discovered...
+    write(dir.resolve("b.log"), "b1\n")
+    val (b2, o2) = deltaLines(stream, o1)
+    assert(b2.isEmpty)
+    // ...but new data in the startup set still flows
+    write(dir.resolve("a.log"), "a2\n")
+    val (b3, _) = deltaLines(stream, o2)
+    assert(b3 == Seq("a2"))
+    // the library default (rescan every batch) picks b.log up
+    val fresh = new TailMicroBatchStream(s"$dir/*.log")
+    val (all, _) = deltaLines(fresh, fresh.initialOffset())
+    assert(all.toSet == Set("a1", "a2", "b1"))
+  }
+
+  test("poll_log_interval caches the glob between rescans and " +
+      "survives a cached file's deletion") {
+    val dir = tmpDir()
+    write(dir.resolve("a.log"), "a1\n")
+    write(dir.resolve("b.log"), "b1\n")
+    // a one-hour cadence: the startup scan is the only one this test
+    // will ever see, so the cached-list path is what's exercised
+    val stream = new TailMicroBatchStream(s"$dir/*.log",
+      pollLogMs = 3600L * 1000)
+    val (b1, o1) = deltaLines(stream, stream.initialOffset())
+    assert(b1.toSet == Set("a1", "b1"))
+    // deleting a cached file must not kill the poll; the other file
+    // keeps flowing
+    Files.delete(dir.resolve("b.log"))
+    write(dir.resolve("a.log"), "a2\n")
+    val (b2, _) = deltaLines(stream, o1)
+    assert(b2 == Seq("a2"))
+  }
 }

@@ -585,4 +585,88 @@ class StreamingSpec extends SparkSpec {
       assert(get("/internalz").contains("lines_total 99"))
     } finally srv.stop()
   }
+
+  test("-expired_metrics_gc_interval paces the store GC tick " +
+      "(main.go:67)") {
+    import spark.implicits._
+    def mk(gcMs: Long) = new StreamRunner(Frontend.parse(
+      """counter hits by page limit 2
+        |/^(?P<ts>\d+) (?P<page>\w+)$/ {
+        |  settime($ts)
+        |  hits[$page]++
+        |}
+        |""".stripMargin, "gc_tick"), spark, 0, gcIntervalMs = gcMs)
+    // a one-hour interval: the limit trim never fires inside the test
+    // window, so all three pages survive in the store...
+    val slow = mk(3600L * 1000)
+    slow.processBatch(Seq("100 alpha").toDF("line"), 0)
+    slow.processBatch(Seq("200 beta").toDF("line"), 1)
+    slow.processBatch(Seq("300 gamma").toDF("line"), 2)
+    assert(slow.store.snapshot().count(_.name == "hits") == 3)
+    // ...while the every-batch default trims to the declared limit
+    val fast = mk(0)
+    fast.processBatch(Seq("100 alpha").toDF("line"), 0)
+    fast.processBatch(Seq("200 beta").toDF("line"), 1)
+    fast.processBatch(Seq("300 gamma").toDF("line"), 2)
+    assert(fast.store.snapshot().count(_.name == "hits") == 2)
+  }
+
+  test("-vm_logs_runtime_errors gates the standard-log error line " +
+      "(main.go:62)") {
+    import spark.implicits._
+    def run(log: Boolean): String = {
+      val runner = new StreamRunner(Frontend.parse(
+        """counter c
+          |/^(?P<d>\S+) x$/ {
+          |  strptime($d, "2006-01-02")
+          |  c++
+          |}
+          |""".stripMargin, "errlog"), spark, 0,
+        logRuntimeErrors = log)
+      val buf = new java.io.ByteArrayOutputStream()
+      val prev = System.err
+      try {
+        System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+        // one strptime runtime error (aborts the line), one good line
+        runner.processBatch(Seq("nope x", "2020-01-03 x").toDF("line"),
+          0)
+      } finally System.setErr(prev)
+      new String(buf.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    assert(run(log = true).contains(
+      "prog errlog: 1 runtime error(s) this batch"))
+    assert(!run(log = false).contains("runtime error"))
+  }
+
+  test("-http_debugging_endpoint / -http_info_endpoint gate their " +
+      "route families (main.go:75-76)") {
+    val store = new MetricsStore
+    store.merge(Seq(Cell("counter", "c_total", Map.empty, VInt(1),
+      None)))
+    def status(port: Int, path: String): Int = {
+      val conn = new java.net.URI(s"http://localhost:$port$path")
+        .toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try conn.getResponseCode finally conn.disconnect()
+    }
+    val gated = ExportServer.single(store, "t", () => Map.empty,
+      debugEndpoints = false, infoEndpoints = false)
+    val p1 = gated.start()
+    try {
+      assert(status(p1, "/metrics") == 200) // never gated
+      assert(status(p1, "/json") == 200)
+      assert(status(p1, "/debug/vars") == 404)
+      assert(status(p1, "/internalz") == 404)
+      assert(status(p1, "/varz") == 404)
+      assert(status(p1, "/progz") == 404)
+    } finally gated.stop()
+    val open = ExportServer.single(store, "t", () => Map.empty)
+    val p2 = open.start()
+    try {
+      assert(status(p2, "/debug/vars") == 200)
+      assert(status(p2, "/varz") == 200)
+      assert(status(p2, "/progz") == 200)
+    } finally open.stop()
+  }
 }
