@@ -26,11 +26,58 @@ import org.apache.spark.sql.functions._
   *     it.
   */
 object Bench {
+  /** The driver's capture window is ~240 s of wall; a bench that
+    * overruns it historically produced a SILENT artifact loss (round
+    * 8: rc=124, zero output). The final headline self-reports the
+    * overrun as a failure marker so a slow round is visible in the
+    * artifact instead of only in a missing one.
+    */
+  val WallLimitSecs: Double = 240.0
+  def wallOverrun(wallSecs: Double,
+      limit: Double = WallLimitSecs): Boolean = wallSecs > limit
+
+  /** Optional scale-run evidence measured out-of-band (SCALE.json at
+    * the cwd, or $SPARK_GRAFT_SCALE_JSON): a compact subset is
+    * attached to the final headline's extra block so the per-round
+    * artifact carries the scale measurement without the driver having
+    * to run the (multi-minute) scaled battery inside its window.
+    * Returns (headlineKvs, rawJson).
+    */
+  def scaleEvidence(pathOverride: Option[String] = None)
+      : (Seq[String], Option[String]) = {
+    val path = pathOverride.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_JSON", "SCALE.json"))
+    try {
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      // pull the few headline numbers with a dumb scan (no JSON dep):
+      // "key":number — enough for flat keys
+      def num(key: String): Option[String] = {
+        val m = java.util.regex.Pattern
+          .compile("\"" + key + "\":([0-9.eE+-]+)").matcher(raw)
+        if (m.find()) Some(m.group(1)) else None
+      }
+      val kvs = Seq(
+        num("factor").map(v => s""""scale_factor":$v"""),
+        num("battery_total_secs").map(v =>
+          s""""scale_battery_total_secs":$v"""),
+        num("replay_lines").map(v => s""""scale_replay_lines":$v"""),
+        num("replay_klines_per_sec").map(v =>
+          s""""scale_replay_klines_per_sec":$v""")).flatten
+      (kvs, Some(raw))
+    } catch { case _: Exception => (Seq.empty, None) }
+  }
+
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
     def wallSecs: Double = (System.nanoTime() - wall0) / 1e9
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-      "/root/testdata/sf0.1")
+    // SPARK_GRAFT_BENCH_SF: opt-in override to bench a different
+    // scale directory (e.g. the ScaleGen sf1 set) without touching
+    // the driver-owned SPARK_GRAFT_SF_DIR contract
+    val sfDir = sys.env.get("SPARK_GRAFT_BENCH_SF")
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle/spill scratch on tmpfs when available: this box's virtual
     // disk intermittently burns hundreds of CPU-seconds of guest system
@@ -155,13 +202,16 @@ object Bench {
     // the driver's tail capture keeps ~2.4 KB and the headline grows
     // ~30 bytes per registered query, so precision degrades (ms → cs →
     // ds) before it can ever outgrow the window again.
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // extraKv is precision-parameterized so the degradation ladder
     // reaches the ~10 replay extras too, not just the query map —
-    // pre-rendered extras would quietly shrink the ladder's slack
+    // pre-rendered extras would quietly shrink the ladder's slack;
+    // extraFailed carries non-query failure markers (wall overrun)
     def emitHeadline(all: Seq[(String, Double)],
         extraKv: (Double => String) => Seq[String],
-        partial: Option[String]): Unit = {
+        partial: Option[String],
+        extraFailed: Seq[String] = Nil): Unit = {
+      val failedJson = (failed ++ extraFailed)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = all.collect { case (_, v) if v >= 0 => v }.sum
       def headline(prec: Int): String = {
         def p(v: Double): String =
@@ -170,9 +220,10 @@ object Bench {
         val qsP = all.map { case (k, v) => "\"" + k + "\":" + p(v) }
           .mkString("{", ",", "}")
         val extra = (extraKv(p) ++
-          partial.map(s => s""""partial":"$s"""").toSeq :+
-          s""""bench_wall_secs":${p(wallSecs)}""").mkString(",")
-        s"""{"metric":"total","value":${p(total)},"unit":"sec","queries":$qsP,"sf":"$sfDir","failed":$failedJson,"extra":{$extra}}"""
+          partial.map(s => s"""\"partial\":\"$s\"""").toSeq :+
+          s"""\"bench_wall_secs\":${p(wallSecs)}""" :+
+          s"""\"bench_wall_limit_secs\":${WallLimitSecs.toInt}""").mkString(",")
+        s"""{\"metric\":\"total\",\"value\":${p(total)},\"unit\":\"sec\",\"queries\":$qsP,\"sf\":\"$sfDir\",\"failed\":$failedJson,\"extra\":{$extra}}"""
       }
       println(Seq(3, 2, 1).map(headline).find(_.length <= 2200)
         .getOrElse(headline(1)))
@@ -281,7 +332,14 @@ object Bench {
     // bulky detail SECOND-TO-LAST on its own line; the compact headline
     // is the LAST line so a tail-truncating capture always retains it
     println(s"""{"detail":{"battery_passes":${rawPasses.map(qjson).mkString("[", ",", "]")},"battery_steal_cpu_secs":${rawPasses.map(sjson).mkString("[", ",", "]")},"replay_warm_secs_all":${warmSecs.mkString("[", ",", "]")},"replay_warm_steal_cpu_secs":${warmRuns.map(r => ms(r._2)).mkString("[", ",", "]")},"data_fingerprint":$fpJson,"queries_are":"per-query min of observed passes (pass 2 only for queries ≥1s in pass 1), -1 = a pass threw (see failed); replay is median of $replayWarmRuns warm runs; *_steal_cpu_secs = hypervisor-stolen cpu-secs (/proc/stat) during that window — high steal means the wall time is host noise, not engine time","baseline_klines_per_sec_4core":"6-37 (benchmark_results.csv)"}}""")
-    emitHeadline(all, replayKv, None)
+    // final headline: attach any out-of-band scale evidence and the
+    // wall self-check marker (round-8 failure mode: a silent overrun
+    // of the driver's capture window)
+    val (scaleKvs, scaleRaw) = scaleEvidence()
+    scaleRaw.foreach(raw => println(s"""{"scale_detail":$raw}"""))
+    emitHeadline(all, p => replayKv(p) ++ scaleKvs, None,
+      extraFailed =
+        if (wallOverrun(wallSecs)) Seq("bench_wall_overrun") else Nil)
     spark.stop()
   }
 }

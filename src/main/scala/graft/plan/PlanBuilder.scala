@@ -1006,9 +1006,13 @@ object PlanBuilder {
     // concat_ws SKIPS null inputs (so (null,"a") and ("a",null) would
     // otherwise both join to "a") — hence the explicit null marker.
     else concat_ws("\u0001", keyCols.map { c =>
+      // literal StringReplace (codegen'd, no regex engine): this runs
+      // per row per key column on the state hot path
       coalesce(
-        regexp_replace(regexp_replace(c, "\u0000", "\u0000\u0000"),
-          "\u0001", "\u0000\u0002"),
+        call_function("replace",
+          call_function("replace", c, lit("\u0000"),
+            lit("\u0000\u0000")),
+          lit("\u0001"), lit("\u0000\u0002")),
         lit("\u0000"))
     }: _*)
 }
