@@ -91,9 +91,11 @@ object ScaleGen {
       spark.read.parquet(s"$inDir/$name.parquet")
     def write(name: String, df: DataFrame, parts: Int): Unit = {
       // a handful of output files per table: enough read parallelism
-      // for a local[32] bench without thousands of tiny files
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      // for a local[32] bench without thousands of tiny files.
+      // parts < 0 = the frame's own partitioning is meaningful (a
+      // global sort's range partitions) — repartition would scramble it
+      (if (parts < 0) df else df.repartition(parts))
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       System.err.println(s"[scalegen] wrote $name")
     }
 
@@ -119,13 +121,24 @@ object ScaleGen {
         .withColumn("l_partkey", offset("l_partkey", r))
         .withColumn("l_suppkey", offset("l_suppkey", r))
     }, 32)
-    write("events", replicate(in("events"), factor) { (df, r) =>
-      df.withColumn("event_id", offset("event_id", r))
-        .withColumn("user_id", offset("user_id", r))
-        // shift each replica by one second so event-time windows get
-        // ×N density, not ×N exact-duplicate timestamps
-        .withColumn("ts", col("ts") + r * 1000000000L)
-    }, 16)
+    write("events", {
+      val scaled = replicate(in("events"), factor) { (df, r) =>
+        df.withColumn("event_id", offset("event_id", r))
+          .withColumn("user_id", offset("user_id", r))
+          // shift each replica by one second so event-time windows get
+          // ×N density, not ×N exact-duplicate timestamps
+          .withColumn("ts", col("ts") + r * 1000000000L)
+      }
+      // two contracts the driver's data honors and oracles rely on:
+      //  - ts is a real parquet timestamp (DuckDB reads it natively;
+      //    Tables passes it through) — micros, from the raw nanos;
+      //  - ARRIVAL ORDER == event_id ORDER (last-write queries define
+      //    "last" both ways and the driver's file satisfies both), so
+      //    the scaled set is written globally sorted by event_id
+      scaled.withColumn("ts",
+          timestamp_micros((col("ts") / 1000L).cast("long")))
+        .orderBy("event_id")
+    }, -1)
     write("documents", {
       val docs = in("documents")
       // one branch per replica: `translate`'s mapping argument must be

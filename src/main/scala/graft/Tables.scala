@@ -26,7 +26,16 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // the driver's parquet carries TIMESTAMP(NANOS) (arrives here as
+      // a long, via nanosAsLong); a regenerated/scaled set may already
+      // carry a native TIMESTAMP(MICROS) column — convert only the
+      // long shape, pass a real timestamp through
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            timestamp_micros((col("ts") / 1000L).cast("long")))
+        case _ => df
+      }
     } else df
   }
 }

@@ -37,7 +37,24 @@ object LogLines {
     * the order.
     */
   def fromLines(df: DataFrame, lineCol: String,
-      filename: String = ""): DataFrame =
-    df.select(lit(filename).as("filename"), col(lineCol).as("line"))
-      .withColumn("ord", monotonically_increasing_id())
+      filename: String = "",
+      /** explicit arrival-order key. The default (per-split monotonic
+        * ids) equals row order only while the source enumerates
+        * deterministically — true for a single-file scan or a driver
+        * table, NOT for a multi-file layout (Spark orders splits by
+        * size). A caller whose rows carry their own order (an event id,
+        * a sequence number) should pass it: exact last-write-wins
+        * semantics with NO sort and no layout assumption.
+        */
+      ordCol: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val base = ordCol match {
+      case Some(o) =>
+        df.select(lit(filename).as("filename"), col(lineCol).as("line"),
+          o.as("ord"))
+      case None =>
+        df.select(lit(filename).as("filename"), col(lineCol).as("line"))
+          .withColumn("ord", monotonically_increasing_id())
+    }
+    base
+  }
 }

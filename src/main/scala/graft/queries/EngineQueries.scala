@@ -18,8 +18,16 @@ object EngineQueries {
 
   private def lines(s: SparkSession, dir: String, lineExpr:
       org.apache.spark.sql.Column): DataFrame =
+    // arrival order := event_id, EXPLICITLY, as the ord key — no sort,
+    // no shuffle, no layout assumption. fromLines' default derives
+    // `ord` from partition enumeration, which equals row order only
+    // for a single-file scan (the driver's events.parquet); a
+    // multi-file/scaled layout enumerates splits in size order and
+    // would scramble last-write-wins vs the oracle's max_by(event_id).
     LogLines.fromLines(
-      Tables(s, dir, "events").select(lineExpr.as("line")), "line")
+      Tables(s, dir, "events")
+        .select(lineExpr.as("line"), col("event_id")), "line",
+      ordCol = Some(col("event_id")))
 
   private def run(s: SparkSession, dir: String, src: String,
       lineExpr: org.apache.spark.sql.Column): DataFrame = {
