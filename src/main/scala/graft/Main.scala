@@ -244,6 +244,18 @@ object Main {
           setBool((c, b) => c.copy(dumpBytecode = b))
         case "version" => setBool((c, b) => c.copy(showVersion = b))
         case "help" | "h" => setBool((c, b) => c.copy(showHelp = b))
+        // deprecated no-ops kept for flag-surface parity with the
+        // reference (cmd/mtail/main.go:83-85): a legacy invocation
+        // carrying them must still start. Value-taking flags consume
+        // their value exactly like the reference's int/duration flags.
+        case "disable_fsnotify" =>
+          System.err.println(s"graft: flag -$name is deprecated and " +
+            "has no effect")
+          setBool((c, _) => c)
+        case "metric_push_interval_seconds" | "stale_log_gc_interval" =>
+          System.err.println(s"graft: flag -$name is deprecated and " +
+            "has no effect")
+          value().map(_ => ())
         case other => Left(s"unknown flag: -$other")
       }
       res match {

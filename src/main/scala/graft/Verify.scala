@@ -67,8 +67,16 @@ object Verify {
     val pool = Executors.newFixedThreadPool(par)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutor(pool)
+    // SPARK_GRAFT_VERIFY_ONLY: opt-in comma-separated query-name
+    // filter for out-of-band slices (the ×10 oracle run skips the
+    // deliberately super-linear all-pairs twins); unset = all queries,
+    // which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val t0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val futures = selected.map {
       case (name, fn) => Future {
         val q0 = System.nanoTime()
         try {

@@ -322,8 +322,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           case (c, LongType | DoubleType) => nulls += c.isNull
           case _ =>
         }
-      case Binop(op @ ("/" | "%"), l, r) =>
-        if (irType(x, frames) == LongType || op == "%") {
+      case Binop("/" | "%", l, r) =>
+        // only the INTEGER ops error on a zero divisor (vm.go:675-695
+        // errorf in Idiv/Imod); float / keeps IEEE ±Inf and float %
+        // is Fmod = math.Mod (vm.go:659-660) which yields NaN with no
+        // error, so neither float op may abort the line
+        if (irType(x, frames) == LongType) {
           val rc = exprColumn(r, frames, timeReg, siteSeq)
           nulls += coalesce(rc === 0, lit(false))
         }
@@ -553,9 +557,13 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             when(rc =!= 0, (lc / rc).cast(LongType))
           else lc / rc
         case "%" =>
-          // Go's % keeps the dividend's sign (not pmod); mod-by-zero
-          // errors → null
-          when(rc =!= 0, lc % rc)
+          // Go's % keeps the dividend's sign (not pmod). Int mod-by-zero
+          // errors (vm.go:684-695) → null, dropping the update like the
+          // aborted line; float mod is math.Mod (vm.go:659-660) whose
+          // zero-divisor result is NaN with NO error — Spark's Remainder
+          // nulls on any zero divisor, so the NaN arm must be explicit
+          if (irType(e, frames) == LongType) when(rc =!= 0, lc % rc)
+          else when(rc === 0, lit(Double.NaN)).otherwise(lc % rc)
         case "**" =>
           if (irType(e, frames) == LongType) pow(lc, rc).cast(LongType)
           else pow(lc, rc)

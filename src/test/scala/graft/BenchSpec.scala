@@ -14,6 +14,72 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.wallOverrun(Bench.WallLimitSecs)) // boundary: not over
   }
 
+  test("final headline fits the driver's tail capture with a " +
+      "full-size query battery and every extra attached") {
+    // a worst-case fixture: 51 queries with the real (long) names plus
+    // room for growth, every replay extra, SCALE.json attachment,
+    // driver-clocked scale replay AND streaming kvs, and a non-empty
+    // failed list. BENCH_r11/r12 both lost the leading
+    // {"metric":"total",… because the previous 2 200-byte threshold
+    // exceeded the ~2 000-byte capture window.
+    val qNames = SparkEntry.queries.keys.toSeq.sorted :+
+      "mtail_replay_1m_lines"
+    val all = qNames.zipWithIndex.map { case (n, i) =>
+      n -> (100.0 + i + 0.123)  // wide values: 3 int digits + frac
+    }
+    def extraKv(p: Double => String, lean: Int): Seq[String] =
+      (Seq(
+        s""""replay_lines":1000000""",
+        s""""replay_klines_per_sec":${p(1277.456)}""") ++
+      (if (lean >= 2) Seq.empty else Seq(
+        s""""replay_warm_secs_median":${p(3.849)}""",
+        s""""replay_warm_steal_cpu_secs_sum":${p(52.81)}""")) ++
+      (if (lean >= 1) Seq.empty else Seq(
+        s""""battery_steal_cpu_secs_sum":${p(9.43)}""",
+        s""""replay_warm_secs_min":${p(1.867)}""",
+        s""""replay_warm_secs_max":${p(7.426)}""",
+        s""""replay_warm_runs":5""",
+        s""""replay_cold_secs":${p(5.729)}""",
+        s""""replay_cold_klines_per_sec":${p(174.565)}"""))) ++
+      {
+        val kvs = Seq(
+          """"scale_factor":10""",
+          """"scale_battery_total_secs":48.227""",
+          """"scale_replay_lines":10000000""",
+          """"scale_replay_klines_per_sec":4797.68""",
+          """"scale_replay_lines_driver":10000000""",
+          """"scale_replay_secs_driver":8.123""",
+          """"scale_replay_klines_per_sec_driver":1231.046""",
+          """"streaming_klines_per_sec":412.345""",
+          """"streaming_trigger_ms":250""")
+        // mirrors Bench.main's evidenceKvs lean filter
+        if (lean < 1) kvs
+        else kvs.filter(kv => kv.contains("klines_per_sec") ||
+          kv.contains("battery_total_secs"))
+      }
+    val line = Bench.renderHeadline(all, "/root/testdata/sf0.1",
+      Seq("bench_wall_overrun"), 176.111, extraKv, None)
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":"),
+      "headline must lead with the battery total")
+    assert(line.length <= Bench.HeadlineMaxBytes,
+      s"headline is ${line.length} bytes > ${Bench.HeadlineMaxBytes}; " +
+        "the driver's tail capture would cut its head")
+    // the evidence kvs the lean rungs must never drop
+    for (k <- Seq("replay_klines_per_sec", "scale_replay_klines_per_sec",
+        "streaming_klines_per_sec", "bench_wall_secs"))
+      assert(line.contains("\"" + k + "\""), s"missing $k")
+    // the steal audit must survive at the rung this full-size fixture
+    // lands on — if battery growth ever pushes it off the headline,
+    // this tripwire forces a conscious re-budget, not a silent loss
+    assert(line.contains("\"replay_warm_steal_cpu_secs_sum\""),
+      "steal audit fell off the headline")
+    // a small battery stays on the full-precision full-extras rung
+    val small = Bench.renderHeadline(all.take(3), "/x", Nil, 10.0,
+      extraKv, Some("battery"))
+    assert(small.contains("\"replay_cold_secs\":5.729"))
+    assert(small.contains("\"bench_wall_limit_secs\":240"))
+  }
+
   test("scale evidence: headline kvs extracted from SCALE.json when " +
       "present, silently absent when not") {
     val f = java.nio.file.Files.createTempFile("scale", ".json")

@@ -53,6 +53,13 @@ class MainSpec extends SparkSpec {
     // -compile_only needs no logs (main.go:140-144)
     assert(Main.parseArgs(Seq("-progs", "/p", "-compile_only")).isRight)
     assert(Main.parseArgs(Seq("-bogus_flag")).isLeft)
+    // deprecated flags (main.go:83-85) parse as warn-only no-ops: a
+    // legacy invocation still starts and the config is unchanged
+    val dep = Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
+      "-disable_fsnotify", "--metric_push_interval_seconds=60",
+      "-stale_log_gc_interval", "1h")).toOption.get
+    assert(dep == Main.parseArgs(Seq("-progs", "/p", "-logs", "/a"))
+      .toOption.get)
     assert(Main.parseArgs(Seq("-progs", "/p", "-logs", "/a",
       "-one_shot_format", "csv")).isLeft)
     assert(Main.parseArgs(Seq("positional")).isLeft)

@@ -76,6 +76,40 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("total", Map.empty)) == VInt(1))
   }
 
+  test("float % by zero records NaN like Fmod (vm.go:659-660), " +
+      "line NOT aborted") {
+    val cells = run(
+      """counter total
+        |gauge fm
+        |/^(?P<x>\d+\.\d+) (?P<y>\d+\.\d+)$/ {
+        |  fm = $x % $y
+        |  total++
+        |}
+        |""".stripMargin, Seq("7.5 2.0", "7.5 0.0"))
+    // math.Mod(7.5, 0) = NaN, recorded with no runtime error: the
+    // zero-divisor line still completes, so total counts BOTH lines
+    cells(("fm", Map.empty)) match {
+      case Snapshot.VFloat(v) => assert(v.isNaN,
+        s"expected NaN from float % 0.0, got $v")
+      case other => fail(s"expected VFloat(NaN), got $other")
+    }
+    assert(cells(("total", Map.empty)) == VInt(2))
+  }
+
+  test("int % by zero is a runtime error: aborts the line " +
+      "(vm.go:684-695)") {
+    val cells = run(
+      """counter total
+        |gauge bad
+        |/^(?P<x>\d+) (?P<y>\d+)$/ {
+        |  bad = $x % $y
+        |  total++
+        |}
+        |""".stripMargin, Seq("7 0", "8 3"))
+    assert(cells(("bad", Map.empty)) == VInt(2)) // 8 % 3; "7 0" dropped
+    assert(cells(("total", Map.empty)) == VInt(1))
+  }
+
   test("+ on strings concatenates like the VM's Cat op") {
     // codegen.go:373-378 maps PLUS@String -> code.Cat (vm.go:907-918);
     // found by the StreamEquivalenceSpec fuzz: the lowering emitted
