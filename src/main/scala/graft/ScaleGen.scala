@@ -122,21 +122,31 @@ object ScaleGen {
         .withColumn("l_suppkey", offset("l_suppkey", r))
     }, 32)
     write("events", {
-      val scaled = replicate(in("events"), factor) { (df, r) =>
+      // ts arrives as a raw nanos long (TIMESTAMP(NANOS) parquet under
+      // nanosAsLong) or as a real timestamp (a micros-typed testdata
+      // set) — same dual shape graft.Tables handles; normalize to
+      // micros first, then shift per replica
+      val events = in("events")
+      val tsMicros = events.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (col("ts") / 1000L).cast("long")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val scaled = replicate(
+        events.withColumn("ts", tsMicros), factor) { (df, r) =>
         df.withColumn("event_id", offset("event_id", r))
           .withColumn("user_id", offset("user_id", r))
           // shift each replica by one second so event-time windows get
           // ×N density, not ×N exact-duplicate timestamps
-          .withColumn("ts", col("ts") + r * 1000000000L)
+          .withColumn("ts", col("ts") + r * 1000000L)
       }
       // two contracts the driver's data honors and oracles rely on:
       //  - ts is a real parquet timestamp (DuckDB reads it natively;
-      //    Tables passes it through) — micros, from the raw nanos;
+      //    Tables passes it through);
       //  - ARRIVAL ORDER == event_id ORDER (last-write queries define
       //    "last" both ways and the driver's file satisfies both), so
       //    the scaled set is written globally sorted by event_id
-      scaled.withColumn("ts",
-          timestamp_micros((col("ts") / 1000L).cast("long")))
+      scaled.withColumn("ts", timestamp_micros(col("ts")))
         .orderBy("event_id")
     }, -1)
     write("documents", {

@@ -552,10 +552,13 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         case "/" =>
           // int div-by-zero is a runtime error (vm.go:675-683) → null,
           // which drops the update like an aborted line; float division
-          // keeps IEEE semantics
+          // is Fdiv = Go's IEEE a/b, but Spark's Divide nulls on ANY
+          // zero divisor in non-ANSI mode, so the ±Inf/NaN arm must be
+          // explicit: lc * (rc⁻¹ via Math.pow) is ±Inf with the sign of
+          // lc×(signed zero rc), and NaN for 0/0 — exactly IEEE
           if (irType(e, frames) == LongType)
             when(rc =!= 0, (lc / rc).cast(LongType))
-          else lc / rc
+          else when(rc === 0, lc * pow(rc, -1.0)).otherwise(lc / rc)
         case "%" =>
           // Go's % keeps the dividend's sign (not pmod). Int mod-by-zero
           // errors (vm.go:684-695) → null, dropping the update like the

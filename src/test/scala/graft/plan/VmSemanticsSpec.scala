@@ -96,6 +96,24 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("total", Map.empty)) == VInt(2))
   }
 
+  test("float / by zero records ±Inf like Fdiv, line NOT aborted") {
+    val cells = run(
+      """counter total
+        |gauge fp
+        |gauge fn
+        |/^(?P<x>\d+\.\d+) (?P<y>\d+\.\d+)$/ {
+        |  fp = $x / $y
+        |  fn = (0.0 - $x) / $y
+        |  total++
+        |}
+        |""".stripMargin, Seq("7.5 0.0"))
+    assert(cells(("fp", Map.empty)) ==
+      Snapshot.VFloat(Double.PositiveInfinity))
+    assert(cells(("fn", Map.empty)) ==
+      Snapshot.VFloat(Double.NegativeInfinity))
+    assert(cells(("total", Map.empty)) == VInt(1))
+  }
+
   test("int % by zero is a runtime error: aborts the line " +
       "(vm.go:684-695)") {
     val cells = run(
