@@ -401,26 +401,33 @@ object Bench {
               case _ => 0L
             }).getOrElse(0L)
         try {
-          val w = java.nio.file.Files.newBufferedWriter(logPath,
-            java.nio.charset.StandardCharsets.UTF_8,
-            java.nio.file.StandardOpenOption.APPEND)
+          def append(ls: Seq[String]): Unit = {
+            val w = java.nio.file.Files.newBufferedWriter(logPath,
+              java.nio.charset.StandardCharsets.UTF_8,
+              java.nio.file.StandardOpenOption.APPEND)
+            try ls.foreach { l => w.write(l); w.write('\n') }
+            finally w.close()
+          }
+          def awaitTotal(target: Long, timeoutSecs: Int): Boolean = {
+            val deadline = System.nanoTime() + timeoutSecs * 1000000000L
+            while (totalCell < target && System.nanoTime() < deadline)
+              Thread.sleep(50)
+            totalCell >= target
+          }
+          // warm-up batch outside the clock: the stream's first batch
+          // pays plan analysis + janino codegen (the same cliff the
+          // replay reports separately as its cold run); a long-running
+          // tailer is past it, so steady-state excludes it
+          val warm = 50000
+          append(lines.take(warm))
+          val warmed = awaitTotal(warm, 60)
           val t0 = System.nanoTime()
-          try {
-            val chunk = 100000
-            lines.grouped(chunk).foreach { g =>
-              g.foreach { l => w.write(l); w.write('\n') }
-              w.flush()
-            }
-          } finally w.close()
-          val deadline = System.nanoTime() + 120L * 1000000000L
-          while (totalCell < lines.length &&
-              System.nanoTime() < deadline)
-            Thread.sleep(50)
-          val ingested = totalCell
+          append(lines)
+          val done = warmed && awaitTotal(warm + lines.length, 120)
           val secs = (System.nanoTime() - t0) / 1e9
-          val k = ingested / 1000.0 / secs
-          println(s"""{"replay_run":"streaming_tail","lines":$ingested,"of":${lines.length},"secs":${ms(secs)},"klines_per_sec":${ms(k)},"trigger_ms":$streamTriggerMs}""")
-          if (ingested == lines.length)
+          val k = lines.length / 1000.0 / secs
+          println(s"""{"replay_run":"streaming_tail","lines":${lines.length},"warmup_lines":$warm,"ingested":${totalCell},"secs":${ms(secs)},"klines_per_sec":${ms(k)},"trigger_ms":$streamTriggerMs}""")
+          if (done)
             streamKvs = Seq(
               s""""streaming_klines_per_sec":${ms(k)}""",
               s""""streaming_trigger_ms":$streamTriggerMs""")
