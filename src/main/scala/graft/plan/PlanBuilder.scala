@@ -332,8 +332,41 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           nulls += coalesce(rc === 0, lit(false))
         }
         visit(l); visit(r)
+      case Binop("<<" | ">>", l, r) =>
+        // "shift int out of range": a count < 0 or ≥ MaxInt32 is a
+        // runtime error that aborts the line (vm.go:700-711)
+        val rc = exprColumn(r, frames, timeReg, siteSeq)
+        nulls += coalesce(rc < 0 || rc >= Int.MaxValue.toLong,
+          lit(false))
+        visit(l); visit(r)
       case Binop(_, l, r) => visit(l); visit(r)
       case Unop(_, y) => visit(y)
+      case Call("int" | "float", args)
+          if irType(args(0), frames) == StringType =>
+        // S2i/S2f parse failure is a runtime error that aborts the
+        // line (vm.go conversion opcodes errorf); Spark's non-ANSI
+        // cast nulls instead — "non-null input cast to null" is the
+        // failure condition
+        val ac = exprColumn(args(0), frames, timeReg, siteSeq)
+        val cc = exprColumn(x, frames, timeReg, siteSeq)
+        nulls += coalesce(ac.isNotNull && cc.isNull, lit(false))
+        args.foreach(visit)
+      case Call("strtol", args) =>
+        // ParseInt(s, base) fails on any character outside the base's
+        // digit set (→ errorf, line aborts); Spark's conv scans a
+        // valid prefix and yields 0 for garbage, so validate the whole
+        // string against the base upfront
+        val base = args(1) match {
+          case IntLit(b) => b.toInt
+          case _ => 10
+        }
+        val digits =
+          if (base <= 10) s"0-${base - 1}"
+          else "0-9a-" + ('a' + base - 11).toChar
+        val ac = exprColumn(args(0), frames, timeReg, siteSeq)
+        nulls += coalesce(!ac.rlike(s"(?i)^[+-]?[$digits]+$$"),
+          lit(false))
+        args.foreach(visit)
       case Call(_, args) => args.foreach(visit)
       case MetricRead(_, keys) => keys.foreach(visit)
       case _ =>
@@ -573,8 +606,16 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         case "&" => lc.bitwiseAND(rc)
         case "|" => lc.bitwiseOR(rc)
         case "^" => lc.bitwiseXOR(rc)
-        case "<<" => call_function("shiftleft", lc, rc)
-        case ">>" => call_function("shiftright", lc, rc)
+        case "<<" =>
+          // Go shifts don't mask the count — b in [64, MaxInt32) fills
+          // with zeros/sign bits (vm.go:700-711; counts < 0 or
+          // ≥ MaxInt32 are runtime errors, see typedCaprefNullCond) —
+          // while Java/Spark shifts mask to the low 6 bits
+          when(rc >= 64L, lit(0L))
+            .otherwise(call_function("shiftleft", lc, rc.cast("int")))
+        case ">>" =>
+          when(rc >= 64L, when(lc < 0, lit(-1L)).otherwise(lit(0L)))
+            .otherwise(call_function("shiftright", lc, rc.cast("int")))
         case "<" => lc < rc
         case "<=" => lc <= rc
         case ">" => lc > rc
@@ -609,7 +650,15 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         case "tolower" => lower(a(0))
         case "getfilename" => col("filename")
         case "strtol" => args(1) match {
-          case IntLit(base) => conv(a(0), base.toInt, 10).cast(LongType)
+          case IntLit(base) =>
+            // Go's ParseInt handles a leading sign; Spark's conv reads
+            // the magnitude as unsigned, so split the sign off first
+            // (parse FAILURES abort the line — typedCaprefNullCond
+            // validates the digit set against the base)
+            val s = a(0)
+            val mag = conv(regexp_replace(s, "^[+-]", ""),
+              base.toInt, 10).cast(LongType)
+            when(s.startsWith("-"), -mag).otherwise(mag)
           case _ =>
             throw new IllegalArgumentException("strtol base literal")
         }

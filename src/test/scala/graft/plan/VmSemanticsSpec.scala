@@ -128,6 +128,62 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("total", Map.empty)) == VInt(1))
   }
 
+  test("shifts use Go semantics: counts ≥ 64 fill, out-of-range " +
+      "counts abort (vm.go:700-711)") {
+    // Java/Spark shifts mask the count to the low 6 bits (6 << 64 == 6)
+    // but Go's don't: 6 << 64 == 0, -7 >> 64 == -1
+    val cells = run(
+      """gauge a
+        |gauge b
+        |gauge c
+        |/^(?P<x>\d+) (?P<y>\d+)$/ {
+        |  a = $x << $y
+        |  b = $x >> $y
+        |  c = (0 - $x) >> $y
+        |}
+        |""".stripMargin, Seq("6 64"))
+    assert(cells(("a", Map.empty)) == VInt(0))
+    assert(cells(("b", Map.empty)) == VInt(0))
+    assert(cells(("c", Map.empty)) == VInt(-1))
+    // a NEGATIVE count is "shift int out of range": the line aborts
+    val aborted = run(
+      """counter total
+        |gauge d
+        |/^(?P<x>\d+) (?P<y>\d+)$/ {
+        |  d = $x << (0 - $y)
+        |  total++
+        |}
+        |""".stripMargin, Seq("6 1", "3 0"))
+    assert(aborted(("total", Map.empty)) == VInt(1)) // "6 1" dropped
+    assert(aborted(("d", Map.empty)) == VInt(3))     // 3 << -0 == 3
+  }
+
+  test("int()/float()/strtol() parse failures are runtime errors: " +
+      "line aborts like S2i/S2f (vm.go:97-129)") {
+    val cells = run(
+      """counter total
+        |gauge g
+        |/^(?P<s>\S+)$/ {
+        |  g = int($s)
+        |  total++
+        |}
+        |""".stripMargin, Seq("12x", "34"))
+    assert(cells(("g", Map.empty)) == VInt(34)) // "12x" aborted
+    assert(cells(("total", Map.empty)) == VInt(1))
+    val hex = run(
+      """counter total
+        |gauge h
+        |/^(?P<s>\S+)$/ {
+        |  h = strtol($s, 16)
+        |  total++
+        |}
+        |""".stripMargin, Seq("xyz", "-ff"))
+    // conv() alone scans a valid prefix ("xyz" → 0) and reads the
+    // magnitude as unsigned; ParseInt errors on "xyz" and yields -255
+    assert(hex(("h", Map.empty)) == VInt(-255))
+    assert(hex(("total", Map.empty)) == VInt(1))
+  }
+
   test("+ on strings concatenates like the VM's Cat op") {
     // codegen.go:373-378 maps PLUS@String -> code.Cat (vm.go:907-918);
     // found by the StreamEquivalenceSpec fuzz: the lowering emitted
