@@ -646,7 +646,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           // seconds, like the VM's Int time values (vm.go:591-598)
           coalesce(unix_timestamp(tReg),
             unix_timestamp(current_timestamp()))
-        case "len" => length(a(0)).cast(LongType)
+        case "len" =>
+          // Go's len(s) is the BYTE length (vm.go:823-830), not the
+          // character count — they differ on multibyte UTF-8
+          call_function("octet_length", a(0)).cast(LongType)
         case "tolower" => lower(a(0))
         case "getfilename" => col("filename")
         case "strtol" => args(1) match {

@@ -223,6 +223,17 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("hex", Map.empty)) == VInt(255))
   }
 
+  test("len counts BYTES like Go's len, not characters " +
+      "(vm.go:823-830)") {
+    val cells = run(
+      """gauge l
+        |/^(?P<s>\S+)$/ {
+        |  l = len($s)
+        |}
+        |""".stripMargin, Seq("héllo")) // é is 2 bytes in UTF-8
+    assert(cells(("l", Map.empty)) == VInt(6))
+  }
+
   test("comparison coercion and logical ops in conds") {
     val cells = run(
       """counter big
