@@ -432,7 +432,13 @@ object Bench {
               s""""streaming_klines_per_sec":${ms(k)}""",
               s""""streaming_trigger_ms":$streamTriggerMs""")
           else streamFailed = Seq("streaming_tail_incomplete")
-        } finally handle.stop()
+        } finally {
+          handle.stop()
+          // the replay file lives on tmpfs (RAM) — leaking ~45 MB per
+          // bench run would accumulate across rounds
+          java.nio.file.Files.deleteIfExists(logPath)
+          java.nio.file.Files.deleteIfExists(dir)
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming stage failed: ${e.getMessage}")
         streamFailed = Seq("streaming_tail_failed")
