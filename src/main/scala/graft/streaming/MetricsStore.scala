@@ -21,26 +21,52 @@ final class MetricsStore {
     Cell]()
   private val lock = new Object
 
+  /** a counter/histogram cell that carries no delta — the per-batch
+    * zero-init no-op merge (0 @ epoch-0), or a batch that observed
+    * nothing — must not move the datum stamp.
+    */
+  private def isZeroDelta(c: Cell): Boolean = c.kind match {
+    case "counter" => c.value match {
+      case VInt(0) => true
+      case VFloat(v) => v == 0.0
+      case _ => false
+    }
+    case "histogram" =>
+      c.buckets.flatMap(_.get("count")).getOrElse(0L) == 0L
+    case _ => false
+  }
+
   def merge(batch: Seq[Cell]): Unit = lock.synchronized {
     batch.foreach { c =>
       val key = (c.name, c.labels)
       cells.get(key) match {
         case None => cells(key) = c
         case Some(prev) =>
+          // Batches arrive in stream order, and the VM datum keeps the
+          // LAST write's stamp (datum.SetTime on every update) — even
+          // when settime moved the clock BACKWARDS, and even when the
+          // last write carried NO timestamp at all — so a batch that
+          // actually wrote the cell owns the timestamp VERBATIM. Only
+          // the no-delta merges (zero-init, empty-observation batches)
+          // fall back to max, so they can never regress a live stamp.
+          // Found by the 300-iteration equivalence fuzz: maxTs
+          // unconditionally applied diverged from one-shot when a
+          // later batch's settime was older or absent.
+          val ts =
+            if (isZeroDelta(c)) maxTs(prev.tsSec, c.tsSec)
+            else c.tsSec
           val merged = c.kind match {
             case "counter" =>
-              c.copy(value = addValues(prev.value, c.value),
-                tsSec = maxTs(prev.tsSec, c.tsSec))
+              c.copy(value = addValues(prev.value, c.value), tsSec = ts)
             case "histogram" =>
               // Buckets accumulate over the whole stream like the
               // reference's datum.Buckets.Observe (datum/buckets.go:42-57):
               // per-bucket counts and the "count" entry add, sum (the cell
-              // value) adds, timestamps take the max.
-              c.copy(value = addValues(prev.value, c.value),
-                tsSec = maxTs(prev.tsSec, c.tsSec),
+              // value) adds.
+              c.copy(value = addValues(prev.value, c.value), tsSec = ts,
                 buckets = addBuckets(prev.buckets, c.buckets))
             case _ => // gauge / timer / text: newer batch wins
-              c.copy(tsSec = maxTs(prev.tsSec, c.tsSec))
+              c.copy(tsSec = ts)
           }
           cells(key) = merged
       }

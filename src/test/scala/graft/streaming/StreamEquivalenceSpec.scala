@@ -178,6 +178,30 @@ class StreamEquivalenceSpec extends SparkSpec {
            |$src""".stripMargin)
   }
 
+  test("a later batch's settime may move a datum stamp BACKWARDS " +
+      "(directed; fuzz iteration 189)") {
+    // the VM datum keeps the LAST write's stamp, not the max: a batch
+    // whose settime is older than the previous batch's still owns the
+    // cell timestamp, while the per-batch zero-init no-op merge
+    // (0 @ epoch-0) must not regress it either way
+    val src =
+      """counter c0
+        |/^t (?P<x>\d+)$/ {
+        |  settime($x)
+        |  c0++
+        |}
+        |""".stripMargin
+    val prog = Frontend.parse(src, "backstamp.mtail")
+    val runner = new StreamRunner(prog, spark, 0)
+    runner.processBatch(Seq("t 38").toDF("line"), 0)
+    runner.processBatch(Seq("t 7").toDF("line"), 1)
+    // a batch with NO writes (zero-init merge only) keeps the stamp
+    runner.processBatch(Seq("unmatched").toDF("line"), 2)
+    val c = norm(runner.store.snapshot())(("c0", Map.empty[String, String]))
+    assert(c._2 == Snapshot.VInt(2))
+    assert(c._3 == 7L, s"stamp must follow the LAST write: $c")
+  }
+
   test("cross-batch del erases a previously merged cell (directed)") {
     val src =
       """counter hits by a
