@@ -148,8 +148,13 @@ object Exporters {
   private def valueString(v: Value): String = v match {
     case VInt(x) => x.toString
     case VFloat(x) =>
-      // Go's %v for float64: minimal representation
-      if (x == x.floor && math.abs(x) < 1e15) x.toLong.toString
+      // Go's %v for float64: minimal representation; the specials
+      // render as NaN/+Inf/-Inf (Java's Double.toString would say
+      // "Infinity", which Prometheus text format does not accept)
+      if (x.isNaN) "NaN"
+      else if (x == Double.PositiveInfinity) "+Inf"
+      else if (x == Double.NegativeInfinity) "-Inf"
+      else if (x == x.floor && math.abs(x) < 1e15) x.toLong.toString
       else x.toString
     case VStr(s) => s
   }

@@ -416,6 +416,18 @@ class StreamingSpec extends SparkSpec {
     assert(varz.contains(
       "bytes_total{operation=sent,prog=rsyncd.mtail,instance=host1} 62793673"))
 
+    // float specials render Go-style (Fdiv/Fmod can legitimately
+    // record them); Java's "Infinity" would break a Prometheus scrape
+    val specials = Exporters.prometheus(Seq(
+      Cell("gauge", "nan_g", Map.empty, Snapshot.VFloat(Double.NaN), None),
+      Cell("gauge", "pinf_g", Map.empty,
+        Snapshot.VFloat(Double.PositiveInfinity), None),
+      Cell("gauge", "ninf_g", Map.empty,
+        Snapshot.VFloat(Double.NegativeInfinity), None)), "t")
+    assert(specials.contains("""nan_g{prog="t"} NaN"""))
+    assert(specials.contains("""pinf_g{prog="t"} +Inf"""))
+    assert(specials.contains("""ninf_g{prog="t"} -Inf"""))
+
     val graphite = Exporters.graphite(cells, "rsyncd.mtail")
     assert(graphite.contains(
       "rsyncd.mtail.bytes_total.operation.sent 62793673 1298440450"))
