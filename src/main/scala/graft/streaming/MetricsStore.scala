@@ -148,14 +148,11 @@ object Exporters {
   private def valueString(v: Value): String = v match {
     case VInt(x) => x.toString
     case VFloat(x) =>
-      // Go's %v for float64: minimal representation; the specials
-      // render as NaN/+Inf/-Inf (Java's Double.toString would say
-      // "Infinity", which Prometheus text format does not accept)
-      if (x.isNaN) "NaN"
-      else if (x == Double.PositiveInfinity) "+Inf"
-      else if (x == Double.NegativeInfinity) "-Inf"
-      else if (x == x.floor && math.abs(x) < 1e15) x.toLong.toString
-      else x.toString
+      // datum.Float.ValueString is Go's %g (float.go:21-23): shortest
+      // round-trip, scientific past 1e6/1e-4 ("2e+06", not "2000000.0");
+      // specials render NaN/+Inf/-Inf (Java's "Infinity" would make
+      // Prometheus reject the scrape)
+      graft.mtail.GoFmt.g(x)
     case VStr(s) => s
   }
 
@@ -323,6 +320,10 @@ object Exporters {
         val tsNanos = c.tsSec.getOrElse(0L) * 1000000000L
         val vj = c.value match {
           case VStr(s) => "\"" + jsonEscape(s) + "\""
+          // the JSON dump goes through encoding/json, whose float rule
+          // differs from %g: plain decimal unless |x|<1e-6 or >=1e21
+          // (json renders 2e+06 as "2000000"; varz renders it "2e+06")
+          case VFloat(x) => graft.mtail.GoFmt.jsonNumber(x)
           case other => valueString(other)
         }
         s"""{$labelsJson"Value": {"Value": $vj, "Time": $tsNanos}}"""
