@@ -191,12 +191,16 @@ object Frontend {
   def parse(src: String, name: String,
       maxRegexpLength: Int = DefaultMaxRegexpLength,
       maxRecursionDepth: Int = DefaultMaxRecursionDepth): Program = {
+    // fold first (the reference optimises before checking,
+    // compiler.go:103-114 — constant chains never reach the depth
+    // guard), then resource guards, then the semantic checker
     val prog = constFold(new Parser(lex(src), name).parseProgram())
     checkResourceLimits(prog,
       if (maxRegexpLength <= 0) DefaultMaxRegexpLength
       else maxRegexpLength,
       if (maxRecursionDepth <= 0) DefaultMaxRecursionDepth
       else maxRecursionDepth)
+    Checker.check(prog)
     prog
   }
 
@@ -242,7 +246,7 @@ object Frontend {
         val dc = cond match {
           case CondPattern(re, _) => checkRe(re); 1
           case CondExpr(e) => 1 + dExpr(e)
-          case CondOtherwise => 1
+          case CondOtherwise | CondAlways => 1
         }
         // body stmts count via dStmt's own `1 +` wrapper — no extra
         // level here, so the metric stays one-level-per-IR-node like
@@ -347,6 +351,11 @@ object Frontend {
     private val decls = mutable.ArrayBuffer[MetricDecl]()
     private val defs = mutable.Map[String, Seq[Stmt]]()
     private val consts = mutable.Map[String, String]()
+    // decorator / pattern-constant usage: an unused definition is a
+    // compile error like the reference's symbol-table sweep
+    // (checker.go:249-266)
+    private val usedDefs = mutable.Set[String]()
+    private val usedConsts = mutable.Set[String]()
 
     // clamp to the TEOF sentinel: a parse error right after consuming
     // the last token (e.g. parsePrimary advancing onto EOF) must report
@@ -379,8 +388,24 @@ object Frontend {
         parseTop().foreach(stmts += _)
         skipNLs()
       }
+      (defs.keySet -- usedDefs).toSeq.sorted.headOption.foreach(d =>
+        throw new IllegalArgumentException(s"$name: Declaration of " +
+          s"decorator `$d' here is never used."))
+      (consts.keySet -- usedConsts).toSeq.sorted.headOption.foreach(c =>
+        throw new IllegalArgumentException(s"$name: Declaration of " +
+          s"named pattern constant `$c' here is never used."))
       Program(name, decls.toSeq, stmts.toSeq)
     }
+
+    /** `next` statements reachable in a decorator body (nested blocks
+      * included) — exactly one is legal (checker.go's def-without-next
+      * and two-nexts rules).
+      */
+    private def countNexts(ss: Seq[Stmt]): Int = ss.iterator.map {
+      case NextStmt => 1
+      case CondBlock(_, b, e) => countNexts(b) + countNexts(e)
+      case _ => 0
+    }.sum
 
     private def parseTop(): Option[Stmt] = {
       if (atKw("hidden") || atKw("counter") || atKw("gauge") ||
@@ -457,7 +482,10 @@ object Frontend {
         case TId(s, _) => s; case t => fail(s"decorator name: $t")
       }
       skipNLs()
-      defs(dname) = parseBlock()
+      val body = parseBlock()
+      if (countNexts(body) > 1)
+        fail("Can't use `next' statement twice in a decorator.")
+      defs(dname) = body
     }
 
     private def parseConst(): Unit = {
@@ -471,8 +499,9 @@ object Frontend {
       while (more) {
         advance() match {
           case TRegex(re2, _) => sb.append(re2)
-          case TId(id, _) => sb.append(consts.getOrElse(id,
-            fail(s"unknown const $id")))
+          case TId(id, _) =>
+            sb.append(consts.getOrElse(id, fail(s"unknown const $id")))
+            usedConsts += id
           case t => fail(s"pattern fragment expected: $t")
         }
         if (at("+")) { advance(); skipNLsAfterOp() } else more = false
@@ -523,10 +552,14 @@ object Frontend {
         skipNLs()
         val block = parseBlock()
         val body = defs.getOrElse(dname, fail(s"unknown decorator $dname"))
+        usedDefs += dname
+        if (countNexts(body) == 0)
+          fail(s"No symbols found in decorator `@$dname'.\n\tTry " +
+            "adding a `next' statement inside the `{}' block.")
         // splice: decorator body with `next` replaced by the block
         spliceAll(body, block) match {
           case Seq(one) => one
-          case many => CondBlock(CondExpr(IntLit(1)), many)
+          case many => CondBlock(CondAlways, many)
         }
       } else {
         // expression-led: cond-block, assignment, inc/dec, or expr stmt
@@ -691,6 +724,7 @@ object Frontend {
           expectPunct(")")
           Call(id, args.toSeq)
         } else if (consts.contains(id)) {
+          usedConsts += id
           foldConcat(PatternLit(consts(id)))
         } else MetricRead(id, parseIndexChain())
       case t => fail(s"unexpected token $t")
@@ -710,7 +744,7 @@ object Frontend {
         cur match {
           case TRegex(r, _) => advance(); re2 += r
           case TId(id, _) if consts.contains(id) =>
-            advance(); re2 += consts(id)
+            advance(); re2 += consts(id); usedConsts += id
           case _ => p = save; more = false
         }
       }

@@ -62,6 +62,12 @@ object Ir {
   final case class CondExpr(e: Expr) extends Cond
   /** `otherwise { … }` — no sibling cond in this scope matched. */
   case object CondOtherwise extends Cond
+  /** synthetic always-true wrapper for a multi-statement decorator
+    * splice — distinct from a user-written `1 { }`, which the checker
+    * rejects like the reference ("Can't interpret Int as a boolean
+    * expression here", checker_test.go's int-as-bool case).
+    */
+  case object CondAlways extends Cond
 
   // ---- statements ----
   sealed trait Stmt

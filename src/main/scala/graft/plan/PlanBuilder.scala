@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{GoStrptime, RegexExtractStruct}
+import graft.functions.{GoFloatString, GoStrptime, RegexExtractStruct}
 import graft.mtail.{Ir, Re2}
 
 /** Compiles an [[Ir.Program]] into DataFrame aggregation plans — the
@@ -266,6 +266,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     case CondOtherwise =>
       (siblings.reduceOption(_ || _).map(c => !coalesce(c, lit(false)))
         .getOrElse(lit(true)), frames)
+    case CondAlways => (lit(true), frames)
   }
 
   /** Lower a condition EXPRESSION, collecting frames from embedded
@@ -279,11 +280,13 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         if (negated) Nil else List(f))
     case Binop("=~", subj, PatternLit(re2)) =>
       val f = mkFrame(
-        exprColumn(subj, frames, timeReg, siteSeq).cast(StringType), re2)
+        strCast(subj, exprColumn(subj, frames, timeReg, siteSeq), frames),
+        re2)
       (f.matched, List(f))
     case Binop("!~", subj, PatternLit(re2)) =>
       val f = mkFrame(
-        exprColumn(subj, frames, timeReg, siteSeq).cast(StringType), re2)
+        strCast(subj, exprColumn(subj, frames, timeReg, siteSeq), frames),
+        re2)
       (!f.matched, Nil)
     case Binop("&&", l, r) =>
       val (lc, lf) = condExpr(l, frames)
@@ -428,7 +431,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         val seq = nextSeq()
         val execCond = cond && stopGuard
         val parsedTs = materialize(GoStrptime(
-          exprColumn(arg, frames, timeReg, seq).cast(StringType),
+          strCast(arg, exprColumn(arg, frames, timeReg, seq), frames),
           layout, defaultYear, overrideZone), "strp")
         timeReg = when(execCond && parsedTs.isNotNull, parsedTs)
           .otherwise(timeReg)
@@ -543,6 +546,25 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     }
   }
 
+  /** String-ify with the VM's conversion semantics: float operands
+    * render as Go shortest `%g` via [[GoFloatString]] — the F2s opcode
+    * the reference's codegen emits for label keys, `string()`, and
+    * string-unified `+` (vm.go:889-896, codegen.go:273-280,602). Other
+    * types keep Spark's cast, which already matches Go (`%d` for
+    * ints, identity for strings).
+    */
+  private def strCast(e: Expr, c: Column, frames: List[Frame]): Column =
+    if (irType(e, frames) == DoubleType) GoFloatString(c)
+    else c.cast(StringType)
+
+  /** Cast a written value to the metric's type; a float stored into a
+    * text metric goes through F2s like any other float→string
+    * conversion.
+    */
+  private def valCast(e: Expr, c: Column, frames: List[Frame],
+      vt: DataType): Column =
+    if (vt == StringType) strCast(e, c, frames) else c.cast(vt)
+
   // ---------- phase 2: expression lowering ----------
 
   /** Lower an IR expression to a Column. `siteIdx` bounds same-line
@@ -578,7 +600,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           // strings is arithmetic (an analysis error on string+string
           // since 4.x), so the typed IR picks the op
           if (irType(e, frames) == StringType)
-            concat(lc.cast(StringType), rc.cast(StringType))
+            concat(strCast(l, lc, frames), strCast(r, rc, frames))
           else lc + rc
         case "-" => lc - rc
         case "*" => lc * rc
@@ -675,7 +697,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         }
         case "int" => a(0).cast(LongType)
         case "float" => a(0).cast(DoubleType)
-        case "string" => a(0).cast(StringType)
+        case "string" => strCast(args(0), a(0), frames)
         case other => throw new IllegalArgumentException(s"builtin $other")
       }
   }
@@ -705,15 +727,16 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
     def writeVal(s: Site): Column = s.op match {
       case OpDel => zeroOf(metricType(metric)) // fresh datum after delete
-      case _ => exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
-        reading + metric).cast(metricType(metric))
+      case _ => valCast(s.valueIr.get,
+        exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
+          reading + metric), s.frames, metricType(metric))
     }
     def whens(ss: Seq[Site]): Option[Column] =
       ss.sortBy(-_.idx).map(s => when(s.cond, writeVal(s)))
         .reduceOption(coalesce(_, _))
 
     val keyCols = keys.map(k =>
-      exprColumn(k, frames, tReg, siteIdx, reading).cast(StringType))
+      strCast(k, exprColumn(k, frames, tReg, siteIdx, reading), frames))
     val w = Window.partitionBy(keyCols: _*).orderBy(col("ord"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevRows = whens(writes).map(c => last(c, ignoreNulls = true).over(w))
@@ -745,13 +768,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
   private def siteFrame(s: Site, vt: DataType): DataFrame = {
     val labelCols = s.keys.zipWithIndex.map { case (k, i) =>
-      exprColumn(k, s.frames, s.timeReg, s.idx).cast(StringType)
+      strCast(k, exprColumn(k, s.frames, s.timeReg, s.idx), s.frames)
         .as(s"k$i")
     }
     val delta = s.op match {
       case OpDel => zeroOf(vt)
-      case _ => exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx)
-        .cast(vt)
+      case _ => valCast(s.valueIr.get,
+        exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx),
+        s.frames, vt)
     }
     // project BEFORE filtering: values/keys may contain cross-line
     // metric reads whose windows must see every line
@@ -995,11 +1019,13 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       else {
         val frames = writes.map { s =>
           val keyCol = PlanBuilder.joinKeys(s.keys.map(k =>
-            exprColumn(k, s.frames, s.timeReg, s.idx).cast(StringType)))
+            strCast(k, exprColumn(k, s.frames, s.timeReg, s.idx),
+              s.frames)))
           val valueCol = s.op match {
             case OpDel => lit(null).cast(vt)
-            case _ => exprColumn(s.valueIr.get, s.frames, s.timeReg,
-              s.idx).cast(vt)
+            case _ => valCast(s.valueIr.get,
+              exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx),
+              s.frames, vt)
           }
           df.select(keyCol.as("k"), valueCol.as("v"),
             lit(s.op == OpDel).as("is_del"),
@@ -1042,12 +1068,11 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     case _ => "String"
   }
 
-  /** bucket bound rendered like Go's %v (histogram.mtail's `buckets 1,
-    * 2, 4` print as 1, 2, 4 — not 1.0).
+  /** bucket bound rendered like Go's %v / FormatFloat('g',-1,64)
+    * (buckets.go:97, graphite.go:66): `buckets 1, 2, 4` print as 1, 2,
+    * 4 — not 1.0 — and a 5e-05 bound stays Go-scientific, not "5.0E-5".
     */
-  private def fmtBucket(b: Double): String =
-    if (b == b.floor && math.abs(b) < 1e15) b.toLong.toString
-    else b.toString
+  private def fmtBucket(b: Double): String = graft.mtail.GoFmt.g(b)
 }
 
 object PlanBuilder {

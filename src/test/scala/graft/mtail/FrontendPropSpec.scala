@@ -144,12 +144,25 @@ class FrontendPropSpec extends SparkSpec {
     useDec <- Gen.oneOf(true, false)
     useConst <- Gen.oneOf(true, false)
     decBody <- body(1)
-  } yield declsBlock +
-    (if (useConst) constUse else "") +
-    (if (useDec)
-      decoratorBlock + "@deco {\n" + decBody + "\n}\n"
-    else "") +
-    stmts.mkString("\n") + "\n"
+  } yield {
+    val progBody =
+      (if (useConst) constUse else "") +
+      (if (useDec)
+        decoratorBlock + "@deco {\n" + decBody + "\n}\n"
+      else "") +
+      stmts.mkString("\n") + "\n"
+    // declare only metrics the body references: an unused declaration
+    // is a compile error (checker.go:249-266), and silently rejecting
+    // most generated programs would hollow out the sweep
+    val usedDecls = declsBlock.linesIterator.filter { d =>
+      val name = d.split("\\s+").find(w =>
+        !Set("counter", "gauge", "timer", "text", "histogram",
+          "hidden").contains(w)).get
+      ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+        .findFirstIn(progBody).isDefined
+    }.mkString("", "\n", "\n")
+    usedDecls + progBody
+  }
 
   test("1k random grammar-shaped programs compile or fail typed") {
     val params = Gen.Parameters.default
@@ -262,7 +275,8 @@ class FrontendPropSpec extends SparkSpec {
   test("100-site program plans linearly (no expression blow-up)") {
     // postfix.mtail-scale program: 100 blocks, each a pattern cond
     // with a keyed counter, a gauge write, and an expr sub-cond
-    val sb = new StringBuilder(declsBlock)
+    // (declare only what the blocks use — unused decls are errors)
+    val sb = new StringBuilder("counter c1 by a\ngauge g1 by a, b\n")
     (0 until 100).foreach { i =>
       sb.append("/val=(?P<x>\\d+) tag=(?P<s>\\w+) n" + i + "/ {\n")
         .append("  c1[$s]++\n")

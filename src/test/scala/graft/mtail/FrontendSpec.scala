@@ -65,6 +65,13 @@ class FrontendSpec extends AnyFunSuite {
         |histogram h by code buckets 0, 1, 2, 4, 8
         |timer t
         |text tx
+        |/(?P<code>\d+)/ {
+        |  a["1"]["2"]++
+        |  g = 1
+        |  h[$code] = $code
+        |  t = 2
+        |  tx = "z"
+        |}
         |""".stripMargin, "decls")
     assert(p.decls(0) == MetricDecl(Counter, "a", Seq("x", "y"),
       Some("a-total"), false, Nil, 7))
@@ -130,8 +137,10 @@ class FrontendSpec extends AnyFunSuite {
 
   test("constant folding: literal arithmetic folds at compile time " +
       "(opt.go:17-170)") {
+    // the pattern carries a group so the non-constant `$1` case stays
+    // a legal program under the checker
     def body(src: String): Seq[Stmt] =
-      Frontend.parse(s"gauge g\n/x/ {\n$src\n}\n", "fold")
+      Frontend.parse(s"gauge g\n/(x)/ {\n$src\n}\n", "fold")
         .stmts.head.asInstanceOf[CondBlock].body
     // the reference optimiser's own table (opt_test.go:21-75)
     assert(body("g = 1 + 2") == Seq(SetStmt("g", Nil, IntLit(3))))
@@ -186,7 +195,7 @@ class FrontendSpec extends AnyFunSuite {
   test("resource guards: oversized regex and too-deep expressions " +
       "are compile errors (checker.go:66-71,883-887)") {
     // a 2000-char pattern exceeds the 1024-byte default cap
-    val longRe = "/" + ("c" * 1500) + "/ { }\n"
+    val longRe = "/" + ("c" * 1500) + "/ { c++ }\n"
     val e1 = intercept[IllegalArgumentException] {
       Frontend.parse("counter c\n" + longRe, "guards")
     }

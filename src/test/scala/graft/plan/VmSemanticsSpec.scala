@@ -234,6 +234,27 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("l", Map.empty)) == VInt(6))
   }
 
+  test("float→string conversions render Go %g (F2s, vm.go:889-896): " +
+      "label keys, string-unified +, string(), text assignment") {
+    val cells = run(
+      """counter byf by lab
+        |text cat
+        |text conv
+        |text asgn
+        |/^(?P<x>\d+)$/ {
+        |  byf[float($x) * 1000.0]++
+        |  cat = "v=" + float($x) / 8.0
+        |  conv = string(float($x) * 1000000.0)
+        |  asgn = float($x) / 100000.0
+        |}
+        |""".stripMargin, Seq("2000"))
+    // 2e+06, not Spark-cast "2000000.0" — scientific from 1e6 up
+    assert(cells(("byf", Map("lab" -> "2e+06"))) == VInt(1))
+    assert(cells(("cat", Map.empty)) == VStr("v=250"))
+    assert(cells(("conv", Map.empty)) == VStr("2e+09"))
+    assert(cells(("asgn", Map.empty)) == VStr("0.02"))
+  }
+
   test("comparison coercion and logical ops in conds") {
     val cells = run(
       """counter big
@@ -257,6 +278,7 @@ class VmSemanticsSpec extends SparkSpec {
         |counter odd
         |counter even
         |/^(?P<x>\d+)$/ {
+        |  named[getfilename()]++
         |  $x % 2 == 1 {
         |    odd++
         |  } else {
@@ -266,45 +288,51 @@ class VmSemanticsSpec extends SparkSpec {
         |""".stripMargin, Seq("1", "2", "3"))
     assert(cells(("odd", Map.empty)) == VInt(2))
     assert(cells(("even", Map.empty)) == VInt(1))
+    // fromLines stamps the empty filename; the label carries it
+    assert(cells(("named", Map("f" -> ""))) == VInt(3))
   }
 
-  test("keyless del that never fires keeps the metric's updates") {
-    // regression: the keyless del branch is a global agg emitting one
-    // row with null __del_ord even when no del fired; without the
-    // isNull guard every update row was dropped
+  test("a del that never fires keeps the metric's updates") {
+    // regression: the del branch emits a row per delete even when no
+    // del fired; without the isNull guard every update row was dropped
     val cells = run(
-      """gauge scratch
+      """gauge scratch by k
         |/^reset$/ {
-        |  del scratch
+        |  del scratch["s"]
         |}
         |/^(?P<x>\d+)$/ {
-        |  scratch = $x
+        |  scratch["s"] = $x
         |}
         |""".stripMargin, Seq("5", "7"))
-    assert(cells(("scratch", Map.empty)) == VInt(7))
+    assert(cells(("scratch", Map("k" -> "s"))) == VInt(7))
   }
 
-  test("keyless del drops the cell; later updates restart it") {
-    val dropped = run(
-      """gauge scratch
+  test("del drops the cell; later updates restart it") {
+    val src =
+      """gauge scratch by k
         |/^reset$/ {
-        |  del scratch
+        |  del scratch["s"]
         |}
         |/^(?P<x>\d+)$/ {
-        |  scratch = $x
+        |  scratch["s"] = $x
         |}
-        |""".stripMargin, Seq("5", "reset"))
-    assert(!dropped.contains(("scratch", Map.empty)))
-    val restarted = run(
-      """gauge scratch
-        |/^reset$/ {
-        |  del scratch
-        |}
-        |/^(?P<x>\d+)$/ {
-        |  scratch = $x
-        |}
-        |""".stripMargin, Seq("5", "reset", "9"))
-    assert(restarted(("scratch", Map.empty)) == VInt(9))
+        |""".stripMargin
+    val dropped = run(src, Seq("5", "reset"))
+    assert(!dropped.contains(("scratch", Map("k" -> "s"))))
+    val restarted = run(src, Seq("5", "reset", "9"))
+    assert(restarted(("scratch", Map("k" -> "s"))) == VInt(9))
+  }
+
+  test("keyless del is a compile error like the reference " +
+      "(checker.go:865-874)") {
+    val e = intercept[IllegalArgumentException] {
+      Frontend.parse(
+        """gauge scratch
+          |/^reset$/ { del scratch }
+          |/^(?P<x>\d+)$/ { scratch = $x }
+          |""".stripMargin, "vmsem")
+    }
+    assert(e.getMessage.contains("Cannot delete this"))
   }
 
   test("carried multi-key state: (\"ab\",\"c\") never aliases (\"a\",\"bc\")") {

@@ -60,7 +60,11 @@ class StreamEquivalenceSpec extends SparkSpec {
     val numExprs = Seq("$x", "$x + 1", "$x * 2", "$x % 5", "len($s)",
       "$x / 2.0", "hid0 + $x", "float($x)")
     val strExprs = Seq("$s", "tolower($s)", "$s + \"!\"",
-      "string($x)")
+      "string($x)",
+      // float→string goes through the F2s/%g path (GoFloatString) —
+      // ×250000 pushes past 1e6 where the rendering turns scientific
+      "string($x / 2.0)", "\"v=\" + $x / 2.0",
+      "string(float($x) * 250000.0)")
     val pool = Seq(
       "c0++",
       "c1[$s]++",
@@ -72,6 +76,13 @@ class StreamEquivalenceSpec extends SparkSpec {
       s"hid0 = ${Seq("$x", "$x + 1", "hid0 + 1")(rnd.nextInt(3))}",
       "hid1[$s][$x] = $x",
       "g1[$s][$x] = hid1[$s][$x] + 1", // keyed carried-state read
+      // float label keys: the read side (metricReadColumn), write side
+      // (siteFrame) and carried state (finalReadStateDfs) must all
+      // render the key with the same %g formatting or the state join
+      // silently misses
+      "g1[$s][$x / 2.0] = $x",
+      "hid1[$s][$x / 2.0] = $x",
+      "g1[$s][$x / 2.0] = hid1[$s][$x / 2.0] + 1",
       "del c1[$s]", // cross-batch delete of a keyed cell
       // timestamp machinery: line numbers are MONOTONE (genLines), so
       // the store's max-ts merge agrees with one-shot last-write and
@@ -93,8 +104,9 @@ class StreamEquivalenceSpec extends SparkSpec {
         s"/$p/ {\n$c {\n$body\n}$o\n}"
       case 1 => // else branch (capref-free there)
         s"/$p/ {\n$body\n} else {\nc0++\n}"
-      case 2 => // keyless del under a dedicated trigger line
-        "/^reset$/ {\ndel g0\ndel c0\n}"
+      case 2 => // cross-batch del under a dedicated trigger line
+        // (keyed: keyless `del` is a compile error, checker.go:865-874)
+        "/^reset$/ {\ndel c1[\"alpha\"]\ndel g1[\"beta\"][\"7\"]\n}"
       case _ => s"/$p/ {\n$body\n}"
     }
   }
@@ -102,9 +114,22 @@ class StreamEquivalenceSpec extends SparkSpec {
   private def stmt(rnd: Random, depth: Int): String =
     if (depth <= 0) leaf(rnd) else block(rnd, depth)
 
-  private def genProgram(rnd: Random): String =
-    decls + Seq.fill(1 + rnd.nextInt(4))(block(rnd, 2)).mkString("\n") +
-      "\n"
+  private def genProgram(rnd: Random): String = {
+    val body = Seq.fill(1 + rnd.nextInt(4))(block(rnd, 2))
+      .mkString("\n")
+    // declare only the metrics the generated body references — an
+    // unused declaration is a compile error (checker.go:249-266), and
+    // a skipped-as-invalid program would silently shrink the fuzz
+    val usedDecls = decls.linesIterator.filter { d =>
+      val name = d.trim.split("\\s+|,").collectFirst {
+        case w if w.matches("[a-z_][a-z0-9_]*") &&
+          !Set("counter", "gauge", "timer", "text", "histogram",
+            "hidden").contains(w) => w
+      }.get
+      ("\\b" + name + "\\b").r.findFirstIn(body).isDefined
+    }.mkString("", "\n", "\n")
+    usedDecls + body + "\n"
+  }
 
   private def genLines(rnd: Random): Seq[String] = {
     val words = Seq("alpha", "beta", "gamma", "ab", "a", "bc", "abc")
@@ -205,16 +230,16 @@ class StreamEquivalenceSpec extends SparkSpec {
   test("cross-batch del erases a previously merged cell (directed)") {
     val src =
       """counter hits by a
-        |gauge last
+        |gauge last by u
         |/^add (?P<s>\w+) (?P<x>\d+)$/ {
         |  hits[$s]++
-        |  last = $x
+        |  last["u"] = $x
         |}
         |/^drop (?P<s>\w+)$/ {
         |  del hits[$s]
         |}
         |/^clear$/ {
-        |  del last
+        |  del last["u"]
         |}
         |""".stripMargin
     val prog = Frontend.parse(src, "del.mtail")
@@ -229,6 +254,6 @@ class StreamEquivalenceSpec extends SparkSpec {
     assert(!cells.contains(("hits", Map("a" -> "a"))), cells)
     assert(cells(("hits", Map("a" -> "b")))._2 == Snapshot.VInt(1),
       cells) // restarted after the del, not 2
-    assert(!cells.contains(("last", Map.empty)), cells)
+    assert(!cells.contains(("last", Map("u" -> "u"))), cells)
   }
 }
