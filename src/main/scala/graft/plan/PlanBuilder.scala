@@ -7,7 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{GoFloatString, GoStrptime, RegexExtractStruct}
+import graft.functions.{GoFloatString, GoStrptime, GoStrptimeDyn,
+  RegexExtractStruct}
 import graft.mtail.{Ir, Re2}
 
 /** Compiles an [[Ir.Program]] into DataFrame aggregation plans — the
@@ -444,10 +445,22 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           exprColumn(arg, frames, timeReg, seq).cast(LongType))
         timeReg = when(execCond && ts.isNotNull, ts).otherwise(timeReg)
         abortOn(cond, typedCaprefNullCond(arg, frames))
+      case ExprStmt(Call("strptime", Seq(arg, layoutE))) =>
+        // non-literal layout: the VM pops the layout at runtime
+        // (vm.go:556-561), so a capref/metric-read layout is legal —
+        // only the literal path gets compile-time validation
+        val seq = nextSeq()
+        val execCond = cond && stopGuard
+        val parsedTs = materialize(GoStrptimeDyn(
+          strCast(arg, exprColumn(arg, frames, timeReg, seq), frames),
+          strCast(layoutE, exprColumn(layoutE, frames, timeReg, seq),
+            frames), defaultYear, overrideZone), "strp")
+        timeReg = when(execCond && parsedTs.isNotNull, parsedTs)
+          .otherwise(timeReg)
+        abortOn(cond, Some(parsedTs.isNull))
       case ExprStmt(c @ Call("strptime" | "settime", _)) =>
-        // argument shapes the cases above didn't match (non-literal
-        // layout, wrong arity): fail at compile time like the reference
-        // checker rather than silently never updating the time register
+        // wrong arity — the frontend checker rejects this before the
+        // planner ever sees it; keep the typed error as a backstop
         throw new IllegalArgumentException(
           s"unsupported argument shape in ${program.name}: $c")
       case ExprStmt(e) =>

@@ -382,6 +382,20 @@ class VmSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("strptime with a RUNTIME layout parses like the VM " +
+      "(vm.go:556-561 pops the layout from the stack)") {
+    val cells = run(
+      """gauge t
+        |/^(?P<d>\S+) (?P<l>\S+)$/ {
+        |  strptime($d, $l)
+        |  t = timestamp()
+        |}
+        |""".stripMargin, Seq("2016-03-04 2006-01-02"))
+    assert(cells(("t", Map.empty)) ==
+      VInt(java.time.Instant.parse("2016-03-04T00:00:00Z")
+        .getEpochSecond))
+  }
+
   test("joinKeys preserves key arity and position under nulls") {
     // concat_ws skips nulls, so without the per-position coalesce the
     // distinct tuples (null,"a") and ("a",null) alias to one state key
