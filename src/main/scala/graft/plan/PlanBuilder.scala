@@ -441,10 +441,19 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       case ExprStmt(Call("settime", Seq(arg))) =>
         val seq = nextSeq()
         val execCond = cond && stopGuard
-        val ts = timestamp_seconds(
-          exprColumn(arg, frames, timeReg, seq).cast(LongType))
+        val tsLong = exprColumn(arg, frames, timeReg, seq)
+          .cast(LongType)
+        val ts = timestamp_seconds(tsLong)
         timeReg = when(execCond && ts.isNotNull, ts).otherwise(timeReg)
-        abortOn(cond, typedCaprefNullCond(arg, frames))
+        // Settime errors unless TOS is exactly int64 (vm.go:600-608) —
+        // the checker inserts conversions only around BINARY operands
+        // (checker.go:390-395), never builtin args, so a float or
+        // string argument always ABORTS the line on the VM; it never
+        // truncates or parses. Match: abort unless the argument is
+        // Int-typed (then only on a null, e.g. an unbound capref)
+        abortOn(cond,
+          if (irType(arg, frames) == LongType) Some(tsLong.isNull)
+          else Some(lit(true)))
       case ExprStmt(Call("strptime", Seq(arg, layoutE))) =>
         // non-literal layout: the VM pops the layout at runtime
         // (vm.go:556-561), so a capref/metric-read layout is legal —

@@ -396,6 +396,20 @@ class VmSemanticsSpec extends SparkSpec {
         .getEpochSecond))
   }
 
+  test("settime with a non-Int argument aborts the line " +
+      "(vm.go:600-608 type-asserts int64, no coercion)") {
+    val cells = run(
+      """gauge g
+        |/^(?P<f>\d+\.\d+)$/ {
+        |  settime($f)
+        |  g = 7
+        |}
+        |""".stripMargin, Seq("1.5"))
+    // the float argument errors the VM → the line aborts → the write
+    // after settime never lands (no cell; without the abort it'd be 7)
+    assert(!cells.contains(("g", Map.empty)))
+  }
+
   test("joinKeys preserves key arity and position under nulls") {
     // concat_ws skips nulls, so without the per-position coalesce the
     // distinct tuples (null,"a") and ("a",null) alias to one state key
