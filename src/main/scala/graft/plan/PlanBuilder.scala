@@ -660,12 +660,28 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         case ">>" =>
           when(rc >= 64L, when(lc < 0, lit(-1L)).otherwise(lit(0L)))
             .otherwise(call_function("shiftright", lc, rc.cast("int")))
-        case "<" => lc < rc
-        case "<=" => lc <= rc
-        case ">" => lc > rc
-        case ">=" => lc >= rc
-        case "==" => lc === rc
-        case "!=" => lc =!= rc
+        case "<" | "<=" | ">" | ">=" | "==" | "!=" =>
+          // the checker promotes BOTH operands to LUB(Tl, Tr) with
+          // conversion nodes (checker.go:461-503) — and the coercion
+          // lattice makes LUB(String, numeric) = String
+          // (types.go:465-474) — so a string-vs-number comparison is a
+          // LEXICOGRAPHIC Scmp ("10" > "5" is FALSE), where Spark's
+          // own coercion would compare numerically. Floats stringify
+          // as %g on that path like any F2s conversion.
+          val lexical = irType(l, frames) == StringType ||
+            irType(r, frames) == StringType
+          val (cl, cr) =
+            if (lexical)
+              (strCast(l, lc, frames), strCast(r, rc, frames))
+            else (lc, rc)
+          op match {
+            case "<" => cl < cr
+            case "<=" => cl <= cr
+            case ">" => cl > cr
+            case ">=" => cl >= cr
+            case "==" => cl === cr
+            case _ => cl =!= cr
+          }
         case "&&" => lc && rc
         case "||" => lc || rc
         case "=~" => r match {

@@ -410,6 +410,25 @@ class VmSemanticsSpec extends SparkSpec {
     assert(!cells.contains(("g", Map.empty)))
   }
 
+  test("string-vs-number comparison is LEXICOGRAPHIC like the VM " +
+      "(LUB promotes to String → Scmp; checker.go:461-503)") {
+    val cells = run(
+      """counter hit
+        |counter miss
+        |/^(?P<s>[a-z0-9]+)$/ {
+        |  $s > 5 {
+        |    hit++
+        |  } else {
+        |    miss++
+        |  }
+        |}
+        |""".stripMargin, Seq("10", "7"))
+    // "10" > "5" is FALSE byte-wise ('1' < '5'); numeric coercion
+    // would have said true — that's the Spark default this overrides
+    assert(cells(("hit", Map.empty)) == VInt(1)) // "7" > "5"
+    assert(cells(("miss", Map.empty)) == VInt(1)) // "10"
+  }
+
   test("joinKeys preserves key arity and position under nulls") {
     // concat_ws skips nulls, so without the per-position coalesce the
     // distinct tuples (null,"a") and ("a",null) alias to one state key
