@@ -259,15 +259,28 @@ private final class Checker(prog: Program) {
           case (TInt, TInt) => TInt
           case _ => TUnknown
         }
-      case "-" | "*" | "/" | "%" | "**" | "<<" | ">>" | "&" | "|" |
-        "^" =>
+      case "-" | "*" | "/" | "%" | "**" =>
         if (lt == TNone || rt == TNone) err("type mismatch: can't " +
           s"apply $op to an operand of type \"None\".")
         if (lt == TPattern || rt == TPattern) err("type mismatch: " +
           s"can't apply $op to an operand of type \"Pattern\".")
+        // LUB(String, numeric) = String, and the typed-operator table
+        // has no String arm outside PLUS (codegen.go:373-398) — the
+        // reference fails codegen with "no opcode for type String"
+        if (lt == TStr || rt == TStr)
+          err(s"no opcode for type String in op `$op'")
         if (lt == TFloat || rt == TFloat) TFloat
         else if (lt == TInt && rt == TInt) TInt
         else TUnknown
+      case "<<" | ">>" | "&" | "|" | "^" =>
+        // bitwise ops unify their operands with Int, which Strings
+        // COERCE into (types.go:470) — the VM's PopInt parses them at
+        // runtime — so only None/Pattern are compile errors
+        if (lt == TNone || rt == TNone) err("type mismatch: can't " +
+          s"apply $op to an operand of type \"None\".")
+        if (lt == TPattern || rt == TPattern) err("type mismatch: " +
+          s"can't apply $op to an operand of type \"Pattern\".")
+        TInt
       case "=" | "+=" | "-=" =>
         // nested assignment inside an expression — the parser only
         // routes top-level forms through exprToStmt

@@ -557,6 +557,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         else LongType
     }
     case Unop("!", _) => BooleanType
+    case Unop("~", _) => LongType // PopInt-coerced, result is Int
     case Unop(_, x) => irType(x, frames)
     case Call(fn, args) => fn match {
       case "timestamp" | "strtol" | "len" | "int" => LongType
@@ -647,19 +648,34 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         case "**" =>
           if (irType(e, frames) == LongType) pow(lc, rc).cast(LongType)
           else pow(lc, rc)
-        case "&" => lc.bitwiseAND(rc)
-        case "|" => lc.bitwiseOR(rc)
-        case "^" => lc.bitwiseXOR(rc)
-        case "<<" =>
-          // Go shifts don't mask the count — b in [64, MaxInt32) fills
-          // with zeros/sign bits (vm.go:700-711; counts < 0 or
-          // ≥ MaxInt32 are runtime errors, see typedCaprefNullCond) —
-          // while Java/Spark shifts mask to the low 6 bits
-          when(rc >= 64L, lit(0L))
-            .otherwise(call_function("shiftleft", lc, rc.cast("int")))
-        case ">>" =>
-          when(rc >= 64L, when(lc < 0, lit(-1L)).otherwise(lit(0L)))
-            .otherwise(call_function("shiftright", lc, rc.cast("int")))
+        case "&" | "|" | "^" | "<<" | ">>" =>
+          // bitwise operands unify with Int but Strings coerce in
+          // (types.go:470) and the VM's PopInt parses them at runtime
+          // (vm.go:138-143) — cast explicitly; Spark's bitwise ops
+          // don't take string columns. A failed parse nulls out, which
+          // drops the update like the VM's runtime-error abort
+          def asLong(x: Expr, c: Column): Column =
+            if (irType(x, frames) == StringType) c.cast(LongType) else c
+          val bl = asLong(l, lc)
+          val br = asLong(r, rc)
+          op match {
+            case "&" => bl.bitwiseAND(br)
+            case "|" => bl.bitwiseOR(br)
+            case "^" => bl.bitwiseXOR(br)
+            case "<<" =>
+              // Go shifts don't mask the count — b in [64, MaxInt32)
+              // fills with zeros/sign bits (vm.go:700-711; counts < 0
+              // or ≥ MaxInt32 are runtime errors, see
+              // typedCaprefNullCond) — while Java/Spark shifts mask to
+              // the low 6 bits
+              when(br >= 64L, lit(0L))
+                .otherwise(call_function("shiftleft", bl,
+                  br.cast("int")))
+            case _ =>
+              when(br >= 64L, when(bl < 0, lit(-1L)).otherwise(lit(0L)))
+                .otherwise(call_function("shiftright", bl,
+                  br.cast("int")))
+          }
         case "<" | "<=" | ">" | ">=" | "==" | "!=" =>
           // the checker promotes BOTH operands to LUB(Tl, Tr) with
           // conversion nodes (checker.go:461-503) — and the coercion
@@ -697,7 +713,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     case Unop("!", x) => !exprColumn(x, frames, tReg, siteIdx, reading)
     case Unop("-", x) => -exprColumn(x, frames, tReg, siteIdx, reading)
     case Unop("~", x) =>
-      exprColumn(x, frames, tReg, siteIdx, reading).bitwiseXOR(lit(-1L))
+      // string operands parse at runtime like any PopInt (vm.go:138)
+      val xc = exprColumn(x, frames, tReg, siteIdx, reading)
+      (if (irType(x, frames) == StringType) xc.cast(LongType) else xc)
+        .bitwiseXOR(lit(-1L))
     case Unop(op, _) => throw new IllegalArgumentException(s"unop $op")
     case Call(fn, args) =>
       def a(i: Int) = exprColumn(args(i), frames, tReg, siteIdx, reading)

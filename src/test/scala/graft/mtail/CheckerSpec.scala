@@ -159,6 +159,16 @@ class CheckerSpec extends AnyFunSuite {
       "pattern")
   }
 
+  test("string operands reject non-PLUS arithmetic (codegen.go:373-398" +
+      " has no String arm outside Cat)") {
+    reject("gauge g\n/(?P<s>[a-z]+)/ { g = $s - 1 }\n",
+      "no opcode for type String in op `-'")
+    reject("gauge g\n/(?P<s>[a-z]+)/ { g = $s * 2 }\n",
+      "no opcode for type String in op `*'")
+    // bitwise DOES accept strings — the VM's PopInt parses at runtime
+    accept("gauge g\n/(?P<s>[a-z0-9]+)/ { g = $s & 7 }\n")
+  }
+
   // ---------- valid programs (checker_test.go:390-520) ----------
 
   test("valid corpus still compiles") {

@@ -429,6 +429,20 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("miss", Map.empty)) == VInt(1)) // "10"
   }
 
+  test("bitwise with a string operand parses it at runtime " +
+      "(PopInt, vm.go:138-143)") {
+    val cells = run(
+      """gauge g
+        |gauge n
+        |/^(?P<s>[a-z0-9]+)$/ {
+        |  g = $s & 12
+        |  n = ~$s
+        |}
+        |""".stripMargin, Seq("6"))
+    assert(cells(("g", Map.empty)) == VInt(4)) // 6 & 12
+    assert(cells(("n", Map.empty)) == VInt(-7)) // ^6
+  }
+
   test("joinKeys preserves key arity and position under nulls") {
     // concat_ws skips nulls, so without the per-position coalesce the
     // distinct tuples (null,"a") and ("a",null) alias to one state key
