@@ -16,13 +16,14 @@ import graft.mtail.GoFmt
   * Go says "1e+06", so label values and concatenated strings would
   * diverge from the reference without this.
   */
-case class GoFloatString(child: Expression) extends UnaryExpression {
+case class GoFloatString(child: Expression, upper: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(GoFmt.g(input.asInstanceOf[Double]))
+    UTF8String.fromString(GoFmt.g(input.asInstanceOf[Double], upper))
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
@@ -31,13 +32,19 @@ case class GoFloatString(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  graft.mtail.GoFmt$$.MODULE$$.g($c));
+         |  graft.mtail.GoFmt$$.MODULE$$.g($c, $upper));
        """.stripMargin
     })
 }
 
 object GoFloatString {
-  def apply(c: Column): Column =
+  def apply(c: Column): Column = apply(c, upper = false)
+
+  /** `upper` = the runtime PopString 'G' coercion (text assignment);
+    * default is the F2s conversion's lowercase `%g`.
+    */
+  def apply(c: Column, upper: Boolean): Column =
     org.apache.spark.sql.GraftBridge.column(
-      GoFloatString(org.apache.spark.sql.GraftBridge.expression(c)))
+      GoFloatString(org.apache.spark.sql.GraftBridge.expression(c),
+        upper))
 }

@@ -27,7 +27,16 @@ package graft.mtail
 object GoFmt {
 
   /** `fmt.Sprintf("%g", x)` / `strconv.FormatFloat(x, 'g', -1, 64)`. */
-  def g(x: Double): String = {
+  def g(x: Double): String = g(x, upper = false)
+
+  /** `upper = true` is `FormatFloat(x, 'G', -1, 64)` — the runtime
+    * PopString coercion (vm.go:177) used when a raw float reaches a
+    * string-popping opcode WITHOUT a checker-inserted conversion:
+    * assignment to a text metric (Sset), whose rhs the checker never
+    * wraps (checker.go:505-520 has no ConvExpr arm). "2E+06", not
+    * "2e+06".
+    */
+  def g(x: Double, upper: Boolean): String = {
     if (java.lang.Double.isNaN(x)) return "NaN"
     if (x == Double.PositiveInfinity) return "+Inf"
     if (x == Double.NegativeInfinity) return "-Inf"
@@ -36,8 +45,10 @@ object GoFmt {
     val ax = math.abs(x)
     if (ax == 0.0) return sign + "0"
     val (digits, exp) = shortest(ax)
-    if (exp < -4 || exp >= 6) sign + sci(digits, exp)
-    else sign + dec(digits, exp)
+    if (exp < -4 || exp >= 6) {
+      val s = sci(digits, exp)
+      sign + (if (upper) s.replace('e', 'E') else s)
+    } else sign + dec(digits, exp)
   }
 
   /** `encoding/json`'s float64 encoding: decimal unless the magnitude

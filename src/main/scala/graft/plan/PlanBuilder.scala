@@ -580,13 +580,18 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     if (irType(e, frames) == DoubleType) GoFloatString(c)
     else c.cast(StringType)
 
-  /** Cast a written value to the metric's type; a float stored into a
-    * text metric goes through F2s like any other float→string
-    * conversion.
+  /** Cast a written value to the metric's type. A float stored into a
+    * text metric hits Sset WITHOUT a checker conversion (the ASSIGN
+    * arm never wraps its rhs, checker.go:505-520), so the runtime
+    * PopString coercion applies — `FormatFloat('G')`, UPPERCASE
+    * exponent (vm.go:171-186) — unlike the F2s paths.
     */
   private def valCast(e: Expr, c: Column, frames: List[Frame],
       vt: DataType): Column =
-    if (vt == StringType) strCast(e, c, frames) else c.cast(vt)
+    if (vt == StringType) {
+      if (irType(e, frames) == DoubleType) GoFloatString(c, upper = true)
+      else c.cast(StringType)
+    } else c.cast(vt)
 
   // ---------- phase 2: expression lowering ----------
 

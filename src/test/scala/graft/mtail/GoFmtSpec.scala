@@ -67,6 +67,14 @@ class GoFmtSpec extends AnyFunSuite {
     }
   }
 
+  test("'G' variant uppercases the exponent (PopString coercion, " +
+      "vm.go:177)") {
+    assert(GoFmt.g(2e9, upper = true) == "2E+09")
+    assert(GoFmt.g(1e-5, upper = true) == "1E-05")
+    assert(GoFmt.g(123456.789, upper = true) == "123456.789")
+    assert(GoFmt.g(Double.NaN, upper = true) == "NaN")
+  }
+
   test("json numbers stay decimal inside [1e-6, 1e21)") {
     assert(GoFmt.jsonNumber(1e6) == "1000000")
     assert(GoFmt.jsonNumber(2000000.5) == "2000000.5")

@@ -241,11 +241,13 @@ class VmSemanticsSpec extends SparkSpec {
         |text cat
         |text conv
         |text asgn
+        |text asgn2
         |/^(?P<x>\d+)$/ {
         |  byf[float($x) * 1000.0]++
         |  cat = "v=" + float($x) / 8.0
         |  conv = string(float($x) * 1000000.0)
         |  asgn = float($x) / 100000.0
+        |  asgn2 = float($x) * 1000000.0
         |}
         |""".stripMargin, Seq("2000"))
     // 2e+06, not Spark-cast "2000000.0" — scientific from 1e6 up
@@ -253,6 +255,10 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("cat", Map.empty)) == VStr("v=250"))
     assert(cells(("conv", Map.empty)) == VStr("2e+09"))
     assert(cells(("asgn", Map.empty)) == VStr("0.02"))
+    // DIRECT text assignment skips the checker's conversion nodes, so
+    // the runtime PopString 'G' coercion applies — UPPERCASE exponent
+    // (vm.go:171-186), unlike the F2s paths above
+    assert(cells(("asgn2", Map.empty)) == VStr("2E+09"))
   }
 
   test("comparison coercion and logical ops in conds") {
