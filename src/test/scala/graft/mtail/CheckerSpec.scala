@@ -196,6 +196,20 @@ class CheckerSpec extends AnyFunSuite {
     accept("const X /foo/\n/bar/ + X {\n}")
   }
 
+  test("parser-level invalid corpus rejects (parser_test.go:495-585)") {
+    // exact messages differ (graft's parser reports its own shapes);
+    // the contract is REJECTION with a typed error, not acceptance
+    Seq(
+      "?\n", "/foo\n", " \"foo }\n", "const X /(?P<foo>",
+      "/foo/ {\n", "/foo/ { } else {\n", "otherwise {\n",
+      "counter foo\n/x/ {\nfoo++[$1]++\n}", "/x/ {\n0[$1]++\n}",
+      "/foo/[0]\n", "/(\\d)foo/ {\n timestamp() - $1\n}",
+      "/(?P<a>.)/\n", "counter foo by a limit 10, b\n"
+    ).foreach { src =>
+      intercept[IllegalArgumentException](Frontend.parse(src, "chk"))
+    }
+  }
+
   test("decorator machinery still works end to end") {
     accept("def d {\n/(?P<x>\\d+)/ {\nnext\n}\n}\ncounter c\n" +
       "@d {\nc += $x\n}\n")
