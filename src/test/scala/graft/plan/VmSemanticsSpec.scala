@@ -449,6 +449,22 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("n", Map.empty)) == VInt(-7)) // ^6
   }
 
+  test("Int operands in logical conds use VM truthiness " +
+      "(Jnm/Jm: int64 zero is no-match, vm.go:444-470)") {
+    val cells = run(
+      """counter c
+        |counter d
+        |0 || 1 {
+        |  c++
+        |}
+        |1 && 0 {
+        |  d++
+        |}
+        |""".stripMargin, Seq("x"))
+    assert(cells(("c", Map.empty)) == VInt(1))
+    assert(cells(("d", Map.empty)) == VInt(0)) // declared → zero-init
+  }
+
   test("joinKeys preserves key arity and position under nulls") {
     // concat_ws skips nulls, so without the per-position coalesce the
     // distinct tuples (null,"a") and ("a",null) alias to one state key
