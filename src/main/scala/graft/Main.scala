@@ -399,7 +399,7 @@ object Main {
           case _ => ()
         }
         (b ++ eb).foreach(stmt)
-      case Ir.IncStmt(_, ks, d) => (ks :+ d).foreach(expr)
+      case Ir.IncStmt(_, ks, d, _) => (ks :+ d).foreach(expr)
       case Ir.SetStmt(_, ks, v) => (ks :+ v).foreach(expr)
       case Ir.DelStmt(_, ks, _) => ks.foreach(expr)
       case Ir.ExprStmt(e) => expr(e)

@@ -114,11 +114,14 @@ private final class Checker(prog: Program) {
         // caprefs bound by this cond are NOT visible in else — the
         // branch runs exactly when the pattern did not match
         walk(els, scope)
-      case IncStmt(m, keys, delta) =>
+      case IncStmt(m, keys, delta, addAssign) =>
         val d = metricOp(m, keys, scope)
         d.kind match {
-          case Text => err("type mismatch: expecting an Int for INC, " +
-            "not String.")
+          // `+=` compiles as `m = m + e` (codegen.go:359-363) — legal
+          // concatenation on a text metric; only `++`/`--` (Inc/Dec
+          // opcodes) require an Int
+          case Text if !addAssign => err("type mismatch: expecting an " +
+            "Int for INC, not String.")
           case Histogram => err("type mismatch: expecting an Int for " +
             "INC, not Buckets.")
           case _ => ()

@@ -37,8 +37,11 @@ object Frontend {
     "histogram", "hidden", "by", "as", "buckets", "limit", "def", "next",
     "const", "otherwise", "else", "del", "after", "stop")
 
+  // NOTE no "-=", "*=", "/=": the reference lexer has only ADD_ASSIGN
+  // (lexer.go:252-264; '-' followed by '=' lexes MINUS then ASSIGN and
+  // the parser rejects the shape)
   private val punctuation = Seq( // longest first
-    "<<", ">>", "**", "++", "--", "+=", "-=", "*=", "/=", "=~", "!~",
+    "<<", ">>", "**", "++", "--", "+=", "=~", "!~",
     "<=", ">=", "==", "!=", "&&", "||",
     "{", "}", "[", "]", "(", ")", ",", "+", "-", "*", "/", "%", "<",
     ">", "=", "!", "~", "&", "|", "^", "@", "$")
@@ -252,7 +255,7 @@ object Frontend {
         // level here, so the metric stays one-level-per-IR-node like
         // the reference's checker-walk counter (checker.go:883-887)
         (dc +: (body ++ elseBody).map(dStmt)).max
-      case IncStmt(_, ks, delta) => (ks :+ delta).map(dExpr).max
+      case IncStmt(_, ks, delta, _) => (ks :+ delta).map(dExpr).max
       case SetStmt(_, ks, v) => (ks :+ v).map(dExpr).max
       case DelStmt(_, ks, _) => (0 +: ks.map(dExpr)).max
       case ExprStmt(e) => dExpr(e)
@@ -336,8 +339,8 @@ object Frontend {
     def foldS(s: Stmt): Stmt = s match {
       case CondBlock(c, body, els) =>
         CondBlock(foldC(c), body.map(foldS), els.map(foldS))
-      case IncStmt(m, keys, delta) =>
-        IncStmt(m, keys.map(foldE), foldE(delta))
+      case s @ IncStmt(m, keys, delta, _) =>
+        s.copy(keys = keys.map(foldE), delta = foldE(delta))
       case SetStmt(m, keys, v) => SetStmt(m, keys.map(foldE), foldE(v))
       case DelStmt(m, keys, after) => DelStmt(m, keys.map(foldE), after)
       case ExprStmt(e) => ExprStmt(foldE(e))
@@ -619,9 +622,8 @@ object Frontend {
 
     private def exprToStmt(e: Expr): Stmt = e match {
       case Binop("=", MetricRead(m, keys), rhs) => SetStmt(m, keys, rhs)
-      case Binop("+=", MetricRead(m, keys), rhs) => IncStmt(m, keys, rhs)
-      case Binop("-=", MetricRead(m, keys), rhs) =>
-        IncStmt(m, keys, Unop("-", rhs))
+      case Binop("+=", MetricRead(m, keys), rhs) =>
+        IncStmt(m, keys, rhs, addAssign = true)
       case Unop("++", MetricRead(m, keys)) => IncStmt(m, keys)
       case Unop("--", MetricRead(m, keys)) =>
         IncStmt(m, keys, IntLit(-1))
@@ -636,7 +638,7 @@ object Frontend {
 
     private def parseAssign(): Expr = {
       val l = parseOr()
-      if (at("=") || at("+=") || at("-=")) {
+      if (at("=") || at("+=")) {
         val op = advance().asInstanceOf[TPunct].s
         skipNLs()
         Binop(op, l, parseAssign())

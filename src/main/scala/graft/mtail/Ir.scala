@@ -73,9 +73,14 @@ object Ir {
   sealed trait Stmt
   final case class CondBlock(cond: Cond, body: Seq[Stmt],
       elseBody: Seq[Stmt] = Nil) extends Stmt
-  /** `m[k…]++` / `--` / `+= e` — delta defaults to +1. */
+  /** `m[k…]++` / `--` / `+= e` — delta defaults to +1. `addAssign`
+    * marks the `+=` form: the reference compiles ADD_ASSIGN as
+    * `m = m + e` (codegen.go:359-363 double-emits the lhs), which on a
+    * TEXT metric is legal string CONCATENATION, while `++`/`--` (the
+    * Inc/Dec opcodes) reject non-Int metrics at compile.
+    */
   final case class IncStmt(metric: String, keys: Seq[Expr] = Nil,
-      delta: Expr = IntLit(1)) extends Stmt
+      delta: Expr = IntLit(1), addAssign: Boolean = false) extends Stmt
   /** `m[k…] = e` (gauge/timer/text set; histogram observe). */
   final case class SetStmt(metric: String, keys: Seq[Expr], value: Expr)
       extends Stmt
@@ -96,5 +101,20 @@ object Ir {
       decls.find(_.name == metric).getOrElse(
         throw new IllegalArgumentException(
           s"program $name: undeclared metric $metric"))
+
+    /** text metrics updated by `+=` anywhere — their values are
+      * running CONCATENATIONS, so the streaming store must APPEND a
+      * batch's local concat instead of last-write-replacing it
+      * (mirrors how counter batches sum).
+      */
+    lazy val concatTextMetrics: Set[String] = {
+      val txt = decls.filter(_.kind == Text).map(_.name).toSet
+      def walk(ss: Seq[Stmt]): Set[String] = ss.flatMap {
+        case IncStmt(m, _, _, _) if txt(m) => Seq(m)
+        case CondBlock(_, b, e) => walk(b) ++ walk(e)
+        case _ => Nil
+      }.toSet
+      walk(stmts)
+    }
   }
 }

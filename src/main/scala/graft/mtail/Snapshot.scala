@@ -12,10 +12,15 @@ object Snapshot {
 
   /** tsSec None ⇔ Go's zero time.Time{} (datum never stamped);
     * buckets: histogram upper-bound → count (plus "count"), else None.
+    * wasSet: whether the producing batch SET the cell (its value then
+    * REPLACES the store cell on merge) or only incremented it (the
+    * value ADDS) — None falls back to the kind's default
+    * (counter/histogram add, gauge/timer/text replace).
     */
   final case class Cell(kind: String, name: String,
       labels: Map[String, String], value: Value, tsSec: Option[Long],
-      buckets: Option[Map[String, Long]] = None)
+      buckets: Option[Map[String, Long]] = None,
+      wasSet: Option[Boolean] = None)
 
   private val varRe =
     """^(counter|gauge|timer|text|histogram) ([^ ]+)(?: \{([^}]+)\})?(?: (\S+))?(?: (.+))?""".r
@@ -92,7 +97,11 @@ object Snapshot {
         if (!r.schema.fieldNames.contains("buckets") ||
           r.isNullAt(r.fieldIndex("buckets"))) None
         else Some(r.getAs[Map[String, Long]]("buckets"))
-      Cell(kind, name, labels, value, tsSec, buckets)
+      val wasSet =
+        if (!r.schema.fieldNames.contains("was_set") ||
+          r.isNullAt(r.fieldIndex("was_set"))) None
+        else Some(r.getAs[Boolean]("was_set"))
+      Cell(kind, name, labels, value, tsSec, buckets, wasSet)
     }
   }
 
@@ -107,7 +116,10 @@ object Snapshot {
     (a.keySet -- e.keySet).toSeq.sorted.foreach(k =>
       sb.append(s"unexpected: ${a(k)}\n"))
     (e.keySet & a.keySet).toSeq.sorted.foreach { k =>
-      if (e(k) != a(k)) sb.append(s"differs:\n  want ${e(k)}\n  got  ${a(k)}\n")
+      // wasSet is merge plumbing, not exported state — golden cells
+      // never carry it
+      if (e(k).copy(wasSet = None) != a(k).copy(wasSet = None))
+        sb.append(s"differs:\n  want ${e(k)}\n  got  ${a(k)}\n")
     }
     sb.toString
   }

@@ -237,6 +237,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   case object OpInc extends Op
   case object OpSet extends Op
   case object OpDel extends Op
+  /** `text += e` — ADD_ASSIGN on a String metric is `m = m + e`
+    * (codegen.go:359-363), an ordered running concatenation.
+    */
+  case object OpConcat extends Op
 
   /** one metric-update site with context captured at walk time. */
   private case class Site(idx: Int, metric: MetricDecl, op: Op,
@@ -415,8 +419,11 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         walk(body, newFrames, cond && condCol)
         if (els.nonEmpty)
           walk(els, frames, cond && !coalesce(condCol, lit(false)))
-      case IncStmt(m, keys, delta) =>
-        sites += Site(nextSeq(), program.decl(m), OpInc,
+      case IncStmt(m, keys, delta, _) =>
+        // `text += e` is ADD_ASSIGN = `m = m + e` (codegen.go:359-363)
+        // → an ordered running concatenation, not a numeric sum
+        val op = if (metricType(m) == StringType) OpConcat else OpInc
+        sites += Site(nextSeq(), program.decl(m), op,
           cond && stopGuard, keys, Some(delta), frames, timeReg, None)
         abortOn(cond, typedCaprefNullCond(
           keys.foldLeft(delta)((a, k) => Binop("+", a, k)), frames))
@@ -783,9 +790,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       .filter(s => s.op == OpSet ||
         (s.op == OpDel && s.afterSeconds.isEmpty))
     if (writes.isEmpty) return zeroOf(metricType(metric))
-    if (allSites.exists(s => s.metric.name == metric && s.op == OpInc))
+    if (allSites.exists(s => s.metric.name == metric &&
+        (s.op == OpInc || s.op == OpConcat)))
       throw new IllegalArgumentException(
-        s"reads of '++'-updated metric $metric not supported")
+        s"reads of '++'/'+='-updated metric $metric not supported")
 
     def writeVal(s: Site): Column = s.op match {
       case OpDel => zeroOf(metricType(metric)) // fresh datum after delete
@@ -835,6 +843,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     }
     val delta = s.op match {
       case OpDel => zeroOf(vt)
+      // the concat operand is a BINARY + conversion (the checker wraps
+      // it, so floats render F2s lowercase %g, not PopString 'G')
+      case OpConcat => strCast(s.valueIr.get,
+        exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx), s.frames)
       case _ => valCast(s.valueIr.get,
         exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx),
         s.frames, vt)
@@ -895,9 +907,9 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     val vt = metricType(decl.name)
 
     val keyNames = decl.keys.indices.map(i => s"k$i")
-    val unioned = updates.map(siteFrame(_, vt)).reduceOption(_ unionAll _)
 
-    val afterDel: Option[DataFrame] = unioned.map { u =>
+    /** drop update rows at-or-before each cell's last keyless `del`. */
+    def delFilter(u: DataFrame): DataFrame =
       if (dels.isEmpty) u
       else {
         val delDf = dels.map(siteFrame(_, vt)).reduce(_ unionAll _)
@@ -918,10 +930,42 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             .drop("__del_ord")
         }
       }
+
+    val setSites = updates.filter(_.op == OpSet)
+    val incSites = updates.filter(_.op == OpInc)
+    val numeric = decl.kind == Ir.Counter || decl.kind == Ir.Gauge ||
+      decl.kind == Ir.Timer
+    // the VM folds updates imperatively per datum: Iset REPLACES, Inc
+    // ADDS — regardless of the declared kind (`counter c; c = 5` is
+    // legal and last-write; `gauge g; g++` is legal and accumulates).
+    // Pure-op metrics use the cheap single-agg paths; a metric mixing
+    // `=` and `++`/`+=` needs base-plus-post-set-increments (below).
+    val mixed = numeric && setSites.nonEmpty && incSites.nonEmpty
+    // whether a batch value REPLACES the store cell on merge (the
+    // batch contained a set-write) or ADDS to it (pure increments);
+    // the mixed path computes this per cell instead
+    val wasSetStatic: Boolean = decl.kind match {
+      case Ir.Histogram => false
+      case Ir.Text => !updates.exists(_.op == OpConcat)
+      case _ => setSites.nonEmpty
     }
+
+    if (mixed) return mixedNumericFrame(decl, vt, keyNames,
+      setSites, incSites, delFilter)
+
+    val unioned = updates.map(siteFrame(_, vt)).reduceOption(_ unionAll _)
+    val afterDel: Option[DataFrame] = unioned.map(delFilter)
 
     val agg: Option[DataFrame] = afterDel.map { u =>
       val aggs = decl.kind match {
+        case _ if numeric && incSites.isEmpty && setSites.nonEmpty =>
+          // all writes are `=` (any numeric kind): last write wins
+          Seq(max_by(col("v"), col("ordk")).as("value"),
+            max_by(col("ts"), col("ordk")).as("ts"))
+        case _ if numeric && incSites.nonEmpty =>
+          // all writes are `++`/`+=` (any numeric kind): deltas sum
+          Seq(sum("v").as("value"),
+            max_by(col("ts"), col("ordk")).as("ts"))
         case Ir.Counter =>
           Seq(sum("v").as("value"),
             max_by(col("ts"), col("ordk")).as("ts"))
@@ -937,21 +981,37 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               .as("bucket_inf"),
             sum("v").as("value"), count(lit(1)).as("obs_count"),
             max_by(col("ts"), col("ordk")).as("ts"))
+        case Ir.Text if updates.exists(_.op == OpConcat) =>
+          if (updates.exists(_.op != OpConcat))
+            throw new IllegalArgumentException(
+              s"${program.name}: mixing `=` and `+=` on text metric " +
+                s"`${decl.name}` is not supported")
+          // ordered running concatenation: every delta in arrival
+          // order. The array lives on ONE aggregated row per cell —
+          // same memory shape as the VM's single growing string datum
+          Seq(concat_ws("", transform(
+            array_sort(collect_list(struct(col("ordk"), col("v")))),
+            x => x.getField("v"))).as("value"),
+            max_by(col("ts"), col("ordk")).as("ts"))
         case _ => // gauge / timer / text: last write wins by arrival
           Seq(max_by(col("v"), col("ordk")).as("value"),
             max_by(col("ts"), col("ordk")).as("ts"))
       }
-      if (keyNames.isEmpty) {
+      val done = if (keyNames.isEmpty) {
         val g = u.agg(aggs.head, aggs.tail: _*)
         if (decl.kind == Ir.Counter)
           // never-updated scalar counters export 0 @ epoch-0
           // (codegen.go:109-126; golden/reader.go:107-119); an updated
           // counter with an unset time register keeps null ts (the
-          // VM's zero time.Time)
+          // VM's zero time.Time). The synthetic zero row is NEVER a
+          // set-write: a reload's zero-init merge must not wipe a live
+          // set-written cell
           g.select(
             coalesce(col("value"), lit(0L).cast(vt)).as("value"),
             when(col("value").isNull, timestamp_seconds(lit(0)))
-              .otherwise(col("ts")).as("ts"))
+              .otherwise(col("ts")).as("ts"),
+            when(col("value").isNull, lit(false))
+              .otherwise(lit(wasSetStatic)).as("__was_set"))
         else g.filter(col("value").isNotNull)
       } else {
         val g = u.groupBy(keyNames.map(col): _*)
@@ -965,6 +1025,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             .filter(col("__rn") <= decl.limit).drop("__rn")
         } else g
       }
+      if (done.columns.contains("__was_set")) done
+      else done.withColumn("__was_set", lit(wasSetStatic))
     }
 
     agg.getOrElse {
@@ -972,10 +1034,70 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       if (decl.keys.isEmpty && decl.kind == Ir.Counter)
         df.sparkSession.range(1)
           .select(lit(0L).cast(vt).as("value"),
-            timestamp_seconds(lit(0)).as("ts"))
+            timestamp_seconds(lit(0)).as("ts"),
+            lit(false).as("__was_set"))
       else
         df.sparkSession.emptyDataFrame
     }
+  }
+
+  /** Per-cell fold for a numeric metric written by BOTH `=` and
+    * `++`/`+=`: the VM applies them in order per datum, so the final
+    * value is the LAST set's value plus every increment AFTER it
+    * (increments before the last set are overwritten). Two cheap
+    * cell-cardinality aggregations and a broadcast gate join — only
+    * programs that actually mix pay this path.
+    */
+  private def mixedNumericFrame(decl: Ir.MetricDecl, vt: DataType,
+      keyNames: Seq[String], setSites: Seq[Site], incSites: Seq[Site],
+      delFilter: DataFrame => DataFrame): DataFrame = {
+    val setsU = delFilter(setSites.map(siteFrame(_, vt))
+      .reduce(_ unionAll _))
+    val incsU = delFilter(incSites.map(siteFrame(_, vt))
+      .reduce(_ unionAll _))
+    val setAggs = Seq(max_by(col("v"), col("ordk")).as("__base"),
+      max(col("ordk")).as("__setOrd"),
+      max_by(col("ts"), col("ordk")).as("__setTs"))
+    val sets =
+      if (keyNames.isEmpty) setsU.agg(setAggs.head, setAggs.tail: _*)
+      else setsU.groupBy(keyNames.map(col): _*)
+        .agg(setAggs.head, setAggs.tail: _*)
+    val gated =
+      (if (keyNames.isEmpty) incsU.crossJoin(broadcast(sets))
+       else incsU.join(broadcast(sets), keyNames, "left"))
+        .filter(col("__setOrd").isNull || col("ordk") > col("__setOrd"))
+    val incAggs = Seq(sum("v").as("__incSum"),
+      max_by(col("ts"), col("ordk")).as("__incTs"))
+    val incs =
+      if (keyNames.isEmpty) gated.agg(incAggs.head, incAggs.tail: _*)
+      else gated.groupBy(keyNames.map(col): _*)
+        .agg(incAggs.head, incAggs.tail: _*)
+    val combined =
+      if (keyNames.isEmpty) sets.crossJoin(incs)
+      else sets.join(incs, keyNames, "full_outer")
+    val value = (coalesce(col("__base"), lit(0L).cast(vt)) +
+      coalesce(col("__incSum"), lit(0L).cast(vt))).cast(vt)
+    // gated increments all come AFTER the last set, so if any exist
+    // the newest of them owns the datum stamp; otherwise the set does
+    val ts = coalesce(col("__incTs"), col("__setTs"))
+    val touched = col("__base").isNotNull || col("__incSum").isNotNull
+    val out =
+      if (keyNames.isEmpty && decl.kind == Ir.Counter)
+        // declared scalar counters zero-init at 0 @ epoch-0
+        combined.select(
+          coalesce(when(touched, value), lit(0L).cast(vt)).as("value"),
+          when(!touched, timestamp_seconds(lit(0))).otherwise(ts)
+            .as("ts"),
+          col("__setOrd").isNotNull.as("__was_set"))
+      else
+        combined.filter(touched).select(
+          (keyNames.map(col) ++ Seq(value.as("value"), ts.as("ts"),
+            col("__setOrd").isNotNull.as("__was_set"))): _*)
+    if (decl.limit > 0) {
+      val w = Window.orderBy(col("ts").desc)
+      out.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= decl.limit).drop("__rn")
+    } else out
   }
 
   /** Full exported snapshot: one row per metric cell. */
@@ -1013,7 +1135,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             .as("buckets"),
           // epoch micros as a long: java.sql.Timestamp round-trips
           // pre-1582 dates through the hybrid Julian calendar
-          unix_micros(col("ts")).as("ts_micros"))
+          unix_micros(col("ts")).as("ts_micros"),
+          // merge semantics for the streaming store: true = this batch
+          // SET the cell (replace), false = pure increments (add)
+          col("__was_set").as("was_set"))
       }
     }
     frames.flatten.reduceOption(_ unionAll _).getOrElse(

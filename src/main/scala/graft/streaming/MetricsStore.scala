@@ -26,6 +26,9 @@ final class MetricsStore {
     * nothing — must not move the datum stamp.
     */
   private def isZeroDelta(c: Cell): Boolean = c.kind match {
+    // a SET-written counter cell carrying 0 is a genuine write (Iset
+    // to zero), not a no-op delta
+    case "counter" if c.wasSet.getOrElse(false) => false
     case "counter" => c.value match {
       case VInt(0) => true
       case VFloat(v) => v == 0.0
@@ -36,7 +39,12 @@ final class MetricsStore {
     case _ => false
   }
 
-  def merge(batch: Seq[Cell]): Unit = lock.synchronized {
+  /** `concatNames`: text metrics built by `+=` — each batch carries
+    * its LOCAL ordered concat, so the store appends like counters sum
+    * (last-write-replace would drop every earlier batch's suffix).
+    */
+  def merge(batch: Seq[Cell],
+      concatNames: Set[String] = Set.empty): Unit = lock.synchronized {
     batch.foreach { c =>
       val key = (c.name, c.labels)
       cells.get(key) match {
@@ -56,8 +64,6 @@ final class MetricsStore {
             if (isZeroDelta(c)) maxTs(prev.tsSec, c.tsSec)
             else c.tsSec
           val merged = c.kind match {
-            case "counter" =>
-              c.copy(value = addValues(prev.value, c.value), tsSec = ts)
             case "histogram" =>
               // Buckets accumulate over the whole stream like the
               // reference's datum.Buckets.Observe (datum/buckets.go:42-57):
@@ -65,12 +71,30 @@ final class MetricsStore {
               // value) adds.
               c.copy(value = addValues(prev.value, c.value), tsSec = ts,
                 buckets = addBuckets(prev.buckets, c.buckets))
-            case _ => // gauge / timer / text: newer batch wins
+            case "text" if concatNames(c.name) =>
+              c.copy(value = catValues(prev.value, c.value), tsSec = ts)
+            // the batch fold reports HOW it wrote the cell: a set-write
+            // makes the batch value authoritative (Iset replaces the
+            // datum), pure increments add to the running cell — for ANY
+            // numeric kind (`counter c; c = 5` is last-write on the VM,
+            // `gauge g; g++` accumulates). Cells without the flag (the
+            // engine's own counters, test fixtures) keep the kind
+            // default.
+            case "counter" if !c.wasSet.getOrElse(false) =>
+              c.copy(value = addValues(prev.value, c.value), tsSec = ts)
+            case "gauge" | "timer" if !c.wasSet.getOrElse(true) =>
+              c.copy(value = addValues(prev.value, c.value), tsSec = ts)
+            case _ => // set-written (or text): newer batch wins
               c.copy(tsSec = ts)
           }
           cells(key) = merged
       }
     }
+  }
+
+  private def catValues(a: Value, b: Value): Value = (a, b) match {
+    case (VStr(x), VStr(y)) => VStr(x + y)
+    case (_, n) => n
   }
 
   private def addValues(a: Value, b: Value): Value = (a, b) match {

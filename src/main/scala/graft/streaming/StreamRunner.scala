@@ -141,7 +141,8 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       // merging its empty-input cells publishes any NEW scalar counters
       // as 0 @ epoch-0 immediately (see publishZeroInit), a no-op for
       // cells already live
-      store.merge(Snapshot.collect(pb.snapshot()))
+      store.merge(Snapshot.collect(pb.snapshot()),
+        newProgram.concatTextMetrics)
       internalStore.merge(Seq(Snapshot.Cell("counter",
         "prog_loads_total", Map("prog" -> newProgram.name),
         Snapshot.VInt(1), None)))
@@ -173,7 +174,8 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       spark.range(0).selectExpr("CAST('' AS STRING) AS line"), "line")
     val pb = new PlanBuilder(prog, probe, defaultYear,
       overrideZone = overrideZone)
-    store.merge(Snapshot.collect(pb.snapshot()))
+    store.merge(Snapshot.collect(pb.snapshot()),
+      prog.concatTextMetrics)
   }
   publishZeroInit()
 
@@ -302,7 +304,7 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       // (golden/reader.go:107-119) and graft's own one-shot mode.
       // Re-merging per batch is a no-op for a live key: counters add
       // 0 and maxTs keeps the newer timestamp.
-      store.merge(cells)
+      store.merge(cells, prog.concatTextMetrics)
       // materialize the new state relations eagerly: the batch
       // DataFrame is only valid inside this call, and checkpointing
       // truncates lineage so batch N's plan never re-derives batches

@@ -128,7 +128,8 @@ class FrontendSpec extends AnyFunSuite {
         |""".stripMargin, "stmts")
     val body = p.stmts.head.asInstanceOf[CondBlock].body
     assert(body(0) == SetStmt("t", Nil, Capref("n")))
-    assert(body(1) == IncStmt("total", Nil, MetricRead("t", Nil)))
+    assert(body(1) ==
+      IncStmt("total", Nil, MetricRead("t", Nil), addAssign = true))
     assert(body(2) == ExprStmt(Call("settime", Seq(MetricRead("t", Nil)))))
     assert(body(3) == DelStmt("sessions", Seq(Capref("n")),
       Some(168L * 3600)))

@@ -465,6 +465,48 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("d", Map.empty)) == VInt(0)) // declared → zero-init
   }
 
+  test("text += concatenates across lines (ADD_ASSIGN double-emits " +
+      "the lhs, codegen.go:359-363); ++ on text stays an error") {
+    val cells = run(
+      """text acc
+        |/^(?P<s>[a-z]+)$/ {
+        |  acc += $s
+        |}
+        |""".stripMargin, Seq("ab", "cd", "ef"))
+    assert(cells(("acc", Map.empty)) == VStr("abcdef"))
+    val e = intercept[IllegalArgumentException] {
+      Frontend.parse("text l\n/a/ { l++ }\n", "vmsem")
+    }
+    assert(e.getMessage.contains("expecting an Int for INC"))
+    // and `-=` is not mtail syntax at all (lexer.go:239-251 has no
+    // SUB_ASSIGN token)
+    intercept[IllegalArgumentException] {
+      Frontend.parse("counter c\n/a/ { c -= 1 }\n", "vmsem")
+    }
+  }
+
+  test("op-aware folds: `=` on a counter is last-write, `++` on a " +
+      "gauge accumulates, mixing folds set-then-increments") {
+    // the VM applies Iset/Inc per datum regardless of declared kind
+    val setCounter = run(
+      """counter c
+        |/^(?P<x>\d+)$/ { c = $x }
+        |""".stripMargin, Seq("5", "7"))
+    assert(setCounter(("c", Map.empty)) == VInt(7)) // not 12
+    val incGauge = run(
+      """gauge g
+        |/^.$/ { g++ }
+        |""".stripMargin, Seq("a", "b", "c"))
+    assert(incGauge(("g", Map.empty)) == VInt(3)) // not last-write 1
+    val mixed = run(
+      """counter m
+        |/^set (?P<x>\d+)$/ { m = $x }
+        |/^inc$/ { m++ }
+        |""".stripMargin, Seq("inc", "set 10", "inc", "inc"))
+    // increments BEFORE the set are overwritten by it
+    assert(mixed(("m", Map.empty)) == VInt(12))
+  }
+
   test("joinKeys preserves key arity and position under nulls") {
     // concat_ws skips nulls, so without the per-position coalesce the
     // distinct tuples (null,"a") and ("a",null) alias to one state key

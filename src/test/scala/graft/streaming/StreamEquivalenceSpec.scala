@@ -75,6 +75,15 @@ class StreamEquivalenceSpec extends SparkSpec {
       "h0 = $x", // int-valued: cross-batch double sums stay exact
       s"hid0 = ${Seq("$x", "$x + 1", "hid0 + 1")(rnd.nextInt(3))}",
       "hid1[$s][$x] = $x",
+      // text += is a running concat: per-batch local concats must
+      // APPEND at the store merge to equal the one-shot fold
+      "t0 += $s",
+      "t0 += string($x)",
+      // op-aware folds: set-writes on a counter / increments on a
+      // gauge, mixing freely with the pool's other writes to the same
+      // metrics — batch boundaries must fold like the one-shot run
+      "g0++",
+      "c1[$s] = $x",
       "g1[$s][$x] = hid1[$s][$x] + 1", // keyed carried-state read
       // float label keys: the read side (metricReadColumn), write side
       // (siteFrame) and carried state (finalReadStateDfs) must all
