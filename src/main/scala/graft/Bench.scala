@@ -50,8 +50,9 @@ object Bench {
     * (ms → cs → ds), then — still at ds — drops redundant extras in
     * two steps via `lean`: level 1 removes kvs duplicated verbatim on
     * the detail line / per-run incremental lines (warm min/max/runs,
-    * cold replay, the wall-limit constant); level 2 additionally
-    * removes the warm median and steal sums (also on the detail line).
+    * cold replay, battery steal, the wall-limit constant); level 2
+    * additionally removes the warm median (also on the detail line).
+    * The warm-replay steal audit survives every rung.
     * Scale/streaming evidence kvs are the caller's business and
     * survive every level — extraKv(p, lean) decides what to emit.
     */
@@ -326,10 +327,13 @@ object Bench {
     def replayKv(p: Double => String, lean: Int): Seq[String] =
       (Seq(
         s""""replay_lines":$nLines""",
-        s""""replay_klines_per_sec":${p(klinesPerSec)}""") ++
+        s""""replay_klines_per_sec":${p(klinesPerSec)}""",
+        // the steal audit survives EVERY rung — it is what lets a
+        // reader separate a thrashed box from a code regression
+        // (r12's 2× slowdown was indicted by exactly this kv)
+        s""""replay_warm_steal_cpu_secs_sum":${p(warmRuns.map(_._2).sum)}""") ++
       (if (lean >= 2) Seq.empty else Seq(
-        s""""replay_warm_secs_median":${p(replaySecs)}""",
-        s""""replay_warm_steal_cpu_secs_sum":${p(warmRuns.map(_._2).sum)}""")) ++
+        s""""replay_warm_secs_median":${p(replaySecs)}""")) ++
       (if (lean >= 1) Seq.empty else Seq(
         s""""battery_steal_cpu_secs_sum":${p(rawPasses.flatten.map(_._4).sum)}""",
         s""""replay_warm_secs_min":${p(warmSecs.min)}""",

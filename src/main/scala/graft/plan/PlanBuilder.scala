@@ -167,6 +167,29 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     col(name)
   }
 
+  /** A cross-line read whose key EXPRESSION differs from the write
+    * sites' key expressions (`m[$x/2]` read vs `m[$x]` write): the
+    * cheap same-window read would attribute each row's write to the
+    * READ key evaluated on that row — the wrong cell. Instead, write
+    * rows (true write key, ord, value) and probe rows (read key, ord)
+    * union into one relation, a window per KEY takes the
+    * last-value/running-sum strictly before each probe, and the probe
+    * results join back by the unique row ord. Deferred like the other
+    * materializations so the key/value columns' regex structs exist.
+    */
+  private case class AsofSpec(probeKeys: Seq[Column], probeIdx: Int,
+      writes: Seq[(Seq[Column], Int, Column, Column)],
+      sum: Boolean, vt: DataType)
+
+  private val pendingAsofs = mutable.Map[String, AsofSpec]()
+
+  private def materializeAsofRead(spec: AsofSpec): Column = {
+    val name = s"__asof_$colSeq"
+    colSeq += 1
+    pendingAsofs(name) = spec
+    col(name)
+  }
+
   private def refsOf(c: Column): Set[String] =
     org.apache.spark.sql.GraftBridge.expression(c).collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -174,7 +197,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     }.toSet
 
   private def flushPending(): Unit = {
-    while (pending.nonEmpty || pendingJoins.nonEmpty) {
+    while (pending.nonEmpty || pendingJoins.nonEmpty ||
+      pendingAsofs.nonEmpty) {
       val avail = curDf.columns.toSet
       val (ready, _) = pending.partition { case (_, c) =>
         refsOf(c).filter(_.startsWith("__")).forall(avail)
@@ -187,7 +211,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         val (readyJoins, _) = pendingJoins.partition { case (_, (k, _)) =>
           refsOf(k).filter(_.startsWith("__")).forall(avail)
         }
-        if (readyJoins.isEmpty)
+        val (readyAsofs, _) = pendingAsofs.partition { case (_, sp) =>
+          (sp.probeKeys ++ sp.writes.flatMap { case (ks, _, c, v) =>
+            ks ++ Seq(c, v)
+          }).flatMap(refsOf).filter(_.startsWith("__")).forall(avail)
+        }
+        if (readyJoins.isEmpty && readyAsofs.isEmpty)
           throw new IllegalStateException("circular materialization")
         readyJoins.foreach { case (n, (key, state)) =>
           val st = state.select(col("k").as(s"${n}_k"),
@@ -195,6 +224,34 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           curDf = curDf.join(st, key === col(s"${n}_k"), "left")
             .drop(s"${n}_k")
           pendingJoins.remove(n)
+        }
+        readyAsofs.foreach { case (n, sp) =>
+          val base = curDf
+          val writeRows = sp.writes.map { case (ks, idx, cond, v) =>
+            base.select(PlanBuilder.joinKeys(ks).as("k"),
+              col("ord").as("__o"), lit(idx).as("__i"),
+              lit(1).as("__w"), when(cond, v).cast(sp.vt).as("__v"))
+          }.reduce(_ unionAll _)
+          val probeRows = base.select(
+            PlanBuilder.joinKeys(sp.probeKeys).as("k"),
+            col("ord").as("__o"), lit(sp.probeIdx).as("__i"),
+            lit(0).as("__w"), lit(null).cast(sp.vt).as("__v"))
+          // probes sort BEFORE a same-(ord,site) write, so a site's
+          // own write is invisible to its own read; earlier-site
+          // same-line writes stay visible
+          val w = Window.partitionBy(col("k"))
+            .orderBy(col("__o"), col("__i"), col("__w"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val vis =
+            if (sp.sum) sum(col("__v")).over(w)
+            else last(col("__v"), ignoreNulls = true).over(w)
+          val probes = writeRows.unionAll(probeRows)
+            .withColumn(n, vis)
+            .filter(col("__w") === 0)
+            .select(col("__o").as(s"${n}_o"), col(n))
+          curDf = curDf.join(probes, col("ord") === col(s"${n}_o"),
+            "left").drop(s"${n}_o")
+          pendingAsofs.remove(n)
         }
       }
     }
@@ -785,15 +842,72 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     if (reading.contains(metric))
       throw new IllegalArgumentException(
         s"cyclic metric read through $metric")
+    val vt = metricType(metric)
+
+    val keyCols = keys.map(k =>
+      strCast(k, exprColumn(k, frames, tReg, siteIdx, reading), frames))
+
+    def writeKeyColsOf(s: Site): Seq[Column] = s.keys.map(k =>
+      strCast(k, exprColumn(k, s.frames, s.timeReg, s.idx,
+        reading + metric), s.frames))
+    // the cheap window read partitions rows by the READ's key columns
+    // and is only sound when every write site's key expression renders
+    // the same columns per row — `m[$x]` written vs `m[$x/2]` read
+    // would attribute row writes to the wrong cell (found by the
+    // batch-split fuzz: the carried-state join across batches was
+    // right and the one-shot window wasn't)
+    def sameKeyExprs(ws: Seq[Site]): Boolean = ws.forall { s =>
+      val wk = writeKeyColsOf(s)
+      wk.length == keyCols.length &&
+        wk.zip(keyCols).forall { case (a, b) => a.toString == b.toString }
+    }
+
+    val incWrites = allSites.filter(s => s.metric.name == metric &&
+      s.op == OpInc)
+    if (incWrites.nonEmpty) {
+      if (allSites.exists(s => s.metric.name == metric &&
+          (s.op == OpSet || s.op == OpDel || s.op == OpConcat)))
+        throw new IllegalArgumentException(
+          s"reads of metric $metric mixing '++' with '='/del " +
+            "not supported")
+      // Iget on an increment-built datum: the running TOTAL at this
+      // point — previous rows' deltas, earlier same-line sites, and
+      // the carried cross-batch total
+      val carried = initialState.get(metric)
+        .map(st => coalesce(
+          materializeStateJoin(PlanBuilder.joinKeys(keyCols), st),
+          zeroOf(vt)))
+        .getOrElse(zeroOf(vt))
+      if (!sameKeyExprs(incWrites)) {
+        val asof = materializeAsofRead(AsofSpec(keyCols, siteIdx,
+          incWrites.map(s => (writeKeyColsOf(s), s.idx,
+            coalesce(s.cond, lit(false)),
+            exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
+              reading + metric).cast(vt))), sum = true, vt))
+        return coalesce(asof, zeroOf(vt)) + carried
+      }
+      def deltaOf(s: Site): Column = coalesce(
+        when(s.cond, exprColumn(s.valueIr.get, s.frames, s.timeReg,
+          s.idx, reading + metric).cast(vt)), zeroOf(vt))
+      val w = Window.partitionBy(keyCols: _*).orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rowDelta = incWrites.map(deltaOf).reduce(_ + _)
+      val prev = coalesce(sum(rowDelta).over(w), zeroOf(vt))
+      val sameLine =
+        if (siteIdx < 0) zeroOf(vt)
+        else incWrites.filter(_.idx < siteIdx).map(deltaOf)
+          .reduceOption(_ + _).getOrElse(zeroOf(vt))
+      return prev + sameLine + carried
+    }
     // del-after sites are TTL hints, not immediate deletes — exclude
     val writes = allSites.filter(s => s.metric.name == metric)
       .filter(s => s.op == OpSet ||
         (s.op == OpDel && s.afterSeconds.isEmpty))
     if (writes.isEmpty) return zeroOf(metricType(metric))
     if (allSites.exists(s => s.metric.name == metric &&
-        (s.op == OpInc || s.op == OpConcat)))
+        s.op == OpConcat))
       throw new IllegalArgumentException(
-        s"reads of '++'/'+='-updated metric $metric not supported")
+        s"reads of '+='-updated text metric $metric not supported")
 
     def writeVal(s: Site): Column = s.op match {
       case OpDel => zeroOf(metricType(metric)) // fresh datum after delete
@@ -801,20 +915,27 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
           reading + metric), s.frames, metricType(metric))
     }
+
+    val carried = initialState.get(metric).map { st =>
+      materializeStateJoin(PlanBuilder.joinKeys(keyCols), st)
+    }
+    if (!sameKeyExprs(writes)) {
+      val asof = materializeAsofRead(AsofSpec(keyCols, siteIdx,
+        writes.map(s => (writeKeyColsOf(s), s.idx,
+          coalesce(s.cond, lit(false)), writeVal(s))),
+        sum = false, vt))
+      return coalesce((asof +: carried.toSeq :+ zeroOf(vt)): _*)
+    }
+
     def whens(ss: Seq[Site]): Option[Column] =
       ss.sortBy(-_.idx).map(s => when(s.cond, writeVal(s)))
         .reduceOption(coalesce(_, _))
 
-    val keyCols = keys.map(k =>
-      strCast(k, exprColumn(k, frames, tReg, siteIdx, reading), frames))
     val w = Window.partitionBy(keyCols: _*).orderBy(col("ord"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevRows = whens(writes).map(c => last(c, ignoreNulls = true).over(w))
     val sameLine =
       if (siteIdx < 0) None else whens(writes.filter(_.idx < siteIdx))
-    val carried = initialState.get(metric).map { st =>
-      materializeStateJoin(PlanBuilder.joinKeys(keyCols), st)
-    }
     coalesce((sameLine.toSeq ++ prevRows.toSeq ++ carried.toSeq :+
       zeroOf(metricType(metric))): _*)
   }
@@ -988,10 +1109,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
                 s"`${decl.name}` is not supported")
           // ordered running concatenation: every delta in arrival
           // order. The array lives on ONE aggregated row per cell —
-          // same memory shape as the VM's single growing string datum
-          Seq(concat_ws("", transform(
+          // same memory shape as the VM's single growing string datum.
+          // NULL (→ no cell) when nothing contributed: the keyless
+          // global agg otherwise emits ("", no-stamp) for an EMPTY
+          // batch, whose append-merge wiped the live stamp
+          // (fuzz-found, iteration 183)
+          Seq(when(count(lit(1)) > 0, concat_ws("", transform(
             array_sort(collect_list(struct(col("ordk"), col("v")))),
-            x => x.getField("v"))).as("value"),
+            x => x.getField("v")))).as("value"),
             max_by(col("ts"), col("ordk")).as("ts"))
         case _ => // gauge / timer / text: last write wins by arrival
           Seq(max_by(col("v"), col("ordk")).as("value"),
@@ -1202,7 +1327,41 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       val writes = sites.filter(s => s.metric.name == m)
         .filter(s => s.op == OpSet ||
           (s.op == OpDel && s.afterSeconds.isEmpty)).toSeq
-      if (writes.isEmpty) initialState.get(m).map(m -> _)
+      val incWrites = sites.filter(s => s.metric.name == m &&
+        s.op == OpInc).toSeq
+      if (incWrites.nonEmpty && writes.isEmpty) {
+        // increment-built read metric: end state = carried total plus
+        // this batch's delta sum per key
+        val frames = incWrites.map { s =>
+          val keyCol = PlanBuilder.joinKeys(s.keys.map(k =>
+            strCast(k, exprColumn(k, s.frames, s.timeReg, s.idx),
+              s.frames)))
+          df.select(keyCol.as("k"),
+            exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx)
+              .cast(vt).as("v"),
+            unix_timestamp(s.timeReg).as("ts"),
+            ordKey(s.idx).as("ordk"),
+            coalesce(s.cond, lit(false)).as("__c"))
+            .filter(col("__c")).drop("__c")
+        }
+        val batchSum = frames.reduce(_ unionAll _)
+          .filter(col("v").isNotNull)
+          .groupBy("k")
+          .agg(sum("v").as("v"),
+            max_by(col("ts"), col("ordk")).as("ts"))
+        val merged = initialState.get(m) match {
+          case Some(prev) =>
+            prev.withColumnRenamed("v", "pv")
+              .withColumnRenamed("ts", "pts")
+              .join(batchSum, Seq("k"), "full_outer")
+              .select(col("k"),
+                (coalesce(col("pv"), zeroOf(vt)) +
+                  coalesce(col("v"), zeroOf(vt))).cast(vt).as("v"),
+                coalesce(col("ts"), col("pts")).as("ts"))
+          case None => batchSum
+        }
+        Some(m -> merged)
+      } else if (writes.isEmpty) initialState.get(m).map(m -> _)
       else {
         val frames = writes.map { s =>
           val keyCol = PlanBuilder.joinKeys(s.keys.map(k =>

@@ -86,6 +86,29 @@ object EngineQueries {
         .orderBy("name")
     }),
 
+    // op-aware per-datum folds through the engine: `=` on a counter is
+    // last-write (Iset replaces), `++` on a gauge accumulates (Inc
+    // adds), and a read of an increment-built hidden counter sees the
+    // running total (Iget)
+    "mtail_engine_opfolds" -> ((s, dir) => {
+      val src =
+        """counter lastv
+          |gauge nlines
+          |hidden counter seen
+          |gauge snap
+          |/^id=(?P<i>\d+)$/ {
+          |  lastv = $i
+          |  nlines++
+          |  seen++
+          |  snap = seen
+          |}
+          |""".stripMargin
+      val lineExpr = concat(lit("id="), col("event_id").cast("string"))
+      run(s, dir, src, lineExpr)
+        .select(col("name"), col("ival").as("val"))
+        .orderBy("name")
+    }),
+
     // histogram observation through the engine: per-label bucket counts
     "mtail_engine_histogram" -> ((s, dir) => {
       val src =
@@ -106,6 +129,15 @@ object EngineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "mtail_engine_opfolds" ->
+      """SELECT name, val FROM (
+           SELECT 'lastv' AS name, CAST(max(event_id) AS BIGINT) AS val
+           FROM events
+           UNION ALL
+           SELECT 'nlines', CAST(count(*) AS BIGINT) FROM events
+           UNION ALL
+           SELECT 'snap', CAST(count(*) AS BIGINT) FROM events) t
+         ORDER BY name""",
     "mtail_engine_counters" ->
       """SELECT name, label, val FROM (
            SELECT 'by_type' AS name, event_type AS label,

@@ -30,10 +30,11 @@ class BenchSpec extends AnyFunSuite {
     def extraKv(p: Double => String, lean: Int): Seq[String] =
       (Seq(
         s""""replay_lines":1000000""",
-        s""""replay_klines_per_sec":${p(1277.456)}""") ++
+        s""""replay_klines_per_sec":${p(1277.456)}""",
+        // survives every rung, mirroring Bench.main's replayKv
+        s""""replay_warm_steal_cpu_secs_sum":${p(52.81)}""") ++
       (if (lean >= 2) Seq.empty else Seq(
-        s""""replay_warm_secs_median":${p(3.849)}""",
-        s""""replay_warm_steal_cpu_secs_sum":${p(52.81)}""")) ++
+        s""""replay_warm_secs_median":${p(3.849)}""")) ++
       (if (lean >= 1) Seq.empty else Seq(
         s""""battery_steal_cpu_secs_sum":${p(9.43)}""",
         s""""replay_warm_secs_min":${p(1.867)}""",

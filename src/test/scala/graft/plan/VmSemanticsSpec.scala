@@ -465,6 +465,20 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("d", Map.empty)) == VInt(0)) // declared → zero-init
   }
 
+  test("mixing `=` and `+=` on one text metric is a typed error " +
+      "(documented engine boundary)") {
+    val e = intercept[IllegalArgumentException] {
+      run(
+        """text t
+          |/^(?P<s>[a-z]+)$/ {
+          |  t = $s
+          |  t += "!"
+          |}
+          |""".stripMargin, Seq("ab"))
+    }
+    assert(e.getMessage.contains("mixing `=` and `+=` on text metric"))
+  }
+
   test("text += concatenates across lines (ADD_ASSIGN double-emits " +
       "the lhs, codegen.go:359-363); ++ on text stays an error") {
     val cells = run(
@@ -505,6 +519,56 @@ class VmSemanticsSpec extends SparkSpec {
         |""".stripMargin, Seq("inc", "set 10", "inc", "inc"))
     // increments BEFORE the set are overwritten by it
     assert(mixed(("m", Map.empty)) == VInt(12))
+  }
+
+  test("reads of ++-updated metrics see the running total " +
+      "(Iget on an increment-built datum)") {
+    val cells = run(
+      """counter hits
+        |gauge snap
+        |/^x$/ { hits++ }
+        |/^y$/ {
+        |  hits++
+        |  snap = hits
+        |}
+        |/^read$/ { snap = hits }
+        |""".stripMargin, Seq("x", "x", "read", "y", "x", "read"))
+    // the y-line's read sees its own same-line increment (3); the
+    // final read sees all four
+    assert(cells(("hits", Map.empty)) == VInt(4))
+    assert(cells(("snap", Map.empty)) == VInt(4))
+  }
+
+  test("cross-line reads under a DIFFERENT regex than the write " +
+      "resolve by the true write key (as-of), same batch") {
+    // regression: the window read partitioned rows by the READ's key
+    // columns, which are null on rows the read's pattern didn't match
+    // — a write under another pattern landed in the null partition and
+    // the read silently returned 0
+    val cells = run(
+      """hidden gauge st by a, b
+        |gauge out
+        |/^set (?P<a>\w+) (?P<b>\w+) (?P<v>\d+)$/ {
+        |  st[$a][$b] = $v
+        |}
+        |/^get (?P<a>\w+) (?P<b>\w+)$/ { out = st[$a][$b] }
+        |""".stripMargin, Seq("set ab c 5", "get ab c"))
+    assert(cells(("out", Map.empty)) == VInt(5))
+  }
+
+  test("reads with a TRANSFORMED key hit the write's cell " +
+      "(m[$x] written, m[$x/2] read — the fuzz-found shape)") {
+    val cells = run(
+      """hidden gauge h by k
+        |gauge out
+        |/^(?P<x>\d+)$/ {
+        |  out = h[$x / 2.0] + 1
+        |  h[$x] = $x
+        |}
+        |""".stripMargin, Seq("17", "34"))
+    // line "34" reads h["17"] — written by line "17" (17 ≠ 17.0 would
+    // miss; %g renders both keys "17")
+    assert(cells(("out", Map.empty)) == VInt(18))
   }
 
   test("joinKeys preserves key arity and position under nulls") {

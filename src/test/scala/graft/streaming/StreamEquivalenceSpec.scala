@@ -48,6 +48,7 @@ class StreamEquivalenceSpec extends SparkSpec {
       |histogram h0 buckets 1, 4, 16
       |hidden gauge hid0
       |hidden gauge hid1 by p, q
+      |hidden counter hidc
       |""".stripMargin
 
   // every pattern binds x (digits → Int) and s (word → String)
@@ -84,6 +85,10 @@ class StreamEquivalenceSpec extends SparkSpec {
       // metrics — batch boundaries must fold like the one-shot run
       "g0++",
       "c1[$s] = $x",
+      // reads of an increment-built metric: running total must carry
+      // across batch boundaries (finalReadStateDfs sums, not last-write)
+      "hidc++",
+      "g0 = hidc + $x",
       "g1[$s][$x] = hid1[$s][$x] + 1", // keyed carried-state read
       // float label keys: the read side (metricReadColumn), write side
       // (siteFrame) and carried state (finalReadStateDfs) must all
