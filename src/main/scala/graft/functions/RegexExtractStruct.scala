@@ -33,23 +33,32 @@ import graft.mtail.Re2
   * Codegen: emits a direct Matcher call against a compiled Pattern held in
   * a mutable-state slot — stays inside whole-stage codegen, no fallback.
   */
-case class RegexExtractStruct(child: Expression, re2Pattern: String)
-    extends UnaryExpression {
+case class RegexExtractStruct(child: Expression, re2Pattern: String,
+    withG0: Boolean = false) extends UnaryExpression {
 
   @transient private lazy val parsed: Re2.Parsed = Re2.parse(re2Pattern)
   @transient private lazy val pattern: Pattern = Pattern.compile(parsed.java)
 
+  /** `withG0` prepends group 0 (the whole match, `$0` — registered
+    * like any capref by the reference checker). Only programs that
+    * actually reference $0 pay the per-match whole-string copy.
+    */
+  private def capIdxs: Seq[Int] =
+    if (withG0) 0 +: parsed.groups.map(_.index)
+    else parsed.groups.map(_.index)
+
   private def capTypes: Seq[DataType] =
-    parsed.groups.map(g => Re2.inferCaprefType(parsed, g.index) match {
-      case Re2.CapInt => LongType
-      case Re2.CapFloat => DoubleType
-      case Re2.CapString => StringType
-    })
+    capIdxs.map(i =>
+      Re2.inferCaprefType(parsed, i) match {
+        case Re2.CapInt => LongType
+        case Re2.CapFloat => DoubleType
+        case Re2.CapString => StringType
+      })
 
   override def dataType: DataType = StructType(
     StructField("matched", BooleanType, nullable = false) +:
-      parsed.groups.zip(capTypes).map { case (g, t) =>
-        StructField(s"g${g.index}", t, nullable = true)
+      capIdxs.zip(capTypes).map {
+        case (i, t) => StructField(s"g$i", t, nullable = true)
       })
 
   override def nullable: Boolean = false
@@ -63,7 +72,7 @@ case class RegexExtractStruct(child: Expression, re2Pattern: String)
     if (v == null) RegexExtractStruct.noMatch(capTypes.length)
     else RegexExtractStruct.evalMatch(
       pattern.matcher(v.asInstanceOf[UTF8String].toString),
-      capTypes.toArray)
+      capTypes.toArray, if (withG0) 0 else 1)
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -88,7 +97,8 @@ case class RegexExtractStruct(child: Expression, re2Pattern: String)
          |  ${ev.value} = graft.functions.RegexExtractStruct.evalMatch(
          |    ((java.util.regex.Pattern) $patRef)
          |      .matcher(${childGen.value}.toString()),
-         |    (org.apache.spark.sql.types.DataType[]) $typesRef);
+         |    (org.apache.spark.sql.types.DataType[]) $typesRef,
+         |    ${if (withG0) 0 else 1});
          |}
        """.stripMargin
     ev.copy(code = code,
@@ -110,7 +120,8 @@ object RegexExtractStruct {
     * matched=false and null groups (the struct itself is never null so
     * enclosing-condition logic stays simple three-valued-safe).
     */
-  def evalMatch(m: Matcher, types: Array[DataType]): InternalRow = {
+  def evalMatch(m: Matcher, types: Array[DataType],
+      base: Int): InternalRow = {
     val n = types.length
     val values = new Array[Any](n + 1)
     if (!m.find()) {
@@ -120,7 +131,7 @@ object RegexExtractStruct {
       values(0) = true
       var i = 0
       while (i < n) {
-        val s = m.group(i + 1)
+        val s = m.group(base + i) // base 0 ⇒ slot 0 = whole match
         values(i + 1) =
           if (s == null) null
           else types(i) match {
@@ -140,7 +151,11 @@ object RegexExtractStruct {
 
   /** Column-level API: extract all groups of an RE2 pattern. */
   def apply(line: Column, re2Pattern: String): Column =
+    apply(line, re2Pattern, withG0 = false)
+
+  def apply(line: Column, re2Pattern: String, withG0: Boolean): Column =
     org.apache.spark.sql.GraftBridge.column(
       RegexExtractStruct(
-        org.apache.spark.sql.GraftBridge.expression(line), re2Pattern))
+        org.apache.spark.sql.GraftBridge.expression(line), re2Pattern,
+        withG0))
 }

@@ -385,6 +385,12 @@ private final class Checker(prog: Program) {
 
   private def resolveCapref(n: String, scope: List[Re2.Parsed]): T =
     n.toIntOption match {
+      case Some(0) =>
+        // $0 = the whole match — bound by ANY visible regex
+        // (checker.go:897-899 registers index 0 like any capref)
+        scope.headOption.map(p => capTOf(p, 0))
+          .getOrElse(err("Capture group `$0' was not defined by a " +
+            "regular expression visible to this scope."))
       case Some(i) =>
         scope.view.flatMap(_.groups.find(_.index == i)).headOption
           .map(g => capT(scope, g))
@@ -394,7 +400,7 @@ private final class Checker(prog: Program) {
       case None =>
         scope.view.flatMap(p => p.groups.find(_.name.contains(n))
           .map(g => (p, g))).headOption
-          .map { case (p, g) => capTOf(p, g) }
+          .map { case (p, g) => capTOf(p, g.index) }
           .getOrElse(err(s"Capture group `$$$n' was not defined by a " +
             "regular expression visible to this scope.\n\tTry using " +
             s"`(?P<$n>...)' to name the capture group."))
@@ -402,11 +408,11 @@ private final class Checker(prog: Program) {
 
   private def capT(scope: List[Re2.Parsed], g: Re2.GroupInfo): T =
     scope.view.flatMap(p =>
-      if (p.groups.contains(g)) Some(capTOf(p, g)) else None)
+      if (p.groups.contains(g)) Some(capTOf(p, g.index)) else None)
       .headOption.getOrElse(TUnknown)
 
-  private def capTOf(p: Re2.Parsed, g: Re2.GroupInfo): T =
-    Re2.inferCaprefType(p, g.index) match {
+  private def capTOf(p: Re2.Parsed, index: Int): T =
+    Re2.inferCaprefType(p, index) match {
       case Re2.CapInt => TInt
       case Re2.CapFloat => TFloat
       case Re2.CapString => TStr

@@ -261,17 +261,19 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
   private case class Frame(parsed: Re2.Parsed, struct: Column) {
     def resolve(name: String): Option[(Column, DataType)] = {
-      val gi = name.toIntOption match {
-        case Some(i) => parsed.groups.find(_.index == i)
+      val idx: Option[Int] = name.toIntOption match {
+        case Some(0) => Some(0) // $0 = whole match, always bound
+        case Some(i) => parsed.groups.find(_.index == i).map(_.index)
         case None => parsed.groups.find(_.name.contains(name))
+          .map(_.index)
       }
-      gi.map { g =>
-        val t = Re2.inferCaprefType(parsed, g.index) match {
+      idx.map { i =>
+        val t = Re2.inferCaprefType(parsed, i) match {
           case Re2.CapInt => LongType
           case Re2.CapFloat => DoubleType
           case Re2.CapString => StringType
         }
-        (struct.getField(s"g${g.index}"), t)
+        (struct.getField(s"g$i"), t)
       }
     }
     def matched: Column = struct.getField("matched")
@@ -282,10 +284,37 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     */
   private val frameMemo = mutable.Map[(String, String), Frame]()
 
+  /** whether any expression references `$0` — only then do the regex
+    * structs carry the whole-match field (a per-matching-line string
+    * copy the hot path shouldn't pay by default).
+    */
+  private val usesDollarZero: Boolean = {
+    def inE(e: Expr): Boolean = e match {
+      case Capref("0") => true
+      case Binop(_, l, r) => inE(l) || inE(r)
+      case Unop(_, x) => inE(x)
+      case Call(_, as) => as.exists(inE)
+      case MetricRead(_, ks) => ks.exists(inE)
+      case _ => false
+    }
+    def inS(s: Stmt): Boolean = s match {
+      case CondBlock(c, b, els) =>
+        (c match { case CondExpr(e) => inE(e); case _ => false }) ||
+          b.exists(inS) || els.exists(inS)
+      case IncStmt(_, ks, d, _) => (ks :+ d).exists(inE)
+      case SetStmt(_, ks, v) => (ks :+ v).exists(inE)
+      case DelStmt(_, ks, _) => ks.exists(inE)
+      case ExprStmt(e) => inE(e)
+      case _ => false
+    }
+    program.stmts.exists(inS)
+  }
+
   private def mkFrame(subject: Column, re2: String): Frame =
     frameMemo.getOrElseUpdate((subject.toString, re2), {
       Frame(Re2.parse(re2),
-        materialize(RegexExtractStruct(subject, re2), "m"))
+        materialize(RegexExtractStruct(subject, re2, usesDollarZero),
+          "m"))
     })
 
   // ---------- walk state ----------

@@ -571,6 +571,18 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("out", Map.empty)) == VInt(18))
   }
 
+  test("$0 binds the whole match like any capref (checker.go:897-899 " +
+      "registers index 0)") {
+    val cells = run(
+      """counter seen by m
+        |/ab+c/ {
+        |  seen[$0]++
+        |}
+        |""".stripMargin, Seq("xx abbbc yy", "abc"))
+    assert(cells(("seen", Map("m" -> "abbbc"))) == VInt(1))
+    assert(cells(("seen", Map("m" -> "abc"))) == VInt(1))
+  }
+
   test("joinKeys preserves key arity and position under nulls") {
     // concat_ws skips nulls, so without the per-position coalesce the
     // distinct tuples (null,"a") and ("a",null) alias to one state key
