@@ -362,7 +362,11 @@ final class TailMicroBatchStream(pathPattern: String,
           classOf[java.nio.file.attribute.BasicFileAttributes],
           java.nio.file.LinkOption.NOFOLLOW_LINKS))
         catch { case _: java.io.IOException => None }
-      attrsOpt.foreach { attrs =>
+      // a matched-but-unreadable file is skipped this batch, not a
+      // stream failure — the reference logs the permission error and
+      // keeps retrying each poll (permission_denied_integration test),
+      // so a later chmod picks the file up with no state recorded
+      attrsOpt.filter(_ => Files.isReadable(p)).foreach { attrs =>
         val key = Option(attrs.fileKey).map(_.toString).getOrElse(path)
         val size = attrs.size
         val mtime = attrs.lastModifiedTime.toMillis

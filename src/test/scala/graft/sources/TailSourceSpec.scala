@@ -184,6 +184,28 @@ class TailSourceSpec extends SparkSpec {
     assert(TailSource.expand(s"$root/missing/app.log").isEmpty)
   }
 
+  test("an unreadable file is skipped, not a failure; readable again " +
+      "later picks it up from the start (permission_denied test)") {
+    val dir = tmpDir()
+    write(dir.resolve("ok.log"), "fine\n")
+    val bad = dir.resolve("bad.log")
+    write(bad, "secret\n")
+    bad.toFile.setReadable(false, false)
+    val stream = new TailMicroBatchStream(s"$dir/*.log")
+    if (Files.isReadable(bad)) {
+      // running as root mode bits don't bind — both files just read
+      val (b1, _) = deltaLines(stream, stream.initialOffset())
+      assert(b1.toSet == Set("fine", "secret"))
+    } else {
+      val (b1, o1) = deltaLines(stream, stream.initialOffset())
+      assert(b1 == Seq("fine"))
+      // permissions restored → next discovery tails it from offset 0
+      bad.toFile.setReadable(true, false)
+      val (b2, _) = deltaLines(stream, o1)
+      assert(b2 == Seq("secret"))
+    }
+  }
+
   test("batch reads are split-invariant: offsets give total order") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir()
