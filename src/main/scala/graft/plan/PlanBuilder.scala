@@ -177,9 +177,19 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     * results join back by the unique row ord. Deferred like the other
     * materializations so the key/value columns' regex structs exist.
     */
+  /** one write site feeding an as-of read: true keys, site order,
+    * firing cond, value, and whether it SETS (vs increments).
+    */
+  private case class AsofWrite(keys: Seq[Column], idx: Int,
+      cond: Column, value: Column, isSet: Boolean)
+
+  /** mode: "last" = last-set value, "sum" = running increment total,
+    * "fold" = last set plus increments after it (mixed metrics) —
+    * fold probes come back as a struct<set, inc> so the caller can
+    * splice the carried cross-batch base in when no set preceded.
+    */
   private case class AsofSpec(probeKeys: Seq[Column], probeIdx: Int,
-      writes: Seq[(Seq[Column], Int, Column, Column)],
-      sum: Boolean, vt: DataType)
+      writes: Seq[AsofWrite], mode: String, vt: DataType)
 
   private val pendingAsofs = mutable.Map[String, AsofSpec]()
 
@@ -212,9 +222,9 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           refsOf(k).filter(_.startsWith("__")).forall(avail)
         }
         val (readyAsofs, _) = pendingAsofs.partition { case (_, sp) =>
-          (sp.probeKeys ++ sp.writes.flatMap { case (ks, _, c, v) =>
-            ks ++ Seq(c, v)
-          }).flatMap(refsOf).filter(_.startsWith("__")).forall(avail)
+          (sp.probeKeys ++ sp.writes.flatMap(w =>
+            w.keys ++ Seq(w.cond, w.value)))
+            .flatMap(refsOf).filter(_.startsWith("__")).forall(avail)
         }
         if (readyJoins.isEmpty && readyAsofs.isEmpty)
           throw new IllegalStateException("circular materialization")
@@ -227,26 +237,50 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         }
         readyAsofs.foreach { case (n, sp) =>
           val base = curDf
-          val writeRows = sp.writes.map { case (ks, idx, cond, v) =>
-            base.select(PlanBuilder.joinKeys(ks).as("k"),
-              col("ord").as("__o"), lit(idx).as("__i"),
-              lit(1).as("__w"), when(cond, v).cast(sp.vt).as("__v"))
+          val writeRows = sp.writes.map { wr =>
+            base.select(PlanBuilder.joinKeys(wr.keys).as("k"),
+              col("ord").as("__o"), lit(wr.idx).as("__i"),
+              lit(1).as("__w"),
+              when(wr.cond, wr.value).cast(sp.vt).as("__v"),
+              lit(wr.isSet).as("__s"))
           }.reduce(_ unionAll _)
           val probeRows = base.select(
             PlanBuilder.joinKeys(sp.probeKeys).as("k"),
             col("ord").as("__o"), lit(sp.probeIdx).as("__i"),
-            lit(0).as("__w"), lit(null).cast(sp.vt).as("__v"))
+            lit(0).as("__w"), lit(null).cast(sp.vt).as("__v"),
+            lit(false).as("__s"))
           // probes sort BEFORE a same-(ord,site) write, so a site's
           // own write is invisible to its own read; earlier-site
           // same-line writes stay visible
           val w = Window.partitionBy(col("k"))
             .orderBy(col("__o"), col("__i"), col("__w"))
             .rowsBetween(Window.unboundedPreceding, -1)
-          val vis =
-            if (sp.sum) sum(col("__v")).over(w)
-            else last(col("__v"), ignoreNulls = true).over(w)
-          val probes = writeRows.unionAll(probeRows)
-            .withColumn(n, vis)
+          val u = writeRows.unionAll(probeRows)
+          val withVis = sp.mode match {
+            case "sum" => u.withColumn(n, sum(col("__v")).over(w))
+            case "last" =>
+              u.withColumn(n, last(col("__v"), ignoreNulls = true)
+                .over(w))
+            case _ => // fold: last set + increments after it; null-set
+              // rows (cond false / aborted) are invisible to `last`
+              val setV = when(col("__s"), col("__v"))
+              val incV = when(!col("__s"),
+                coalesce(col("__v"), lit(0L).cast(sp.vt)))
+              // two selects: a window over a window column is illegal
+              // in one projection
+              val u2 = u.withColumn("__incBefore",
+                coalesce(sum(incV).over(w), lit(0L).cast(sp.vt)))
+              u2.withColumn(n, struct(
+                last(setV, ignoreNulls = true).over(w).as("set"),
+                (col("__incBefore") -
+                  when(last(setV, ignoreNulls = true).over(w).isNotNull,
+                    coalesce(last(when(col("__s").and(col("__v")
+                      .isNotNull), col("__incBefore")),
+                      ignoreNulls = true).over(w),
+                      lit(0L).cast(sp.vt)))
+                    .otherwise(lit(0L).cast(sp.vt))).as("inc")))
+          }
+          val probes = withVis
             .filter(col("__w") === 0)
             .select(col("__o").as(s"${n}_o"), col(n))
           curDf = curDf.join(probes, col("ord") === col(s"${n}_o"),
@@ -895,24 +929,44 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       s.op == OpInc)
     if (incWrites.nonEmpty) {
       if (allSites.exists(s => s.metric.name == metric &&
-          (s.op == OpSet || s.op == OpDel || s.op == OpConcat)))
+          (s.op == OpDel || s.op == OpConcat)))
         throw new IllegalArgumentException(
-          s"reads of metric $metric mixing '++' with '='/del " +
+          s"reads of metric $metric mixing '++' with del/'+=' " +
             "not supported")
-      // Iget on an increment-built datum: the running TOTAL at this
-      // point — previous rows' deltas, earlier same-line sites, and
-      // the carried cross-batch total
       val carried = initialState.get(metric)
         .map(st => coalesce(
           materializeStateJoin(PlanBuilder.joinKeys(keyCols), st),
           zeroOf(vt)))
         .getOrElse(zeroOf(vt))
+      def incAsofWrites: Seq[AsofWrite] = incWrites.map(s =>
+        AsofWrite(writeKeyColsOf(s), s.idx,
+          coalesce(s.cond, lit(false)),
+          exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
+            reading + metric).cast(vt), isSet = false))
+      val setWrites = allSites.filter(s => s.metric.name == metric &&
+        s.op == OpSet)
+      if (setWrites.nonEmpty) {
+        // mixed `=` + `++`: the datum is the LAST set plus every
+        // increment after it; before any set, the carried base plus
+        // all increments (Iset replaces, Inc adds — per datum)
+        val f = materializeAsofRead(AsofSpec(keyCols, siteIdx,
+          incAsofWrites ++ setWrites.map(s =>
+            AsofWrite(writeKeyColsOf(s), s.idx,
+              coalesce(s.cond, lit(false)),
+              valCast(s.valueIr.get,
+                exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
+                  reading + metric), s.frames, vt), isSet = true)),
+          mode = "fold", vt))
+        val inc = coalesce(f.getField("inc"), zeroOf(vt))
+        return when(f.getField("set").isNull, carried + inc)
+          .otherwise(f.getField("set") + inc)
+      }
+      // Iget on an increment-built datum: the running TOTAL at this
+      // point — previous rows' deltas, earlier same-line sites, and
+      // the carried cross-batch total
       if (!sameKeyExprs(incWrites)) {
         val asof = materializeAsofRead(AsofSpec(keyCols, siteIdx,
-          incWrites.map(s => (writeKeyColsOf(s), s.idx,
-            coalesce(s.cond, lit(false)),
-            exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
-              reading + metric).cast(vt))), sum = true, vt))
+          incAsofWrites, mode = "sum", vt))
         return coalesce(asof, zeroOf(vt)) + carried
       }
       def deltaOf(s: Site): Column = coalesce(
@@ -950,9 +1004,9 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     }
     if (!sameKeyExprs(writes)) {
       val asof = materializeAsofRead(AsofSpec(keyCols, siteIdx,
-        writes.map(s => (writeKeyColsOf(s), s.idx,
-          coalesce(s.cond, lit(false)), writeVal(s))),
-        sum = false, vt))
+        writes.map(s => AsofWrite(writeKeyColsOf(s), s.idx,
+          coalesce(s.cond, lit(false)), writeVal(s), isSet = true)),
+        mode = "last", vt))
       return coalesce((asof +: carried.toSeq :+ zeroOf(vt)): _*)
     }
 
@@ -1358,7 +1412,66 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           (s.op == OpDel && s.afterSeconds.isEmpty)).toSeq
       val incWrites = sites.filter(s => s.metric.name == m &&
         s.op == OpInc).toSeq
-      if (incWrites.nonEmpty && writes.isEmpty) {
+      def stateRows(s: Site, value: Column): DataFrame =
+        df.select(PlanBuilder.joinKeys(s.keys.map(k =>
+          strCast(k, exprColumn(k, s.frames, s.timeReg, s.idx),
+            s.frames))).as("k"),
+          value.as("v"),
+          unix_timestamp(s.timeReg).as("ts"),
+          ordKey(s.idx).as("ordk"),
+          coalesce(s.cond, lit(false)).as("__c"))
+          .filter(col("__c")).drop("__c")
+      if (incWrites.nonEmpty &&
+          writes.exists(_.op == OpSet)) {
+        // mixed end state: the last set per key plus increments after
+        // it; keys this batch never set continue from the carried base
+        val setsU = writes.filter(_.op == OpSet).map(s =>
+          stateRows(s, valCast(s.valueIr.get,
+            exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx),
+            s.frames, vt))).reduce(_ unionAll _)
+          .filter(col("v").isNotNull)
+        val incsU = incWrites.map(s =>
+          stateRows(s, exprColumn(s.valueIr.get, s.frames, s.timeReg,
+            s.idx).cast(vt))).reduce(_ unionAll _)
+          .filter(col("v").isNotNull)
+        val sets = setsU.groupBy("k").agg(
+          max_by(col("v"), col("ordk")).as("__base"),
+          max(col("ordk")).as("__setOrd"),
+          max_by(col("ts"), col("ordk")).as("__setTs"))
+        val gated = incsU
+          .join(sets.select(col("k"), col("__setOrd")), Seq("k"),
+            "left")
+          .filter(col("__setOrd").isNull ||
+            col("ordk") > col("__setOrd"))
+        val incs = gated.groupBy("k").agg(sum("v").as("__incSum"),
+          max_by(col("ts"), col("ordk")).as("__incTs"))
+        val batch = sets.drop("__setOrd")
+          .join(incs, Seq("k"), "full_outer")
+        val combined = initialState.get(m) match {
+          case Some(prev) =>
+            val pr = prev.withColumnRenamed("v", "__pv")
+              .withColumnRenamed("ts", "__pts")
+            val updated = batch.join(pr, Seq("k"), "left").select(
+              col("k"),
+              (coalesce(col("__base"),
+                coalesce(col("__pv"), zeroOf(vt))) +
+                coalesce(col("__incSum"), zeroOf(vt))).cast(vt)
+                .as("v"),
+              coalesce(col("__incTs"), col("__setTs"), col("__pts"))
+                .as("ts"))
+            pr.join(batch.select("k"), Seq("k"), "left_anti")
+              .select(col("k"), col("__pv").as("v"),
+                col("__pts").as("ts"))
+              .unionAll(updated)
+          case None =>
+            batch.select(col("k"),
+              (coalesce(col("__base"), zeroOf(vt)) +
+                coalesce(col("__incSum"), zeroOf(vt))).cast(vt)
+                .as("v"),
+              coalesce(col("__incTs"), col("__setTs")).as("ts"))
+        }
+        Some(m -> combined)
+      } else if (incWrites.nonEmpty && writes.isEmpty) {
         // increment-built read metric: end state = carried total plus
         // this batch's delta sum per key
         val frames = incWrites.map { s =>

@@ -583,6 +583,21 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("seen", Map("m" -> "abc"))) == VInt(1))
   }
 
+  test("reads of a metric mixing `=` and `++` fold last-set plus " +
+      "post-set increments, like the datum") {
+    val cells = run(
+      """counter m
+        |gauge snap
+        |/^set (?P<x>\d+)$/ { m = $x }
+        |/^inc$/ { m++ }
+        |/^read$/ { snap = m }
+        |""".stripMargin,
+      Seq("inc", "read", "set 10", "inc", "read", "inc"))
+    // read#1 sees the lone increment (1); read#2 sees 10 + 1
+    assert(cells(("snap", Map.empty)) == VInt(11))
+    assert(cells(("m", Map.empty)) == VInt(12))
+  }
+
   test("joinKeys preserves key arity and position under nulls") {
     // concat_ws skips nulls, so without the per-position coalesce the
     // distinct tuples (null,"a") and ("a",null) alias to one state key

@@ -89,6 +89,9 @@ class StreamEquivalenceSpec extends SparkSpec {
       // across batch boundaries (finalReadStateDfs sums, not last-write)
       "hidc++",
       "g0 = hidc + $x",
+      // mixing = and ++ on a READ hidden metric: the fold (last set +
+      // post-set increments) must carry across batch boundaries
+      "hid0++",
       "g1[$s][$x] = hid1[$s][$x] + 1", // keyed carried-state read
       // float label keys: the read side (metricReadColumn), write side
       // (siteFrame) and carried state (finalReadStateDfs) must all
