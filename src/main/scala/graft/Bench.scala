@@ -48,11 +48,14 @@ object Bench {
   /** Render the one-line JSON headline, degrading until it fits
     * HeadlineMaxBytes. The ladder first drops value precision
     * (ms → cs → ds), then — still at ds — drops redundant extras in
-    * two steps via `lean`: level 1 removes kvs duplicated verbatim on
-    * the detail line / per-run incremental lines (warm min/max/runs,
-    * cold replay, battery steal, the wall-limit constant); level 2
-    * additionally removes the warm median (also on the detail line).
-    * The warm-replay steal audit survives every rung.
+    * three steps via `lean`: level 1 removes kvs duplicated verbatim
+    * on the detail line / per-run incremental lines (warm min/max/
+    * runs, cold replay, battery steal, the wall-limit constant);
+    * level 2 additionally removes the warm median (also on the detail
+    * line); level 3 removes the constant replay line count and keeps
+    * only throughput kvs from the evidence stages (battery totals
+    * stay in SCALE.json / the scale_detail line). The warm-replay
+    * steal audit survives every rung.
     * Scale/streaming evidence kvs are the caller's business and
     * survive every level — extraKv(p, lean) decides what to emit.
     */
@@ -80,10 +83,10 @@ object Bench {
         .mkString(",")
       s"""{\"metric\":\"total\",\"value\":${p(total)},\"unit\":\"sec\",\"queries\":$qsP,\"sf\":\"$sfDir\",\"failed\":$failedJson,\"extra\":{$extra}}"""
     }
-    Seq((3, 0), (2, 0), (1, 0), (1, 1), (1, 2))
+    Seq((3, 0), (2, 0), (1, 0), (1, 1), (1, 2), (1, 3))
       .map { case (pr, ln) => headline(pr, ln) }
       .find(_.length <= HeadlineMaxBytes)
-      .getOrElse(headline(1, 2))
+      .getOrElse(headline(1, 3))
   }
 
   /** Optional scale-run evidence measured out-of-band (SCALE.json at
@@ -325,8 +328,9 @@ object Bench {
     // throughput numbers — renderHeadline only reaches the lean rungs
     // when the full form outgrows the capture window
     def replayKv(p: Double => String, lean: Int): Seq[String] =
-      (Seq(
-        s""""replay_lines":$nLines""",
+      ((if (lean >= 3) Seq.empty else Seq(
+        s""""replay_lines":$nLines""")) ++
+      Seq(
         s""""replay_klines_per_sec":${p(klinesPerSec)}""",
         // the steal audit survives EVERY rung — it is what lets a
         // reader separate a thrashed box from a code regression
@@ -488,6 +492,9 @@ object Bench {
     def evidenceKvs(lean: Int): Seq[String] = {
       val kvs = scaleKvs ++ scaleDriverKvs ++ streamKvs
       if (lean < 1) kvs
+      // level 3 (battery growth outgrew level 2): throughputs only —
+      // the battery total remains in SCALE.json / scale_detail
+      else if (lean >= 3) kvs.filter(_.contains("klines_per_sec"))
       else kvs.filter(kv => kv.contains("klines_per_sec") ||
         kv.contains("battery_total_secs"))
     }

@@ -261,6 +261,25 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             case "last" =>
               u.withColumn(n, last(col("__v"), ignoreNulls = true)
                 .over(w))
+            case "concat" =>
+              // text fold: last set + ordered concat of `+=` suffixes
+              // after it. Concatenation is append-only, so "suffixes
+              // after the last set" = the running concat-before MINUS
+              // the prefix it had AT that set row — a substring, the
+              // string analogue of the numeric fold's subtraction
+              val setV = when(col("__s"), col("__v"))
+              val incV = when(!col("__s"), col("__v"))
+              val u2 = u.withColumn("__cb",
+                coalesce(array_join(collect_list(incV).over(w), ""),
+                  lit("")))
+              val lastSet = last(setV, ignoreNulls = true).over(w)
+              val pfx = last(when(col("__s").and(col("__v").isNotNull),
+                col("__cb")), ignoreNulls = true).over(w)
+              u2.withColumn(n, struct(
+                lastSet.as("set"),
+                when(pfx.isNotNull, col("__cb").substr(
+                  length(pfx) + 1, length(col("__cb"))))
+                  .otherwise(col("__cb")).as("inc")))
             case _ => // fold: last set + increments after it; null-set
               // rows (cond false / aborted) are invisible to `last`
               val setV = when(col("__s"), col("__v"))
@@ -929,9 +948,11 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       s.op == OpInc)
     if (incWrites.nonEmpty) {
       if (allSites.exists(s => s.metric.name == metric &&
-          (s.op == OpDel || s.op == OpConcat)))
+          s.op == OpConcat))
+        // unreachable from checked programs: `++`/`+=`-as-Inc implies
+        // a numeric metric, `+=`-as-concat implies text
         throw new IllegalArgumentException(
-          s"reads of metric $metric mixing '++' with del/'+=' " +
+          s"reads of metric $metric mixing '++' with text '+=' " +
             "not supported")
       val carried = initialState.get(metric)
         .map(st => coalesce(
@@ -945,17 +966,28 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             reading + metric).cast(vt), isSet = false))
       val setWrites = allSites.filter(s => s.metric.name == metric &&
         s.op == OpSet)
-      if (setWrites.nonEmpty) {
-        // mixed `=` + `++`: the datum is the LAST set plus every
-        // increment after it; before any set, the carried base plus
-        // all increments (Iset replaces, Inc adds — per datum)
+      // immediate `del` removes the datum; the next access recreates
+      // it at zero (store.go GetDatum), so FOR A READ a del is
+      // indistinguishable from `= 0`: it barriers off the carried
+      // base and everything before it, exactly like a set
+      val delWrites = allSites.filter(s => s.metric.name == metric &&
+        s.op == OpDel && s.afterSeconds.isEmpty)
+      if (setWrites.nonEmpty || delWrites.nonEmpty) {
+        // mixed `=`/del + `++`: the datum is the LAST set (del → 0)
+        // plus every increment after it; before any set, the carried
+        // base plus all increments (Iset replaces, Inc adds — per
+        // datum)
         val f = materializeAsofRead(AsofSpec(keyCols, siteIdx,
           incAsofWrites ++ setWrites.map(s =>
             AsofWrite(writeKeyColsOf(s), s.idx,
               coalesce(s.cond, lit(false)),
               valCast(s.valueIr.get,
                 exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
-                  reading + metric), s.frames, vt), isSet = true)),
+                  reading + metric), s.frames, vt), isSet = true))
+            ++ delWrites.map(s =>
+              AsofWrite(writeKeyColsOf(s), s.idx,
+                coalesce(s.cond, lit(false)),
+                zeroOf(vt), isSet = true)),
           mode = "fold", vt))
         val inc = coalesce(f.getField("inc"), zeroOf(vt))
         return when(f.getField("set").isNull, carried + inc)
@@ -986,11 +1018,39 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     val writes = allSites.filter(s => s.metric.name == metric)
       .filter(s => s.op == OpSet ||
         (s.op == OpDel && s.afterSeconds.isEmpty))
+    val concatWrites = allSites.filter(s => s.metric.name == metric &&
+      s.op == OpConcat)
+    if (concatWrites.nonEmpty) {
+      // `+=`-built text: the datum is the last set (del → fresh "")
+      // concatenated with every `+=` suffix AFTER it, in statement
+      // order; before any set, the carried cross-batch string plus
+      // all suffixes (ADD_ASSIGN is `m = m + e`, codegen.go:359-363)
+      val f = materializeAsofRead(AsofSpec(keyCols, siteIdx,
+        concatWrites.map(s =>
+          AsofWrite(writeKeyColsOf(s), s.idx,
+            coalesce(s.cond, lit(false)),
+            strCast(s.valueIr.get,
+              exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
+                reading + metric), s.frames), isSet = false))
+          ++ writes.map(s =>
+            AsofWrite(writeKeyColsOf(s), s.idx,
+              coalesce(s.cond, lit(false)),
+              if (s.op == OpDel) lit("")
+              else valCast(s.valueIr.get,
+                exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
+                  reading + metric), s.frames, StringType),
+              isSet = true)),
+        mode = "concat", StringType))
+      val carriedC = initialState.get(metric)
+        .map(st => coalesce(
+          materializeStateJoin(PlanBuilder.joinKeys(keyCols), st),
+          lit("")))
+        .getOrElse(lit(""))
+      val inc = coalesce(f.getField("inc"), lit(""))
+      return when(f.getField("set").isNull, concat(carriedC, inc))
+        .otherwise(concat(f.getField("set"), inc))
+    }
     if (writes.isEmpty) return zeroOf(metricType(metric))
-    if (allSites.exists(s => s.metric.name == metric &&
-        s.op == OpConcat))
-      throw new IllegalArgumentException(
-        s"reads of '+='-updated text metric $metric not supported")
 
     def writeVal(s: Site): Column = s.op match {
       case OpDel => zeroOf(metricType(metric)) // fresh datum after delete
@@ -1156,6 +1216,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
     if (mixed) return mixedNumericFrame(decl, vt, keyNames,
       setSites, incSites, delFilter)
+    val concatSites = updates.filter(_.op == OpConcat)
+    if (setSites.nonEmpty && concatSites.nonEmpty)
+      return mixedTextFrame(decl, keyNames, setSites, concatSites,
+        delFilter)
 
     val unioned = updates.map(siteFrame(_, vt)).reduceOption(_ unionAll _)
     val afterDel: Option[DataFrame] = unioned.map(delFilter)
@@ -1186,10 +1250,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             sum("v").as("value"), count(lit(1)).as("obs_count"),
             max_by(col("ts"), col("ordk")).as("ts"))
         case Ir.Text if updates.exists(_.op == OpConcat) =>
-          if (updates.exists(_.op != OpConcat))
-            throw new IllegalArgumentException(
-              s"${program.name}: mixing `=` and `+=` on text metric " +
-                s"`${decl.name}` is not supported")
+          // pure `+=` (set-mixing dispatched to mixedTextFrame above):
           // ordered running concatenation: every delta in arrival
           // order. The array lives on ONE aggregated row per cell —
           // same memory shape as the VM's single growing string datum.
@@ -1301,6 +1362,62 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         combined.filter(touched).select(
           (keyNames.map(col) ++ Seq(value.as("value"), ts.as("ts"),
             col("__setOrd").isNotNull.as("__was_set"))): _*)
+    if (decl.limit > 0) {
+      val w = Window.orderBy(col("ts").desc)
+      out.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= decl.limit).drop("__rn")
+    } else out
+  }
+
+  /** Per-cell fold for a TEXT metric written by BOTH `=` and `+=`:
+    * Iset replaces the string datum, ADD_ASSIGN appends
+    * (codegen.go:359-363), so the batch value is the LAST set
+    * concatenated with every `+=` suffix AFTER it in arrival order.
+    * `__was_set` per cell tells the store merge to REPLACE (the batch
+    * saw a set) or APPEND (pure suffixes) — mirrors
+    * [[mixedNumericFrame]] with concat for sum.
+    */
+  private def mixedTextFrame(decl: Ir.MetricDecl,
+      keyNames: Seq[String], setSites: Seq[Site],
+      concatSites: Seq[Site],
+      delFilter: DataFrame => DataFrame): DataFrame = {
+    val setsU = delFilter(setSites.map(siteFrame(_, StringType))
+      .reduce(_ unionAll _)).filter(col("v").isNotNull)
+    val catsU = delFilter(concatSites.map(siteFrame(_, StringType))
+      .reduce(_ unionAll _)).filter(col("v").isNotNull)
+    val setAggs = Seq(max_by(col("v"), col("ordk")).as("__base"),
+      max(col("ordk")).as("__setOrd"),
+      max_by(col("ts"), col("ordk")).as("__setTs"))
+    val sets =
+      if (keyNames.isEmpty) setsU.agg(setAggs.head, setAggs.tail: _*)
+      else setsU.groupBy(keyNames.map(col): _*)
+        .agg(setAggs.head, setAggs.tail: _*)
+    val gated =
+      (if (keyNames.isEmpty) catsU.crossJoin(broadcast(sets))
+       else catsU.join(broadcast(sets), keyNames, "left"))
+        .filter(col("__setOrd").isNull || col("ordk") > col("__setOrd"))
+    val catAggs = Seq(
+      when(count(lit(1)) > 0, concat_ws("", transform(
+        array_sort(collect_list(struct(col("ordk"), col("v")))),
+        x => x.getField("v")))).as("__cat"),
+      max_by(col("ts"), col("ordk")).as("__catTs"))
+    val cats =
+      if (keyNames.isEmpty) gated.agg(catAggs.head, catAggs.tail: _*)
+      else gated.groupBy(keyNames.map(col): _*)
+        .agg(catAggs.head, catAggs.tail: _*)
+    val combined =
+      if (keyNames.isEmpty) sets.crossJoin(cats)
+      else sets.join(cats, keyNames, "full_outer")
+    // untouched cells emit NO row: the keyless crossJoin otherwise
+    // yields ("", no-stamp) for an empty batch, whose merge would
+    // wipe a live cell (same guard as the pure-concat agg)
+    val touched = col("__base").isNotNull || col("__cat").isNotNull
+    val value = concat(coalesce(col("__base"), lit("")),
+      coalesce(col("__cat"), lit("")))
+    val ts = coalesce(col("__catTs"), col("__setTs"))
+    val out = combined.filter(touched).select(
+      (keyNames.map(col) ++ Seq(value.as("value"), ts.as("ts"),
+        col("__setOrd").isNotNull.as("__was_set"))): _*)
     if (decl.limit > 0) {
       val w = Window.orderBy(col("ts").desc)
       out.withColumn("__rn", row_number().over(w))
@@ -1421,54 +1538,144 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           ordKey(s.idx).as("ordk"),
           coalesce(s.cond, lit(false)).as("__c"))
           .filter(col("__c")).drop("__c")
-      if (incWrites.nonEmpty &&
-          writes.exists(_.op == OpSet)) {
-        // mixed end state: the last set per key plus increments after
-        // it; keys this batch never set continue from the carried base
-        val setsU = writes.filter(_.op == OpSet).map(s =>
-          stateRows(s, valCast(s.valueIr.get,
+      // last set-or-del per key — the fold barrier. __bVal = set
+      // value (null for del), __bDel marks a delete, __bOrd gates
+      // later deltas. A set whose value expr nulled out (aborted
+      // line) never wrote, so it is no barrier; a del always is.
+      def barrierOf(ws: Seq[Site], bvt: DataType): Option[DataFrame] =
+        ws.map { s =>
+          val value = s.op match {
+            case OpDel => lit(null).cast(bvt)
+            case _ => valCast(s.valueIr.get,
+              exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx),
+              s.frames, bvt)
+          }
+          stateRows(s, value).withColumn("__d", lit(s.op == OpDel))
+        }.reduceOption(_ unionAll _)
+          .map(_.filter(col("v").isNotNull || col("__d"))
+            .groupBy("k")
+            .agg(max_by(struct(col("__d"), col("v"), col("ts")),
+              col("ordk")).as("__b"),
+              max(col("ordk")).as("__bOrd"))
+            .select(col("k"), col("__b.__d").as("__bDel"),
+              col("__b.v").as("__bVal"), col("__b.ts").as("__bTs"),
+              col("__bOrd")))
+      val concatWs = sites.filter(s => s.metric.name == m &&
+        s.op == OpConcat).toSeq
+      if (concatWs.nonEmpty) {
+        // `+=`-built text end state: last set (del → fresh datum)
+        // concatenated with every later `+=` suffix in order; keys
+        // never barriered prepend the carried string; a del with no
+        // later `+=` deletes the carried cell
+        val concU = concatWs.map(s =>
+          stateRows(s, strCast(s.valueIr.get,
             exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx),
-            s.frames, vt))).reduce(_ unionAll _)
+            s.frames))).reduce(_ unionAll _)
           .filter(col("v").isNotNull)
-        val incsU = incWrites.map(s =>
-          stateRows(s, exprColumn(s.valueIr.get, s.frames, s.timeReg,
-            s.idx).cast(vt))).reduce(_ unionAll _)
-          .filter(col("v").isNotNull)
-        val sets = setsU.groupBy("k").agg(
-          max_by(col("v"), col("ordk")).as("__base"),
-          max(col("ordk")).as("__setOrd"),
-          max_by(col("ts"), col("ordk")).as("__setTs"))
-        val gated = incsU
-          .join(sets.select(col("k"), col("__setOrd")), Seq("k"),
-            "left")
-          .filter(col("__setOrd").isNull ||
-            col("ordk") > col("__setOrd"))
-        val incs = gated.groupBy("k").agg(sum("v").as("__incSum"),
-          max_by(col("ts"), col("ordk")).as("__incTs"))
-        val batch = sets.drop("__setOrd")
-          .join(incs, Seq("k"), "full_outer")
-        val combined = initialState.get(m) match {
+        val barr = barrierOf(writes, StringType)
+        val gated = barr match {
+          case Some(b) =>
+            concU.join(b.select(col("k"), col("__bOrd")), Seq("k"),
+              "left")
+              .filter(col("__bOrd").isNull ||
+                col("ordk") > col("__bOrd"))
+              .drop("__bOrd")
+          case None => concU
+        }
+        val concs = gated.groupBy("k").agg(
+          concat_ws("", transform(
+            array_sort(collect_list(struct(col("ordk"), col("v")))),
+            x => x.getField("v"))).as("__cat"),
+          max_by(col("ts"), col("ordk")).as("__cTs"))
+        val batch = barr match {
+          case Some(b) =>
+            b.drop("__bOrd").join(concs, Seq("k"), "full_outer")
+          case None => concs
+            .withColumn("__bDel", lit(null).cast("boolean"))
+            .withColumn("__bVal", lit(null).cast("string"))
+            .withColumn("__bTs", lit(null).cast("bigint"))
+        }
+        def dead = coalesce(col("__bDel"), lit(false)) &&
+          col("__cat").isNull
+        val merged = initialState.get(m) match {
           case Some(prev) =>
             val pr = prev.withColumnRenamed("v", "__pv")
               .withColumnRenamed("ts", "__pts")
-            val updated = batch.join(pr, Seq("k"), "left").select(
-              col("k"),
-              (coalesce(col("__base"),
-                coalesce(col("__pv"), zeroOf(vt))) +
-                coalesce(col("__incSum"), zeroOf(vt))).cast(vt)
-                .as("v"),
-              coalesce(col("__incTs"), col("__setTs"), col("__pts"))
-                .as("ts"))
+            val updated = batch.join(pr, Seq("k"), "left")
+              .filter(!dead)
+              .select(col("k"),
+                when(col("__bDel").isNull,
+                  concat(coalesce(col("__pv"), lit("")),
+                    coalesce(col("__cat"), lit(""))))
+                  .when(col("__bDel"), coalesce(col("__cat"), lit("")))
+                  .otherwise(concat(coalesce(col("__bVal"), lit("")),
+                    coalesce(col("__cat"), lit("")))).as("v"),
+                coalesce(col("__cTs"), col("__bTs"), col("__pts"))
+                  .as("ts"))
             pr.join(batch.select("k"), Seq("k"), "left_anti")
               .select(col("k"), col("__pv").as("v"),
                 col("__pts").as("ts"))
               .unionAll(updated)
           case None =>
-            batch.select(col("k"),
-              (coalesce(col("__base"), zeroOf(vt)) +
-                coalesce(col("__incSum"), zeroOf(vt))).cast(vt)
-                .as("v"),
-              coalesce(col("__incTs"), col("__setTs")).as("ts"))
+            batch.filter(!dead)
+              .select(col("k"),
+                when(coalesce(col("__bDel"), lit(false)),
+                  coalesce(col("__cat"), lit("")))
+                  .otherwise(concat(coalesce(col("__bVal"), lit("")),
+                    coalesce(col("__cat"), lit("")))).as("v"),
+                coalesce(col("__cTs"), col("__bTs")).as("ts"))
+        }
+        Some(m -> merged)
+      } else if (incWrites.nonEmpty && writes.nonEmpty) {
+        // mixed end state: the last set-or-del per key plus increments
+        // after it; keys this batch never barriered continue from the
+        // carried base; a del with no later increment DELETES the cell
+        // (the VM removes the datum; the next access recreates at 0)
+        val barr = barrierOf(writes, vt).get
+        val incsU = incWrites.map(s =>
+          stateRows(s, exprColumn(s.valueIr.get, s.frames, s.timeReg,
+            s.idx).cast(vt))).reduce(_ unionAll _)
+          .filter(col("v").isNotNull)
+        val gated = incsU
+          .join(barr.select(col("k"), col("__bOrd")), Seq("k"),
+            "left")
+          .filter(col("__bOrd").isNull ||
+            col("ordk") > col("__bOrd"))
+        val incs = gated.groupBy("k").agg(sum("v").as("__incSum"),
+          max_by(col("ts"), col("ordk")).as("__incTs"))
+        val batch = barr.drop("__bOrd")
+          .join(incs, Seq("k"), "full_outer")
+        def dead = coalesce(col("__bDel"), lit(false)) &&
+          col("__incSum").isNull
+        val combined = initialState.get(m) match {
+          case Some(prev) =>
+            val pr = prev.withColumnRenamed("v", "__pv")
+              .withColumnRenamed("ts", "__pts")
+            val updated = batch.join(pr, Seq("k"), "left")
+              .filter(!dead)
+              .select(col("k"),
+                when(col("__bDel").isNull,
+                  coalesce(col("__pv"), zeroOf(vt)) +
+                    coalesce(col("__incSum"), zeroOf(vt)))
+                  .when(col("__bDel"), col("__incSum"))
+                  .otherwise(coalesce(col("__bVal"), zeroOf(vt)) +
+                    coalesce(col("__incSum"), zeroOf(vt)))
+                  .cast(vt).as("v"),
+                coalesce(col("__incTs"), col("__bTs"), col("__pts"))
+                  .as("ts"))
+            pr.join(batch.select("k"), Seq("k"), "left_anti")
+              .select(col("k"), col("__pv").as("v"),
+                col("__pts").as("ts"))
+              .unionAll(updated)
+          case None =>
+            batch.filter(!dead)
+              .select(col("k"),
+                when(coalesce(col("__bDel"), lit(false)),
+                  col("__incSum"))
+                  .otherwise(coalesce(col("__bVal"), zeroOf(vt)) +
+                    coalesce(col("__incSum"), zeroOf(vt)))
+                  .cast(vt).as("v"),
+                coalesce(col("__incTs"), col("__bTs")).as("ts"))
         }
         Some(m -> combined)
       } else if (incWrites.nonEmpty && writes.isEmpty) {

@@ -109,6 +109,42 @@ object EngineQueries {
         .orderBy("name")
     }),
 
+    // round-13 lifted read rejections, end-to-end: a del-mixed counter
+    // read (del barriers the running total), a `+=`-built text read
+    // (running concat length), and a text metric mixing `=` and `+=`
+    // (Iset replaces, ADD_ASSIGN appends) — all against plain SQL
+    "mtail_engine_readmix" -> ((s, dir) => {
+      val src =
+        """hidden counter seen by u
+          |counter resets
+          |gauge snap by u
+          |hidden text trail by u
+          |gauge errlen by u
+          |text mix by u
+          |/^(?P<t>\w+) (?P<u>\d+)$/ {
+          |  $t == "purchase" {
+          |    del seen[$u]
+          |    resets++
+          |    mix[$u] += "p"
+          |  }
+          |  otherwise {
+          |    seen[$u]++
+          |  }
+          |  $t == "signup" { mix[$u] = $t }
+          |  $t == "error" { trail[$u] += $t }
+          |  snap[$u] = seen[$u]
+          |  errlen[$u] = len(trail[$u])
+          |}
+          |""".stripMargin
+      val lineExpr = concat_ws(" ",
+        col("event_type"), col("user_id").cast("string"))
+      run(s, dir, src, lineExpr)
+        .select(col("name"),
+          coalesce(element_at(col("labels"), "u"), lit("")).as("label"),
+          coalesce(col("sval"), col("ival").cast("string")).as("val"))
+        .orderBy("name", "label")
+    }),
+
     // histogram observation through the engine: per-label bucket counts
     "mtail_engine_histogram" -> ((s, dir) => {
       val src =
@@ -129,6 +165,55 @@ object EngineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "mtail_engine_readmix" ->
+      """WITH e AS (
+           SELECT event_id, event_type, CAST(user_id AS VARCHAR) AS u
+           FROM events
+         ),
+         lastp AS (
+           SELECT u, max(event_id) AS lp FROM e
+           WHERE event_type = 'purchase' GROUP BY u
+         ),
+         lasts AS (
+           SELECT u, max(event_id) AS ls FROM e
+           WHERE event_type = 'signup' GROUP BY u
+         ),
+         snap AS (
+           SELECT e.u, count(*) FILTER (WHERE e.event_type <> 'purchase'
+               AND e.event_id > coalesce(lp.lp, -1)) AS v
+           FROM e LEFT JOIN lastp lp ON e.u = lp.u
+           GROUP BY e.u, lp.lp
+         ),
+         errlen AS (
+           SELECT u,
+             5 * count(*) FILTER (WHERE event_type = 'error') AS v
+           FROM e GROUP BY u
+         ),
+         mix AS (
+           SELECT e.u,
+             CASE WHEN ls.ls IS NULL
+               THEN repeat('p', CAST(count(*) FILTER (
+                 WHERE event_type = 'purchase') AS INT))
+               ELSE 'signup' || repeat('p', CAST(count(*) FILTER (
+                 WHERE event_type = 'purchase'
+                   AND event_id > ls.ls) AS INT))
+             END AS v,
+             count(*) FILTER (
+               WHERE event_type IN ('purchase', 'signup')) AS writes
+           FROM e LEFT JOIN lasts ls ON e.u = ls.u
+           GROUP BY e.u, ls.ls
+         )
+         SELECT name, label, val FROM (
+           SELECT 'snap' AS name, u AS label, CAST(v AS VARCHAR) AS val
+           FROM snap
+           UNION ALL
+           SELECT 'errlen', u, CAST(v AS VARCHAR) FROM errlen
+           UNION ALL
+           SELECT 'mix', u, v FROM mix WHERE writes > 0
+           UNION ALL
+           SELECT 'resets', '', CAST(count(*) AS VARCHAR) FROM e
+           WHERE event_type = 'purchase'
+         ) t ORDER BY name, label""",
     "mtail_engine_opfolds" ->
       """SELECT name, val FROM (
            SELECT 'lastv' AS name, CAST(max(event_id) AS BIGINT) AS val

@@ -71,7 +71,11 @@ final class MetricsStore {
               // value) adds.
               c.copy(value = addValues(prev.value, c.value), tsSec = ts,
                 buckets = addBuckets(prev.buckets, c.buckets))
-            case "text" if concatNames(c.name) =>
+            case "text" if concatNames(c.name) &&
+                !c.wasSet.getOrElse(false) =>
+              // pure-`+=` batch: append the local concat; a batch
+              // whose fold saw a set (wasSet) falls through to
+              // replace — Iset makes the batch value authoritative
               c.copy(value = catValues(prev.value, c.value), tsSec = ts)
             // the batch fold reports HOW it wrote the cell: a set-write
             // makes the batch value authoritative (Iset replaces the

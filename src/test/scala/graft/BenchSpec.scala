@@ -16,7 +16,8 @@ class BenchSpec extends AnyFunSuite {
 
   test("final headline fits the driver's tail capture with a " +
       "full-size query battery and every extra attached") {
-    // a worst-case fixture: 51 queries with the real (long) names plus
+    // a worst-case fixture: every SparkEntry query (52 as of round
+    // 13) with the real (long) names plus
     // room for growth, every replay extra, SCALE.json attachment,
     // driver-clocked scale replay AND streaming kvs, and a non-empty
     // failed list. BENCH_r11/r12 both lost the leading
@@ -28,8 +29,9 @@ class BenchSpec extends AnyFunSuite {
       n -> (100.0 + i + 0.123)  // wide values: 3 int digits + frac
     }
     def extraKv(p: Double => String, lean: Int): Seq[String] =
-      (Seq(
-        s""""replay_lines":1000000""",
+      ((if (lean >= 3) Seq.empty else Seq(
+        s""""replay_lines":1000000""")) ++
+      Seq(
         s""""replay_klines_per_sec":${p(1277.456)}""",
         // survives every rung, mirroring Bench.main's replayKv
         s""""replay_warm_steal_cpu_secs_sum":${p(52.81)}""") ++
@@ -55,6 +57,7 @@ class BenchSpec extends AnyFunSuite {
           """"streaming_trigger_ms":250""")
         // mirrors Bench.main's evidenceKvs lean filter
         if (lean < 1) kvs
+        else if (lean >= 3) kvs.filter(_.contains("klines_per_sec"))
         else kvs.filter(kv => kv.contains("klines_per_sec") ||
           kv.contains("battery_total_secs"))
       }

@@ -465,18 +465,18 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("d", Map.empty)) == VInt(0)) // declared → zero-init
   }
 
-  test("mixing `=` and `+=` on one text metric is a typed error " +
-      "(documented engine boundary)") {
-    val e = intercept[IllegalArgumentException] {
-      run(
-        """text t
-          |/^(?P<s>[a-z]+)$/ {
-          |  t = $s
-          |  t += "!"
-          |}
-          |""".stripMargin, Seq("ab"))
-    }
-    assert(e.getMessage.contains("mixing `=` and `+=` on text metric"))
+  test("mixing `=` and `+=` on one text metric: the set replaces, " +
+      "the same-line += appends (Iset then ADD_ASSIGN, per datum)") {
+    val cells = run(
+      """text t
+        |/^(?P<s>[a-z]+)$/ {
+        |  t = $s
+        |  t += "!"
+        |}
+        |""".stripMargin, Seq("ab", "cd"))
+    // each line: t = <word>, then t += "!" — the second line's set
+    // wipes the first line's "ab!"
+    assert(cells(("t", Map.empty)) == VStr("cd!"))
   }
 
   test("text += concatenates across lines (ADD_ASSIGN double-emits " +
@@ -607,6 +607,97 @@ class VmSemanticsSpec extends SparkSpec {
       .select(PlanBuilder.joinKeys(Seq(col("k1"), col("k2"))).as("k"))
     assert(df.distinct().count() == 3,
       "null key positions must not alias")
+  }
+
+  test("read of a counter mixing ++ and del: del barriers the " +
+      "running total, later increments restart from zero") {
+    // the VM's del removes the datum (store.go); the next Iget
+    // recreates it at 0 — so a read after del sees 0, and increments
+    // after the del count from a fresh cell
+    val cells = run(
+      """counter c by k
+        |gauge s1 by k
+        |gauge s2 by k
+        |gauge s3 by k
+        |/^inc (?P<k>\w+)$/ { c[$k]++ }
+        |/^del (?P<k>\w+)$/ { del c[$k] }
+        |/^r1 (?P<k>\w+)$/ { s1[$k] = c[$k] }
+        |/^r2 (?P<k>\w+)$/ { s2[$k] = c[$k] }
+        |/^r3 (?P<k>\w+)$/ { s3[$k] = c[$k] }
+        |""".stripMargin,
+      Seq("inc a", "inc a", "r1 a", "del a", "r2 a", "inc a", "r3 a"))
+    assert(cells(("s1", Map("k" -> "a"))) == VInt(2))
+    assert(cells(("s2", Map("k" -> "a"))) == VInt(0))
+    assert(cells(("s3", Map("k" -> "a"))) == VInt(1))
+    // exported cell restarts after the delete
+    assert(cells(("c", Map("k" -> "a"))) == VInt(1))
+  }
+
+  test("read of a counter mixing =, ++ and del: fold is last " +
+      "set-or-del plus increments after it") {
+    val cells = run(
+      """counter c by k
+        |gauge s1 by k
+        |gauge s2 by k
+        |/^set (?P<k>\w+) (?P<x>\d+)$/ { c[$k] = $x }
+        |/^inc (?P<k>\w+)$/ { c[$k]++ }
+        |/^del (?P<k>\w+)$/ { del c[$k] }
+        |/^r1 (?P<k>\w+)$/ { s1[$k] = c[$k] }
+        |/^r2 (?P<k>\w+)$/ { s2[$k] = c[$k] }
+        |""".stripMargin,
+      Seq("inc a", "set a 10", "inc a", "r1 a", "del a", "inc a",
+        "r2 a"))
+    assert(cells(("s1", Map("k" -> "a"))) == VInt(11))
+    assert(cells(("s2", Map("k" -> "a"))) == VInt(1))
+  }
+
+  test("read of a +=-built text metric: running concatenation in " +
+      "statement order (ADD_ASSIGN is m = m + e, codegen.go:359-363)") {
+    val cells = run(
+      """text t
+        |text o1
+        |text o2
+        |/^add (?P<s>\w+)$/ { t += $s }
+        |/^r1/ { o1 = t }
+        |/^r2/ { o2 = t }
+        |""".stripMargin,
+      Seq("add ab", "add cd", "r1", "add ef", "r2"))
+    assert(cells(("o1", Map.empty)) == VStr("abcd"))
+    assert(cells(("o2", Map.empty)) == VStr("abcdef"))
+    assert(cells(("t", Map.empty)) == VStr("abcdef"))
+  }
+
+  test("text mixing = and +=: Iset replaces the string datum, " +
+      "later += appends to the set value") {
+    val cells = run(
+      """text t
+        |text o1
+        |text o2
+        |/^set (?P<s>\w+)$/ { t = $s }
+        |/^add (?P<s>\w+)$/ { t += $s }
+        |/^r1/ { o1 = t }
+        |/^r2/ { o2 = t }
+        |""".stripMargin,
+      Seq("add x", "r1", "set A", "add b", "add c", "r2"))
+    // before any set: the accumulated concat alone
+    assert(cells(("o1", Map.empty)) == VStr("x"))
+    // the set wipes "x"; later suffixes append to it
+    assert(cells(("o2", Map.empty)) == VStr("Abc"))
+    assert(cells(("t", Map.empty)) == VStr("Abc"))
+  }
+
+  test("keyed text del then +=: the delete empties the cell, later " +
+      "suffixes rebuild from a fresh datum") {
+    val cells = run(
+      """text t by k
+        |text o1 by k
+        |/^add (?P<k>\w+) (?P<s>\w+)$/ { t[$k] += $s }
+        |/^del (?P<k>\w+)$/ { del t[$k] }
+        |/^r1 (?P<k>\w+)$/ { o1[$k] = t[$k] }
+        |""".stripMargin,
+      Seq("add a hello", "del a", "add a bye", "r1 a"))
+    assert(cells(("o1", Map("k" -> "a"))) == VStr("bye"))
+    assert(cells(("t", Map("k" -> "a"))) == VStr("bye"))
   }
 
   test("joinKeys is injective even for values containing the " +

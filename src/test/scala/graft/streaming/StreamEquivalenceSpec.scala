@@ -49,6 +49,8 @@ class StreamEquivalenceSpec extends SparkSpec {
       |hidden gauge hid0
       |hidden gauge hid1 by p, q
       |hidden counter hidc
+      |hidden counter hidc1 by a
+      |text t1 by a
       |""".stripMargin
 
   // every pattern binds x (digits → Int) and s (word → String)
@@ -101,6 +103,26 @@ class StreamEquivalenceSpec extends SparkSpec {
       "hid1[$s][$x / 2.0] = $x",
       "g1[$s][$x / 2.0] = hid1[$s][$x / 2.0] + 1",
       "del c1[$s]", // cross-batch delete of a keyed cell
+      // inc+del / set+inc+del folds on a READ metric (round 13 lifted
+      // the rejection): a del barriers the carried total — later
+      // increments restart from a fresh datum; a del with no later
+      // write DELETES the carried cell
+      "hidc1[$s]++",
+      "hidc1[$s] = $x",
+      "del hidc1[$s]",
+      "g1[$s][$x] = hidc1[$s] + 1",
+      "g0 = hidc1[\"alpha\"]",
+      // read of the EXPORTED counter, which the pool freely writes
+      // with ++/+=/=/del — the full mixed fold across batch cuts
+      "g0 = c1[\"beta\"]",
+      // `+=`-built text reads (concat as-of fold) and keyed text
+      // set/del mixing — mixedTextFrame's per-cell was_set must make
+      // the store merge replace-after-set and append otherwise
+      "g0 = len(t0)",
+      "t1[$s] += $s",
+      "t1[$s] = tolower($s)",
+      "del t1[$s]",
+      "g0 = len(t1[$s])",
       // timestamp machinery: line numbers are MONOTONE (genLines), so
       // the store's max-ts merge agrees with one-shot last-write and
       // the settime exclusion in the scaladoc doesn't apply
