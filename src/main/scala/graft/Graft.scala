@@ -44,9 +44,16 @@ object Graft {
       /** -override_timezone: zone for naive strptime timestamps. */
       overrideZone: String = "UTC"): DataFrame = {
     val prog = compile(programSource, programName)
-    new PlanBuilder(prog, LogLines.batch(spark, paths: _*), defaultYear,
-      overrideZone = overrideZone)
-      .snapshot()
+    val pb = new PlanBuilder(prog, LogLines.batch(spark, paths: _*),
+      defaultYear, overrideZone = overrideZone)
+    // share ONE scan+extraction across the per-metric aggregation
+    // branches (snapshot() is a union of independent branches), then
+    // eagerly materialize the cell-cardinality result so the cache
+    // can be freed before returning — the same lifecycle the
+    // streaming runner uses per batch
+    pb.materializeExtraction()
+    try pb.snapshot().localCheckpoint(true)
+    finally pb.unpersistExtraction()
   }
 
   /** `mtail -one_shot -one_shot_format={json,prometheus}`

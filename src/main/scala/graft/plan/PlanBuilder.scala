@@ -237,25 +237,32 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         }
         readyAsofs.foreach { case (n, sp) =>
           val base = curDf
-          val writeRows = sp.writes.map { wr =>
-            base.select(PlanBuilder.joinKeys(wr.keys).as("k"),
-              col("ord").as("__o"), lit(wr.idx).as("__i"),
-              lit(1).as("__w"),
+          // ONE pass over the base for every write leg plus the probe
+          // leg: each row explodes into (#writes + 1) typed rows. The
+          // unionAll-of-selects alternative scans (and re-runs the
+          // regex extraction of) the base once PER LEG — at cluster
+          // scale that multiplies the dominant cost of the plan by
+          // the number of write sites
+          val legs = sp.writes.map { wr =>
+            struct(PlanBuilder.joinKeys(wr.keys).as("k"),
+              lit(wr.idx).as("__i"), lit(1).as("__w"),
               when(wr.cond, wr.value).cast(sp.vt).as("__v"),
               lit(wr.isSet).as("__s"))
-          }.reduce(_ unionAll _)
-          val probeRows = base.select(
-            PlanBuilder.joinKeys(sp.probeKeys).as("k"),
-            col("ord").as("__o"), lit(sp.probeIdx).as("__i"),
-            lit(0).as("__w"), lit(null).cast(sp.vt).as("__v"),
-            lit(false).as("__s"))
+          } :+ struct(PlanBuilder.joinKeys(sp.probeKeys).as("k"),
+            lit(sp.probeIdx).as("__i"), lit(0).as("__w"),
+            lit(null).cast(sp.vt).as("__v"), lit(false).as("__s"))
           // probes sort BEFORE a same-(ord,site) write, so a site's
           // own write is invisible to its own read; earlier-site
           // same-line writes stay visible
           val w = Window.partitionBy(col("k"))
             .orderBy(col("__o"), col("__i"), col("__w"))
             .rowsBetween(Window.unboundedPreceding, -1)
-          val u = writeRows.unionAll(probeRows)
+          val u = base
+            .select(col("ord").as("__o"),
+              explode(array(legs: _*)).as("__leg"))
+            .select(col("__leg.k").as("k"), col("__o"),
+              col("__leg.__i").as("__i"), col("__leg.__w").as("__w"),
+              col("__leg.__v").as("__v"), col("__leg.__s").as("__s"))
           val withVis = sp.mode match {
             case "sum" => u.withColumn(n, sum(col("__v")).over(w))
             case "last" =>

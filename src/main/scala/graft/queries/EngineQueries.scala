@@ -32,7 +32,14 @@ object EngineQueries {
   private def run(s: SparkSession, dir: String, src: String,
       lineExpr: org.apache.spark.sql.Column): DataFrame = {
     val program = Frontend.parse(src, "engine_query.mtail")
-    new PlanBuilder(program, lines(s, dir, lineExpr), 0).snapshot()
+    val pb = new PlanBuilder(program, lines(s, dir, lineExpr), 0)
+    // product-grade lifecycle (same as Graft.oneShot / the streaming
+    // runner): one cached extraction shared by every metric branch
+    // and as-of leg, eagerly consumed, cache freed — not persisted
+    // across bench passes, so pass timings stay honest
+    pb.materializeExtraction()
+    try pb.snapshot().localCheckpoint(true)
+    finally pb.unpersistExtraction()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

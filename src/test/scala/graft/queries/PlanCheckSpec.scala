@@ -147,6 +147,43 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("as-of reads explode legs from ONE pass over the base, not " +
+      "one scan per write site") {
+    // a transformed-key read forces the as-of relation (m[$x] written,
+    // m[$x/2] read). Pre-round-13 the as-of unioned one SELECT of the
+    // base per write leg plus one for probes — at cluster scale that
+    // multiplies the scan+regex cost by the site count. The explode
+    // form keeps exactly one occurrence of the base per as-of.
+    import org.apache.spark.sql.functions.col
+    import graft.mtail.{Frontend, LogLines}
+    import graft.plan.PlanBuilder
+    import spark.implicits._
+    val prog = Frontend.parse(
+      """hidden counter m by k
+        |gauge out by k
+        |/^(?P<x>\d+)$/ {
+        |  m[$x]++
+        |  m[$x + 1]++
+        |  out[$x] = m[$x / 2]
+        |}
+        |""".stripMargin, "asofplan")
+    val df = LogLines.fromLines(
+      Seq("1", "2", "4").toDF("line"), "line")
+    val pb = new PlanBuilder(prog, df, 0)
+    val plan = pb.snapshot().queryExecution.optimizedPlan.toString
+    assert(plan.contains("Generate explode"),
+      "as-of legs must be built by explode, not unionAll-of-selects")
+    // the probe+write union materializes each leg as an array element
+    // of one projection: LocalRelation (the test's line source) must
+    // not be duplicated per leg. Branches of snapshot() legitimately
+    // re-reference it (one per metric aggregation + the as-of), so
+    // bound the count by the metric count, far below the per-leg blowup
+    val occurrences = "LocalRelation".r.findAllIn(plan).length
+    assert(occurrences <= 6,
+      s"line source appears $occurrences times — as-of legs are " +
+        "scanning per-site again")
+  }
+
   test("every query runs with codegen fallback disabled " +
       "(no silent interpreted execution)") {
     // Regression net for the class of bug where generated code fails
