@@ -54,8 +54,11 @@ object Bench {
     * level 2 additionally removes the warm median (also on the detail
     * line); level 3 removes the constant replay line count and keeps
     * only throughput kvs from the evidence stages (battery totals
-    * stay in SCALE.json / the scale_detail line). The warm-replay
-    * steal audit survives every rung.
+    * stay in SCALE.json / the scale_detail line); level 4 also sheds
+    * the driver-clocked duplicate throughput, and the last rung drops
+    * per-query precision to whole seconds (ms precision lives on the
+    * incremental lines). The warm-replay steal audit survives every
+    * rung.
     * Scale/streaming evidence kvs are the caller's business and
     * survive every level — extraKv(p, lean) decides what to emit.
     */
@@ -83,10 +86,10 @@ object Bench {
         .mkString(",")
       s"""{\"metric\":\"total\",\"value\":${p(total)},\"unit\":\"sec\",\"queries\":$qsP,\"sf\":\"$sfDir\",\"failed\":$failedJson,\"extra\":{$extra}}"""
     }
-    Seq((3, 0), (2, 0), (1, 0), (1, 1), (1, 2), (1, 3))
+    Seq((3, 0), (2, 0), (1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (0, 4))
       .map { case (pr, ln) => headline(pr, ln) }
       .find(_.length <= HeadlineMaxBytes)
-      .getOrElse(headline(1, 3))
+      .getOrElse(headline(0, 4))
   }
 
   /** Optional scale-run evidence measured out-of-band (SCALE.json at
@@ -107,8 +110,11 @@ object Bench {
       // pull the few headline numbers with a dumb scan (no JSON dep):
       // "key":number — enough for flat keys
       def num(key: String): Option[String] = {
+        // tolerate pretty-printed JSON ("key": 1.2 with spaces) — the
+        // no-space form silently dropped every scale kv when the file
+        // was rewritten by an indenting serializer
         val m = java.util.regex.Pattern
-          .compile("\"" + key + "\":([0-9.eE+-]+)").matcher(raw)
+          .compile("\"" + key + "\"\\s*:\\s*([0-9.eE+-]+)").matcher(raw)
         if (m.find()) Some(m.group(1)) else None
       }
       val kvs = Seq(
@@ -492,6 +498,10 @@ object Bench {
     def evidenceKvs(lean: Int): Seq[String] = {
       val kvs = scaleKvs ++ scaleDriverKvs ++ streamKvs
       if (lean < 1) kvs
+      // level 4: also shed the driver-clocked duplicate (it has its
+      // own incremental line and the detail record)
+      else if (lean >= 4) kvs.filter(_.contains("klines_per_sec"))
+        .filterNot(_.contains("_driver"))
       // level 3 (battery growth outgrew level 2): throughputs only —
       // the battery total remains in SCALE.json / scale_detail
       else if (lean >= 3) kvs.filter(_.contains("klines_per_sec"))

@@ -103,6 +103,34 @@ object AnalyticsExtras {
         .orderBy("o_orderpriority")
     }),
 
+    // Part-catalog rollup: brand × type pricing stats. Pure two-key
+    // agg over the part dimension (map-side combine; no join).
+    "agg_part_brand_pricing" -> ((s, dir) =>
+      Tables(s, dir, "part")
+        .groupBy("p_brand", "p_type")
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg("p_retailprice"), 4).as("avg_price"),
+          round(max("p_retailprice"), 4).as("max_price"),
+          round(avg("p_size"), 4).as("avg_size"))
+        .orderBy("p_brand", "p_type")),
+
+    // Supplier accounts rolled up to region through two broadcast
+    // dims (supplier → nation → region): the 100-row fact side never
+    // shuffles — both dimension joins are broadcast hash joins.
+    "join_supplier_accts_by_region" -> ((s, dir) => {
+      val supplier = Tables(s, dir, "supplier")
+      val nation = broadcast(Tables(s, dir, "nation"))
+      val region = broadcast(Tables(s, dir, "region"))
+      supplier
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum("s_acctbal"), 4).as("total_acctbal"),
+          round(avg("s_acctbal"), 4).as("avg_acctbal"))
+        .orderBy("r_name")
+    }),
+
     // Running per-user cumulative value over event time (window op the
     // reference lacks — part of the extended analytics surface).
     "window_running_total" -> ((s, dir) => {
@@ -266,6 +294,21 @@ object AnalyticsExtras {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderstatus <> 'F' AND l_discount > 0.05
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_part_brand_pricing" ->
+      """SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(p_retailprice), 4) AS avg_price,
+           round(max(p_retailprice), 4) AS max_price,
+           round(avg(p_size), 4) AS avg_size
+         FROM part GROUP BY p_brand, p_type
+         ORDER BY p_brand, p_type""",
+    "join_supplier_accts_by_region" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s_acctbal), 4) AS total_acctbal,
+           round(avg(s_acctbal), 4) AS avg_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
     "window_running_total" ->
       """SELECT user_id, round(max(running), 4) AS final_total,
               count(*) AS n

@@ -57,6 +57,8 @@ class BenchSpec extends AnyFunSuite {
           """"streaming_trigger_ms":250""")
         // mirrors Bench.main's evidenceKvs lean filter
         if (lean < 1) kvs
+        else if (lean >= 4) kvs.filter(_.contains("klines_per_sec"))
+          .filterNot(_.contains("_driver"))
         else if (lean >= 3) kvs.filter(_.contains("klines_per_sec"))
         else kvs.filter(kv => kv.contains("klines_per_sec") ||
           kv.contains("battery_total_secs"))
@@ -101,6 +103,25 @@ class BenchSpec extends AnyFunSuite {
     assert(kvs.exists(
       _.contains("\"scale_replay_klines_per_sec\":987.6")))
     java.nio.file.Files.delete(f)
+    // pretty-printed JSON (spaces after colons — an indenting
+    // serializer rewrote SCALE.json mid-round-13 and the no-space
+    // pattern silently dropped every scale kv from the headline)
+    val g = java.nio.file.Files.createTempFile("scale2", ".json")
+    java.nio.file.Files.write(g,
+      """{
+        | "factor": 10,
+        | "battery_total_secs": 30.4,
+        | "replay_klines_per_sec": 517.6
+        |}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (kvs2, raw2) = Bench.scaleEvidence(Some(g.toString))
+    assert(raw2.nonEmpty)
+    assert(kvs2.exists(_.contains("\"scale_factor\":10")))
+    assert(kvs2.exists(
+      _.contains("\"scale_battery_total_secs\":30.4")))
+    assert(kvs2.exists(
+      _.contains("\"scale_replay_klines_per_sec\":517.6")))
+    java.nio.file.Files.delete(g)
     // absent file → no kvs, no raw, no throw
     val (none, noRaw) =
       Bench.scaleEvidence(Some("/nonexistent/scale.json"))
