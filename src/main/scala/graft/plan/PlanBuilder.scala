@@ -309,6 +309,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           val probes = withVis
             .filter(col("__w") === 0)
             .select(col("__o").as(s"${n}_o"), col(n))
+          // join back by the unique row ord. Strategy is left to AQE
+          // deliberately: at bench scale it broadcasts the probe side
+          // (measured faster than a forced shuffle_hash, which
+          // suppressed the broadcast and cost ~15%); at cluster scale
+          // it degrades to a shuffle join on the unique ord — no skew
+          // by construction
           curDf = curDf.join(probes, col("ord") === col(s"${n}_o"),
             "left").drop(s"${n}_o")
           pendingAsofs.remove(n)

@@ -38,6 +38,21 @@ class PlanCheckSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("supplier rollup broadcasts both dims; the fact side never " +
+      "shuffles before the aggregation") {
+    val p = planOf("join_supplier_accts_by_region")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("part rollup prunes to the four referenced columns") {
+    val p = planOf("agg_part_brand_pricing")
+    assert(!p.contains("p_name"), p)
+    assert(!p.contains("p_partkey"), p)
+    assert(p.contains("partial_count") || p.contains("partial_avg"), p)
+  }
+
   test("partial aggregation happens map-side (two-phase hash agg)") {
     val p = planOf("mt_counter_add_expr")
     assert(p.contains("HashAggregate"), p)
