@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{AnalyticsExtras, EngineQueries, LlmExtras, MtailSurface}
+import graft.queries.{AnalyticsExtras, EngineQueries, LlmExtras,
+  MtailSurface, TrainExtras}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,11 +12,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MtailSurface.queries ++ AnalyticsExtras.queries ++
-      LlmExtras.queries ++ EngineQueries.queries
+      LlmExtras.queries ++ EngineQueries.queries ++ TrainExtras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     MtailSurface.oracle ++ AnalyticsExtras.oracle ++
-      LlmExtras.oracle ++ EngineQueries.oracle
+      LlmExtras.oracle ++ EngineQueries.oracle ++ TrainExtras.oracle
 }

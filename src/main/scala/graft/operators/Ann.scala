@@ -516,4 +516,46 @@ object Ann {
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         col("cos"))
   }
+
+  /** SemDeDup-style semantic-dedup report (cluster-then-dedup, Abbas
+    * et al., arXiv:2303.09540): within each pre-computed cluster, a
+    * vector is a semantic duplicate when some LOWER-id vector of the
+    * same cluster has cosine ≥ `threshold` — the lowest id is the kept
+    * representative. Emits the per-cluster report `(cluster,
+    * n_vectors, dup_pairs, removed)`.
+    *
+    * Scale shape: the pair join is an EQUI-join on the cluster key, so
+    * both sides shuffle once by cluster and the quadratic verify is
+    * cluster-local — never a corpus-wide cross join (the separation
+    * [[Dedup.minhashLshPairs]] measures at ×10 applies here
+    * unchanged). `maxClusterSize` bounds the worst bucket through the
+    * same deterministic cap the LSH dedups use; 0 (the default) keeps
+    * exact parity with the small-SF oracle. The two aggregations
+    * shuffle on the same key, so AQE plans them off one exchange.
+    */
+  def semanticDedupReport(embeddings: DataFrame, embCol: String,
+      idCol: String, clusterCol: String, threshold: Double,
+      maxClusterSize: Int = 0): DataFrame = {
+    val dim = dimOf(embeddings, embCol)
+    val e = Dedup.capBuckets(
+      embeddings.select(col(idCol), col(clusterCol), col(embCol)),
+      Seq(clusterCol), maxClusterSize)
+    val l = e.as("l")
+    val r = e.as("r")
+    val dupStats = l.join(r,
+        col(s"l.$clusterCol") === col(s"r.$clusterCol") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .withColumn("cos", graft.functions.CosineSim(
+        col(s"l.$embCol"), col(s"r.$embCol"), dim))
+      .filter(col("cos") >= threshold)
+      .select(col(s"l.$clusterCol").as("cluster"),
+        col(s"r.$idCol").as("id_b"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("dup_pairs"),
+        countDistinct(col("id_b")).as("removed"))
+    val sizes = e.groupBy(col(clusterCol).as("cluster"))
+      .agg(count(lit(1)).as("n_vectors"))
+    sizes.join(dupStats, Seq("cluster"), "left")
+      .na.fill(0L, Seq("dup_pairs", "removed"))
+  }
 }

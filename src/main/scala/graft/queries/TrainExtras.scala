@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.WordStats
+import graft.operators.{Ann, Pipeline}
+
+/** Round-13 training-data operators: Gopher-style quality rules, the
+  * repetition signal behind them, sequence-length planning, and
+  * SemDeDup semantic deduplication. All per-document statistics come
+  * from ONE compiled [[WordStats]] scan (no interpreted higher-order
+  * functions, no shuffle before the final small aggregation), so at
+  * corpus scale each query is a map-side pass plus a tiny exchange.
+  *
+  * Thresholds are tuned so every funnel stage is populated at the test
+  * SFs — the oracle then verifies both sides of every cut, not just
+  * the survivors.
+  */
+object TrainExtras {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) =
+    Tables(s, dir, "embeddings")
+
+  /** stopwords whose presence (≥ 2 distinct hits) a quality doc needs;
+    * word-boundary match shared literally with the oracle regex.
+    */
+  private val stopwords = Seq("the", "a", "of", "to", "and")
+
+  private def stopwordHits = stopwords.map(w =>
+    when(col("text").rlike(s"(^| )$w( |$$)"), 1).otherwise(0))
+    .reduce(_ + _)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // per-source repetition survey: integer-exact token statistics
+    // (total / distinct / modal-token hits) — the signal the gopher
+    // repetition rule thresholds on, reported corpus-wide
+    "text_repetition_stats" -> ((s, dir) => {
+      val st = WordStats(col("text"))
+      docs(s, dir)
+        .select(col("source"), st.getField("words").as("w"),
+          st.getField("distinct_words").as("dw"),
+          st.getField("top_count").as("top"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("w").as("words"),
+          sum("dw").as("distinct_words"),
+          sum("top").as("topword_hits"))
+        .orderBy("source")
+    }),
+
+    // Gopher-style quality rules as a first-fail funnel: word-count
+    // bounds, mean word length, modal-token repetition, stopword
+    // presence (Rae et al., arXiv:2112.11446 §A1.1) — each rule a
+    // per-row comparison over the same WordStats struct
+    "pipeline_gopher_rules" -> ((s, dir) => {
+      val st = WordStats(col("text"))
+      val words = st.getField("words")
+      val meanLen = st.getField("char_sum").cast("double") / words
+      val topFrac = st.getField("top_count").cast("double") / words
+      Pipeline.qualityFunnel(docs(s, dir), Seq(
+        "word_count" -> (words < 20 || words > 1000),
+        "word_length" -> (meanLen < 4.35),
+        "repetition" -> (topFrac > 0.18),
+        "stopword" -> (stopwordHits < 2)))
+    }),
+
+    // sequence-length histogram (16-token buckets): the planning input
+    // for packing budgets — what fraction of the corpus fits a context
+    // window without splitting
+    "pipeline_length_histogram" -> ((s, dir) => {
+      val words = WordStats(col("text")).getField("words")
+      docs(s, dir)
+        .select((floor(words / lit(16.0)) * 16).as("bucket"),
+          col("n_chars"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+        .orderBy("bucket")
+    }),
+
+    // SemDeDup over the embeddings' label clusters: per-cluster
+    // duplicate pairs + vectors removed at cosine ≥ 0.25
+    "dedup_semantic" -> ((s, dir) =>
+      Ann.semanticDedupReport(embs(s, dir), "embedding", "vec_id",
+          "label", 0.25)
+        .orderBy("cluster")))
+
+  /** the oracle's mirror of [[WordStats]]' tokenization contract */
+  private val wSql =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private def stopwordHitsSql = stopwords.map(w =>
+    s"(CASE WHEN regexp_matches(text, '(^| )$w( |$$)') " +
+      "THEN 1 ELSE 0 END)").mkString(" + ")
+
+  private val cosineSql = {
+    val dim = 64
+    def l2(c: String) =
+      s"""sqrt(list_sum(list_transform(range(1, ${dim + 1}),
+         i -> CAST($c[i] AS DOUBLE) * CAST($c[i] AS DOUBLE))))"""
+    s"""list_sum(list_transform(range(1, ${dim + 1}),
+         i -> CAST(a.embedding[i] AS DOUBLE)
+              * CAST(b.embedding[i] AS DOUBLE)))
+       / (${l2("a.embedding")} * ${l2("b.embedding")})"""
+  }
+
+  val oracle: Map[String, String] = Map(
+
+    "text_repetition_stats" ->
+      s"""WITH w AS (SELECT source, $wSql AS w FROM documents),
+         s AS (SELECT source, len(w) AS words,
+             len(list_distinct(w)) AS dw,
+             coalesce(list_max(list_transform(list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))), 0) AS top
+           FROM w)
+         SELECT source, count(*) AS docs,
+           CAST(sum(words) AS BIGINT) AS words,
+           CAST(sum(dw) AS BIGINT) AS distinct_words,
+           CAST(sum(top) AS BIGINT) AS topword_hits
+         FROM s GROUP BY source ORDER BY source""",
+
+    "pipeline_gopher_rules" ->
+      s"""WITH w AS (SELECT n_chars, text, $wSql AS w FROM documents),
+         s AS (SELECT n_chars, len(w) AS words,
+             CAST(list_sum(list_transform(w, x -> length(x)))
+               AS DOUBLE) AS cs,
+             CAST(coalesce(list_max(list_transform(list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))), 0)
+               AS DOUBLE) AS top,
+             ($stopwordHitsSql) AS hits
+           FROM w)
+         SELECT stage, count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM (SELECT n_chars, CASE
+             WHEN words < 20 OR words > 1000 THEN 'word_count'
+             WHEN cs / words < 4.35 THEN 'word_length'
+             WHEN top / words > 0.18 THEN 'repetition'
+             WHEN hits < 2 THEN 'stopword'
+             ELSE 'kept' END AS stage FROM s)
+         GROUP BY stage ORDER BY stage""",
+
+    "pipeline_length_histogram" ->
+      s"""WITH w AS (SELECT n_chars, $wSql AS w FROM documents)
+         SELECT CAST(floor(len(w) / 16.0) * 16 AS BIGINT) AS bucket,
+           count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM w GROUP BY bucket ORDER BY bucket""",
+
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         p AS (SELECT a.label AS cluster, b.vec_id AS id_b,
+             $cosineSql AS cos
+           FROM e a JOIN e b
+           ON a.label = b.label AND a.vec_id < b.vec_id),
+         d AS (SELECT cluster, count(*) AS dup_pairs,
+             count(DISTINCT id_b) AS removed
+           FROM p WHERE cos >= 0.25 GROUP BY cluster),
+         s AS (SELECT label AS cluster, count(*) AS n_vectors
+           FROM e GROUP BY label)
+         SELECT s.cluster, s.n_vectors,
+           CAST(coalesce(d.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+           CAST(coalesce(d.removed, 0) AS BIGINT) AS removed
+         FROM s LEFT JOIN d USING (cluster) ORDER BY cluster""")
+}

@@ -303,6 +303,31 @@ class AnnSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._3)).toSeq == expect.toSeq)
   }
 
+  test("semanticDedupReport removes lower-id-duplicated vectors " +
+      "within a cluster only") {
+    val e = Seq(
+      // cluster 0: 1 duplicates 0 (cos 1.0); 2 is orthogonal
+      (0L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      // cluster 1: identical to vec 0 but in another cluster — never
+      // paired (cluster-locality is the point of SemDeDup)
+      (3L, 1, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      // cluster 2: 5 and 6 both duplicate 4 → two pairs among
+      // (4,5),(4,6),(5,6), removed = {5, 6}
+      (4L, 2, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, 2, Array(0.0f, 0.0f, 3.0f, 0.0f)),
+      (6L, 2, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Ann.semanticDedupReport(e, "embedding", "vec_id",
+        "label", 0.95)
+      .orderBy("cluster")
+      .select("cluster", "n_vectors", "dup_pairs", "removed")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 3L, 1L, 1L), (1, 1L, 0L, 0L),
+      (2, 3L, 3L, 2L)))
+  }
+
   test("multimodal decode stub is deterministic and typed") {
     val meta = Multimodal.decodeMeta(
       Multimodal.demoMedia(spark, sf("sf0.001")), "media_id", "payload")

@@ -199,6 +199,34 @@ class PlanCheckSpec extends SparkSpec {
         "scanning per-site again")
   }
 
+  test("WordStats queries scan once, prune columns, and partial-agg " +
+      "map-side") {
+    val p = planOf("text_repetition_stats")
+    // only the two referenced columns reach the scan
+    assert(p.contains("ReadSchema: struct<text:string,source:string>")
+      || p.contains("ReadSchema: struct<source:string,text:string>"), p)
+    // token statistics aggregate map-side; only (source, partials)
+    // cross the wire — never per-token rows. Two exchanges total: the
+    // agg hash partition plus the few-row output sort; a token-explode
+    // regression would add a third.
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+    val g = planOf("pipeline_gopher_rules")
+    assert(g.contains("partial_sum") || g.contains("partial_count"), g)
+    assert("Exchange".r.findAllIn(g).length <= 2, g)
+  }
+
+  test("semantic dedup pairs via a hash equi-join on the cluster key, " +
+      "never a nested-loop pair scan") {
+    val df = graft.SparkEntry.queries("dedup_semantic")(
+      spark, sf("sf0.001"))
+    df.collect() // finalize AQE so join strategies are decided
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("every query runs with codegen fallback disabled " +
       "(no silent interpreted execution)") {
     // Regression net for the class of bug where generated code fails
