@@ -399,6 +399,18 @@ final class TailMicroBatchStream(pathPattern: String,
       : Array[InputPartition] = {
     val s = start.asInstanceOf[TailOffset].state
     val e = end.asInstanceOf[TailOffset].state
+    // A burst on ONE hot file must not serialize the batch onto one
+    // core: split each file's byte range like the one-shot Batch path
+    // does (LineRangeIterator snaps a mid-range start forward to the
+    // next line boundary and reads a crossing line fully, so splits
+    // never tear lines) — safe because every line carries its byte
+    // offset as the ordering key, so the engine's order-sensitive
+    // folds are unaffected by which task read which range. Chunk size
+    // adapts to the batch: an idle tail stays one small partition (no
+    // task-overhead regression at the trigger cadence), a catch-up or
+    // burst batch fans out to the session's parallelism.
+    val parallelism = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.defaultParallelism).getOrElse(8)
     e.toSeq.sortBy(_._1).flatMap { case (path, endFs) =>
       val p = Paths.get(path)
       if (!Files.exists(p)) None
@@ -409,9 +421,14 @@ final class TailMicroBatchStream(pathPattern: String,
             prev.pos <= endFs.pos => prev.pos
           case _ => 0L
         }
-        if (endFs.pos > from)
-          Some(TailPartition(path, from, endFs.pos): InputPartition)
-        else None
+        if (endFs.pos > from) {
+          val range = endFs.pos - from
+          val chunk = math.max(1L << 20,
+            (range + parallelism - 1) / parallelism)
+          (from until endFs.pos by chunk).map(cs =>
+            TailPartition(path, cs,
+              math.min(cs + chunk, endFs.pos)): InputPartition)
+        } else Nil
       }
     }.toArray
   }
