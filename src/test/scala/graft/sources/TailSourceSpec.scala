@@ -263,6 +263,44 @@ class TailSourceSpec extends SparkSpec {
     assert(single == multi)
   }
 
+  test("a micro-batch burst on one file fans out into byte-range " +
+      "partitions that cover it exactly once, in order") {
+    val dir = tmpDir()
+    val f = dir.resolve("burst.log")
+    val sb = new StringBuilder
+    (1 to 60000).foreach(i =>
+      sb.append(s"burst_line_payload_with_some_width_$i\n"))
+    sb.append("partial-tail") // held back by the line-end offset scan
+    write(f, sb.toString)
+    val stream = new TailMicroBatchStream(s"$dir/*.log")
+    val to = stream.latestOffset()
+    val parts = stream.planInputPartitions(stream.initialOffset(), to)
+      .map(_.asInstanceOf[TailPartition])
+    // ~2.3 MB of new bytes with a 1 MB chunk floor → several chunks
+    assert(parts.length >= 2, s"expected a fan-out, got ${parts.length}")
+    // contiguous, non-overlapping, covering [0, lastLineEnd)
+    assert(parts.head.start == 0L)
+    parts.sliding(2).foreach { case Array(a, b) =>
+      assert(a.end == b.start, s"gap/overlap between $a and $b")
+    }
+    // reading the partitions in order reproduces the file exactly:
+    // every complete line once, offsets strictly increasing
+    val factory = stream.createReaderFactory()
+    val got = Seq.newBuilder[(Long, String)]
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      while (r.next()) {
+        val row = r.get()
+        got += ((row.getLong(2), row.getUTF8String(1).toString))
+      }
+      r.close()
+    }
+    val rows = got.result()
+    assert(rows.map(_._2) ==
+      (1 to 60000).map(i => s"burst_line_payload_with_some_width_$i"))
+    assert(rows.map(_._1) == rows.map(_._1).sorted)
+  }
+
   test("query restart resumes exactly from the checkpointed offsets") {
     val dir = tmpDir()
     val ckpt = tmpDir()
