@@ -86,10 +86,11 @@ object Bench {
         .mkString(",")
       s"""{\"metric\":\"total\",\"value\":${p(total)},\"unit\":\"sec\",\"queries\":$qsP,\"sf\":\"$sfDir\",\"failed\":$failedJson,\"extra\":{$extra}}"""
     }
-    Seq((3, 0), (2, 0), (1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (0, 4))
+    Seq((3, 0), (2, 0), (1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (0, 4),
+        (0, 5))
       .map { case (pr, ln) => headline(pr, ln) }
       .find(_.length <= HeadlineMaxBytes)
-      .getOrElse(headline(0, 4))
+      .getOrElse(headline(0, 5))
   }
 
   /** Optional scale-run evidence measured out-of-band (SCALE.json at
@@ -498,6 +499,14 @@ object Bench {
     def evidenceKvs(lean: Int): Seq[String] = {
       val kvs = scaleKvs ++ scaleDriverKvs ++ streamKvs
       if (lean < 1) kvs
+      // level 5 (the 59-query battery outgrew level 4): shed the
+      // scale_* kvs entirely — they are duplicated in the COMMITTED
+      // SCALE.json and on this run's scale_detail/incremental lines —
+      // keeping the per-run streaming figure (fresh evidence with no
+      // other durable home)
+      else if (lean >= 5) kvs.filter(kv =>
+        kv.contains("klines_per_sec") && !kv.contains("_driver") &&
+          !kv.contains("scale_"))
       // level 4: also shed the driver-clocked duplicate (it has its
       // own incremental line and the detail record)
       else if (lean >= 4) kvs.filter(_.contains("klines_per_sec"))

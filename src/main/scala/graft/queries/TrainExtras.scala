@@ -86,7 +86,26 @@ object TrainExtras {
     "dedup_semantic" -> ((s, dir) =>
       Ann.semanticDedupReport(embs(s, dir), "embedding", "vec_id",
           "label", 0.25)
-        .orderBy("cluster")))
+        .orderBy("cluster")),
+
+    // ANN evaluation: recall@10 of the IVF path against exact brute
+    // force — the acceptance metric every approximate index ships
+    // with. Both legs are the ALREADY-ORACLED queries, so the oracle
+    // verifies the recall arithmetic on top of two verified paths.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val ivf = Ann.ivfTopK(e, "embedding", "vec_id", q,
+        k = 8, nProbe = 3, topK = 10).select("vec_id")
+      val exact = Ann.cosineTopK(e, "embedding", "vec_id", q, 10)
+        .select("vec_id")
+      ivf.join(exact, "vec_id")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(10L).as("k"), col("hits"),
+          round(col("hits") / lit(10.0), 4).as("recall"))
+    }))
 
   /** the oracle's mirror of [[WordStats]]' tokenization contract */
   private val wSql =
@@ -162,5 +181,15 @@ object TrainExtras {
          SELECT s.cluster, s.n_vectors,
            CAST(coalesce(d.dup_pairs, 0) AS BIGINT) AS dup_pairs,
            CAST(coalesce(d.removed, 0) AS BIGINT) AS removed
-         FROM s LEFT JOIN d USING (cluster) ORDER BY cluster""")
+         FROM s LEFT JOIN d USING (cluster) ORDER BY cluster""",
+
+    // both legs are the verified ann_ivf_topk / ann_cosine_topk
+    // oracles, nested as derived tables
+    "ann_ivf_recall" ->
+      s"""SELECT CAST(10 AS BIGINT) AS k,
+           count(*) AS hits,
+           round(count(*) / 10.0, 4) AS recall
+         FROM (${LlmExtras.oracle("ann_ivf_topk")}) i
+         JOIN (${LlmExtras.oracle("ann_cosine_topk")}) b
+         USING (vec_id)""")
 }

@@ -57,6 +57,9 @@ class BenchSpec extends AnyFunSuite {
           """"streaming_trigger_ms":250""")
         // mirrors Bench.main's evidenceKvs lean filter
         if (lean < 1) kvs
+        else if (lean >= 5) kvs.filter(kv =>
+          kv.contains("klines_per_sec") && !kv.contains("_driver") &&
+            !kv.contains("scale_"))
         else if (lean >= 4) kvs.filter(_.contains("klines_per_sec"))
           .filterNot(_.contains("_driver"))
         else if (lean >= 3) kvs.filter(_.contains("klines_per_sec"))
@@ -70,8 +73,10 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length <= Bench.HeadlineMaxBytes,
       s"headline is ${line.length} bytes > ${Bench.HeadlineMaxBytes}; " +
         "the driver's tail capture would cut its head")
-    // the evidence kvs the lean rungs must never drop
-    for (k <- Seq("replay_klines_per_sec", "scale_replay_klines_per_sec",
+    // the evidence kvs NO lean rung may drop (scale_* kvs are allowed
+    // to fall off at the last rung: they are duplicated in the
+    // committed SCALE.json and the run's scale_detail line)
+    for (k <- Seq("replay_klines_per_sec",
         "streaming_klines_per_sec", "bench_wall_secs"))
       assert(line.contains("\"" + k + "\""), s"missing $k")
     // the steal audit must survive at the rung this full-size fixture
