@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.WordStats
-import graft.operators.{Ann, Pipeline}
+import graft.operators.{Ann, Dedup, Pipeline}
 
 /** Round-13 training-data operators: Gopher-style quality rules, the
   * repetition signal behind them, sequence-length planning, and
@@ -105,6 +105,29 @@ object TrainExtras {
         .agg(count(lit(1)).as("hits"))
         .select(lit(10L).as("k"), col("hits"),
           round(col("hits") / lit(10.0), 4).as("recall"))
+    }),
+
+    // cross-source duplicate-overlap matrix: which source pairs share
+    // near-duplicate documents — the overlap report mixture design
+    // reads before setting per-source rates. The pair set is tiny
+    // relative to the corpus, so the two source lookups join the pair
+    // ids back against the (id, source) projection; at scale the pair
+    // leg is the banded-LSH path and the same join-back applies.
+    "dedup_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val pairs = Dedup.exactJaccardPairs(
+        docs(s, dir), "doc_id", "text", 3, 1, 2)
+        .select("doc_a", "doc_b")
+      pairs
+        .join(d.select(col("doc_id").as("doc_a"),
+          col("source").as("source_a")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"),
+          col("source").as("source_b")), "doc_b")
+        .select(least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"))
+        .groupBy("src_lo", "src_hi")
+        .agg(count(lit(1)).as("dup_pairs"))
+        .orderBy("src_lo", "src_hi")
     }))
 
   /** the oracle's mirror of [[WordStats]]' tokenization contract */
@@ -191,5 +214,17 @@ object TrainExtras {
            round(count(*) / 10.0, 4) AS recall
          FROM (${LlmExtras.oracle("ann_ivf_topk")}) i
          JOIN (${LlmExtras.oracle("ann_cosine_topk")}) b
-         USING (vec_id)""")
+         USING (vec_id)""",
+
+    // the pair leg is the verified dedup_ngram_jaccard oracle
+    "dedup_source_overlap" ->
+      s"""WITH pr AS (SELECT doc_a, doc_b
+             FROM (${LlmExtras.oracle("dedup_ngram_jaccard")})),
+         m AS (SELECT least(da.source, db.source) AS src_lo,
+                 greatest(da.source, db.source) AS src_hi
+               FROM pr
+               JOIN documents da ON da.doc_id = pr.doc_a
+               JOIN documents db ON db.doc_id = pr.doc_b)
+         SELECT src_lo, src_hi, count(*) AS dup_pairs
+         FROM m GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""")
 }
