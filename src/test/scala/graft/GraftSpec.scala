@@ -68,6 +68,42 @@ class GraftSpec extends SparkSpec {
     assert(lastSeen("America/New_York") - lastSeen("UTC") == 5 * 3600L)
   }
 
+  test("tail: a multi-MB burst fans out across byte-range partitions " +
+      "and keeps last-write-wins line order") {
+    val dir = Files.createTempDirectory("graftburst")
+    val n = 120000
+    val sb = new StringBuilder
+    (1 to n).foreach(i => sb.append(s"v $i padpadpadpadpadpad\n"))
+    // written BEFORE start: the whole ~2.6 MB burst lands in one
+    // micro-batch, which the source must split (>= 2 chunks at the
+    // 1 MB floor) — `last` is only correct if the fold still orders
+    // by byte offset across the split partitions
+    Files.write(dir.resolve("b.log"), sb.toString.getBytes(UTF_8))
+    val burstSrc =
+      """gauge last
+        |counter n
+        |/^v (?P<x>\d+) / {
+        |  last = $x
+        |  n++
+        |}
+        |""".stripMargin
+    val t = Graft.tail(spark, burstSrc, "burst.mtail", s"$dir/*.log",
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      def cell(name: String): Option[Long] =
+        t.runner.store.snapshot().find(_.name == name)
+          .map(_.value).collect {
+            case graft.mtail.Snapshot.VInt(v) => v
+          }
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cell("n").contains(n.toLong) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cell("n").contains(n.toLong), s"ingested ${cell("n")}")
+      assert(cell("last").contains(n.toLong),
+        "last-write-wins broke across split partitions")
+    } finally t.stop()
+  }
+
   test("tail: daemon mode serves /metrics and reloads") {
     val dir = Files.createTempDirectory("grafttail")
     Files.write(dir.resolve("t.log"), "get 1\n".getBytes(UTF_8))
