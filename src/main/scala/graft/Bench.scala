@@ -55,10 +55,12 @@ object Bench {
     * line); level 3 removes the constant replay line count and keeps
     * only throughput kvs from the evidence stages (battery totals
     * stay in SCALE.json / the scale_detail line); level 4 also sheds
-    * the driver-clocked duplicate throughput, and the last rung drops
-    * per-query precision to whole seconds (ms precision lives on the
-    * incremental lines). The warm-replay steal audit survives every
-    * rung.
+    * the driver-clocked duplicate throughput; whole-second per-query
+    * precision arrives with level 4, and the last rung (level 5)
+    * additionally sheds ALL scale_* kvs — they are duplicated in the
+    * committed SCALE.json and the scale_detail line — so replay,
+    * streaming, wall, and the warm-replay steal audit are the kvs
+    * that survive every rung.
     * Scale/streaming evidence kvs are the caller's business and
     * survive every level — extraKv(p, lean) decides what to emit.
     */
@@ -100,6 +102,31 @@ object Bench {
     * to run the (multi-minute) scaled battery inside its window.
     * Returns (headlineKvs, rawJson).
     */
+  /** The scale/streaming-evidence arm of the lean ladder, shared with
+    * BenchSpec so the tripwire exercises the PRODUCTION filter (a
+    * spec-side mirror could silently drift). Level semantics are
+    * documented on [[renderHeadline]].
+    */
+  def evidenceLeanFilter(kvs: Seq[String], lean: Int): Seq[String] =
+    if (lean < 1) kvs
+    // level 5 (the 59-query battery outgrew level 4): shed the
+    // scale_* kvs entirely — they are duplicated in the COMMITTED
+    // SCALE.json and on this run's scale_detail/incremental lines —
+    // keeping the per-run streaming figure (fresh evidence with no
+    // other durable home)
+    else if (lean >= 5) kvs.filter(kv =>
+      kv.contains("klines_per_sec") && !kv.contains("_driver") &&
+        !kv.contains("scale_"))
+    // level 4: also shed the driver-clocked duplicate (it has its
+    // own incremental line and the detail record)
+    else if (lean >= 4) kvs.filter(_.contains("klines_per_sec"))
+      .filterNot(_.contains("_driver"))
+    // level 3 (battery growth outgrew level 2): throughputs only —
+    // the battery total remains in SCALE.json / scale_detail
+    else if (lean >= 3) kvs.filter(_.contains("klines_per_sec"))
+    else kvs.filter(kv => kv.contains("klines_per_sec") ||
+      kv.contains("battery_total_secs"))
+
   def scaleEvidence(pathOverride: Option[String] = None)
       : (Seq[String], Option[String]) = {
     val path = pathOverride.getOrElse(
@@ -496,27 +523,8 @@ object Bench {
     // companions first (line counts, factor, trigger, secs — constants
     // or derivable, and all on their incremental lines), so the steal
     // sums and warm median survive one rung longer
-    def evidenceKvs(lean: Int): Seq[String] = {
-      val kvs = scaleKvs ++ scaleDriverKvs ++ streamKvs
-      if (lean < 1) kvs
-      // level 5 (the 59-query battery outgrew level 4): shed the
-      // scale_* kvs entirely — they are duplicated in the COMMITTED
-      // SCALE.json and on this run's scale_detail/incremental lines —
-      // keeping the per-run streaming figure (fresh evidence with no
-      // other durable home)
-      else if (lean >= 5) kvs.filter(kv =>
-        kv.contains("klines_per_sec") && !kv.contains("_driver") &&
-          !kv.contains("scale_"))
-      // level 4: also shed the driver-clocked duplicate (it has its
-      // own incremental line and the detail record)
-      else if (lean >= 4) kvs.filter(_.contains("klines_per_sec"))
-        .filterNot(_.contains("_driver"))
-      // level 3 (battery growth outgrew level 2): throughputs only —
-      // the battery total remains in SCALE.json / scale_detail
-      else if (lean >= 3) kvs.filter(_.contains("klines_per_sec"))
-      else kvs.filter(kv => kv.contains("klines_per_sec") ||
-        kv.contains("battery_total_secs"))
-    }
+    def evidenceKvs(lean: Int): Seq[String] =
+      evidenceLeanFilter(scaleKvs ++ scaleDriverKvs ++ streamKvs, lean)
     emitHeadline(all,
       (p, lean) => replayKv(p, lean) ++ evidenceKvs(lean),
       None,

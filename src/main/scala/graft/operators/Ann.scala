@@ -528,18 +528,21 @@ object Ann {
     * both sides shuffle once by cluster and the quadratic verify is
     * cluster-local — never a corpus-wide cross join (the separation
     * [[Dedup.minhashLshPairs]] measures at ×10 applies here
-    * unchanged). `maxClusterSize` bounds the worst bucket through the
-    * same deterministic cap the LSH dedups use; 0 (the default) keeps
-    * exact parity with the small-SF oracle. The two aggregations
-    * shuffle on the same key, so AQE plans them off one exchange.
+    * unchanged). `maxClusterSize` exempts clusters LARGER than the cap
+    * from the quadratic pair scan (the same deterministic cap the LSH
+    * dedups use) — such a cluster KEEPS its report row, with NULL dup
+    * stats marking the skipped scan rather than a silent 0 or a
+    * vanished row; 0 (the default) scans every cluster and keeps exact
+    * parity with the small-SF oracle. The two aggregations shuffle on
+    * the same key, so AQE plans them off one exchange.
     */
   def semanticDedupReport(embeddings: DataFrame, embCol: String,
       idCol: String, clusterCol: String, threshold: Double,
       maxClusterSize: Int = 0): DataFrame = {
     val dim = dimOf(embeddings, embCol)
-    val e = Dedup.capBuckets(
-      embeddings.select(col(idCol), col(clusterCol), col(embCol)),
-      Seq(clusterCol), maxClusterSize)
+    val base = embeddings.select(col(idCol), col(clusterCol),
+      col(embCol))
+    val e = Dedup.capBuckets(base, Seq(clusterCol), maxClusterSize)
     val l = e.as("l")
     val r = e.as("r")
     val dupStats = l.join(r,
@@ -553,9 +556,19 @@ object Ann {
       .groupBy("cluster")
       .agg(count(lit(1)).as("dup_pairs"),
         countDistinct(col("id_b")).as("removed"))
-    val sizes = e.groupBy(col(clusterCol).as("cluster"))
+    // sizes come from the UNCAPPED input: an over-cap cluster keeps
+    // its row (with NULL dup stats); a scanned-but-dup-free cluster
+    // reports 0
+    val sizes = base.groupBy(col(clusterCol).as("cluster"))
       .agg(count(lit(1)).as("n_vectors"))
+    val scanned =
+      if (maxClusterSize <= 0) lit(true)
+      else col("n_vectors") <= maxClusterSize
     sizes.join(dupStats, Seq("cluster"), "left")
-      .na.fill(0L, Seq("dup_pairs", "removed"))
+      .select(col("cluster"), col("n_vectors"),
+        when(scanned, coalesce(col("dup_pairs"), lit(0L)))
+          .as("dup_pairs"),
+        when(scanned, coalesce(col("removed"), lit(0L)))
+          .as("removed"))
   }
 }

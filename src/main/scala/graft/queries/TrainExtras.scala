@@ -26,12 +26,16 @@ object TrainExtras {
     Tables(s, dir, "embeddings")
 
   /** stopwords whose presence (≥ 2 distinct hits) a quality doc needs;
-    * word-boundary match shared literally with the oracle regex.
+    * word-boundary match shared literally with the oracle regex. End
+    * anchored with `\z` (absolute end of text in BOTH java.util.regex
+    * and RE2), not `$` — Java's `$` also matches before a final
+    * newline while RE2's does not, so `$` would silently diverge on a
+    * newline-terminated document.
     */
   private val stopwords = Seq("the", "a", "of", "to", "and")
 
   private def stopwordHits = stopwords.map(w =>
-    when(col("text").rlike(s"(^| )$w( |$$)"), 1).otherwise(0))
+    when(col("text").rlike(s"(^| )$w( |\\z)"), 1).otherwise(0))
     .reduce(_ + _)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -135,7 +139,7 @@ object TrainExtras {
     "list_filter(string_split(text, ' '), x -> x <> '')"
 
   private def stopwordHitsSql = stopwords.map(w =>
-    s"(CASE WHEN regexp_matches(text, '(^| )$w( |$$)') " +
+    s"(CASE WHEN regexp_matches(text, '(^| )$w( |\\z)') " +
       "THEN 1 ELSE 0 END)").mkString(" + ")
 
   private val cosineSql = {

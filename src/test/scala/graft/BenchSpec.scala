@@ -55,16 +55,9 @@ class BenchSpec extends AnyFunSuite {
           """"scale_replay_klines_per_sec_driver":1231.046""",
           """"streaming_klines_per_sec":412.345""",
           """"streaming_trigger_ms":250""")
-        // mirrors Bench.main's evidenceKvs lean filter
-        if (lean < 1) kvs
-        else if (lean >= 5) kvs.filter(kv =>
-          kv.contains("klines_per_sec") && !kv.contains("_driver") &&
-            !kv.contains("scale_"))
-        else if (lean >= 4) kvs.filter(_.contains("klines_per_sec"))
-          .filterNot(_.contains("_driver"))
-        else if (lean >= 3) kvs.filter(_.contains("klines_per_sec"))
-        else kvs.filter(kv => kv.contains("klines_per_sec") ||
-          kv.contains("battery_total_secs"))
+        // the PRODUCTION lean filter — not a spec-side mirror that
+        // could drift from what Bench.main actually emits
+        Bench.evidenceLeanFilter(kvs, lean)
       }
     val line = Bench.renderHeadline(all, "/root/testdata/sf0.1",
       Seq("bench_wall_overrun"), 176.111, extraKv, None)

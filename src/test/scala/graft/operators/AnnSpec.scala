@@ -313,8 +313,8 @@ class AnnSpec extends SparkSpec {
       // cluster 1: identical to vec 0 but in another cluster — never
       // paired (cluster-locality is the point of SemDeDup)
       (3L, 1, Array(1.0f, 0.0f, 0.0f, 0.0f)),
-      // cluster 2: 5 and 6 both duplicate 4 → two pairs among
-      // (4,5),(4,6),(5,6), removed = {5, 6}
+      // cluster 2: 4, 5, 6 all colinear → ALL THREE pairs
+      // (4,5),(4,6),(5,6) pass the threshold; removed = {5, 6}
       (4L, 2, Array(0.0f, 0.0f, 1.0f, 0.0f)),
       (5L, 2, Array(0.0f, 0.0f, 3.0f, 0.0f)),
       (6L, 2, Array(0.0f, 0.0f, 1.0f, 0.0f))
@@ -326,6 +326,18 @@ class AnnSpec extends SparkSpec {
       .as[(Int, Long, Long, Long)].collect().toSeq
     assert(got == Seq((0, 3L, 1L, 1L), (1, 1L, 0L, 0L),
       (2, 3L, 3L, 2L)))
+    // maxClusterSize: clusters over the cap keep their report row with
+    // NULL dup stats (scan skipped — visibly, not a silent 0); at-cap
+    // clusters scan normally
+    val capped = Ann.semanticDedupReport(e, "embedding", "vec_id",
+        "label", 0.95, maxClusterSize = 1)
+      .orderBy("cluster")
+      .select("cluster", "n_vectors", "dup_pairs", "removed")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(capped == Seq((0, 3L, -1L, -1L), (1, 1L, 0L, 0L),
+      (2, 3L, -1L, -1L)))
   }
 
   test("multimodal decode stub is deterministic and typed") {
