@@ -22,6 +22,30 @@ class WordStatsSpec extends SparkSpec {
     assert(stats("solo") == (1L, 1L, 1L, 4L))
   }
 
+  test("property: one-pass scan equals the naive split-based " +
+      "reference on random token streams") {
+    val gen = {
+      import org.scalacheck.Gen
+      val tok = Gen.oneOf(Gen.oneOf("a", "bb", "the", "Ω≈", "x1"),
+        Gen.alphaNumStr.map(_.take(6)))
+      Gen.listOf(Gen.oneOf(tok, Gen.const(""), Gen.const(" ")))
+        .map(_.mkString(" "))
+    }
+    val seed0 = org.scalacheck.rng.Seed(20260814L)
+    var seed = seed0
+    (1 to 500).foreach { i =>
+      val s = gen.pureApply(org.scalacheck.Gen.Parameters.default, seed)
+      seed = seed.next
+      val toks = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      val naive = (toks.length.toLong,
+        toks.distinct.length.toLong,
+        if (toks.isEmpty) 0L
+        else toks.groupBy(identity).values.map(_.length).max.toLong,
+        toks.map(_.length.toLong).sum)
+      assert(stats(s) == naive, s"iter $i input=${s.take(80)}")
+    }
+  }
+
   test("codegen and interpreted paths agree; null propagates") {
     val df = Seq(Some("a bb a"), Some(""), None).toDF("text")
       .select(WordStats(col("text")).as("s"))
