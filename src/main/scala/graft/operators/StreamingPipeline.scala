@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline stages as NATIVE Structured Streaming
+  * transforms — `readStream → transform → writeStream` with
+  * watermarked state, no foreachBatch loop. Where the mtail engine
+  * needs custom per-batch merge semantics (its store IS the sink),
+  * these stages are plain incremental queries: Spark's own state
+  * store handles dedup/window state, checkpoints it with the query,
+  * and expires it by watermark — the operational shape a 100 TB
+  * ingest pipeline runs 24/7, where UNBOUNDED state (a dedup set that
+  * only grows) is the thing that kills the job at day 30.
+  */
+object StreamingPipeline {
+
+  /** Exact near-real-time dedup on content hash: the first arrival of
+    * each text wins, duplicates within the watermark horizon are
+    * dropped by Spark's streaming-dedup state store, and state older
+    * than the horizon is expired — `dropDuplicatesWithinWatermark`,
+    * NOT plain `dropDuplicates`, whose state never expires unless the
+    * event-time column itself is a dedup key (the unbounded-state
+    * trap this operator exists to avoid). Hashing first keeps the
+    * state rows 16 bytes, not documents; state size is bounded by
+    * ingest rate × horizon instead of corpus size.
+    *
+    * Exactly-once caveat (same as any watermarked dedup): a duplicate
+    * arriving LATER than the horizon re-admits — the horizon is the
+    * contract, chosen per pipeline.
+    */
+  def streamingExactDedup(docs: DataFrame, tsCol: String,
+      textCol: String, horizon: String): DataFrame =
+    docs.withColumn("__text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
+
+  /** Windowed per-source quality funnel: tumbling event-time windows
+    * of arrival counts and keep-counts under a quality predicate —
+    * the live dashboard feed of [[Pipeline.qualityFunnel]]'s batch
+    * report. Watermark + tumbling window = append-mode output, so the
+    * sink sees each window once, finalized.
+    */
+  def streamingQualityCounts(docs: DataFrame, tsCol: String,
+      sourceCol: String, keep: Column, windowLen: String,
+      horizon: String): DataFrame =
+    docs.withWatermark(tsCol, horizon)
+      .groupBy(window(col(tsCol), windowLen), col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(keep.cast("long")).as("kept"))
+      .select(col("window.start").as("window_start"), col(sourceCol),
+        col("docs"), col("kept"))
+}
