@@ -32,12 +32,19 @@ import graft.functions._
   */
 object GraftFunctions {
 
+  private def toIntExact(l: Long, what: String): Int = {
+    if (l < Int.MinValue || l > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"$what must fit in a 32-bit integer, got $l")
+    l.toInt
+  }
+
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    case Literal(v: Long, LongType) => toIntExact(v, what)
     case other if other.foldable => other.eval(null) match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long => toIntExact(l, what)
       case x => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $x")
     }
@@ -117,7 +124,8 @@ object GraftFunctions {
     all.foreach { case (name, usage, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.GraftFunctions", null, name),
+        new ExpressionInfo("graft.GraftFunctions", null, name, usage,
+          ""),
         exprs => builder(exprs))
     }
 }
@@ -129,7 +137,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.GraftFunctions", null, name),
+        new ExpressionInfo("graft.GraftFunctions", null, name, usage,
+          ""),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
 }

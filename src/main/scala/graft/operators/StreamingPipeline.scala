@@ -22,8 +22,10 @@ object StreamingPipeline {
     * NOT plain `dropDuplicates`, whose state never expires unless the
     * event-time column itself is a dedup key (the unbounded-state
     * trap this operator exists to avoid). Hashing first keeps the
-    * state rows 16 bytes, not documents; state size is bounded by
-    * ingest rate × horizon instead of corpus size.
+    * state rows 32 bytes (a SHA-256 digest), not documents; state
+    * size is bounded by ingest rate × horizon instead of corpus
+    * size. SHA-256, not md5: "exact dedup" must not drop distinct
+    * documents, and md5 collisions are constructible.
     *
     * Exactly-once caveat (same as any watermarked dedup): a duplicate
     * arriving LATER than the horizon re-admits — the horizon is the
@@ -31,7 +33,7 @@ object StreamingPipeline {
     */
   def streamingExactDedup(docs: DataFrame, tsCol: String,
       textCol: String, horizon: String): DataFrame =
-    docs.withColumn("__text_hash", md5(col(textCol)))
+    docs.withColumn("__text_hash", unhex(sha2(col(textCol), 256)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")

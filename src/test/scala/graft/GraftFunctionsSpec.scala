@@ -43,6 +43,18 @@ class GraftFunctionsSpec extends SparkSpec {
     val e2 = intercept[Exception](
       spark.sql("SELECT word_stats('a', 'b')").head())
     assert(e2.getMessage.contains("1 argument"), e2.getMessage)
+    // a Long literal that overflows Int is rejected, not truncated
+    val e3 = intercept[Exception](
+      spark.sql("SELECT cosine_sim(array(1.0F), array(1.0F), " +
+        "5000000000)").head())
+    assert(e3.getMessage.contains("32-bit"), e3.getMessage)
+  }
+
+  test("DESCRIBE FUNCTION surfaces the usage strings") {
+    GraftFunctions.register(spark)
+    val desc = spark.sql("DESCRIBE FUNCTION cosine_sim")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("cosine similarity"), desc)
   }
 
   test("the extensions class injects the same builder table") {
