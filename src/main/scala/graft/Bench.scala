@@ -187,6 +187,7 @@ object Bench {
       // pinned up front so concurrent queries never plan under a conf
       // another query's LogLines.batch flipped mid-flight
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
     val spark = localDir.fold(builder)(d =>

@@ -519,6 +519,7 @@ object Main {
     val b = SparkSession.builder().appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.constraintPropagation.enabled", "false")
     // under spark-submit the master (and parallelism) come from the
     // submit command; standalone falls back to every local core
     val withMaster =

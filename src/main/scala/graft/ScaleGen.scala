@@ -79,6 +79,7 @@ object ScaleGen {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.constraintPropagation.enabled", "false")
       // events.ts is TIMESTAMP(NANOS): read it as a raw long and write
       // it back as a long, so Tables' read path sees the same shape it
       // sees on the driver's parquet (TESTDATA.md / Tables.scala)

@@ -48,6 +48,7 @@ object Verify {
       // under which mode becomes timing-dependent. Pin it up front so
       // every query plans under the same conf.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -43,11 +43,15 @@ case class RegexExtractStruct(child: Expression, re2Pattern: String,
     * like any capref by the reference checker). Only programs that
     * actually reference $0 pay the per-match whole-string copy.
     */
-  private def capIdxs: Seq[Int] =
+  // lazy vals, not defs: catalyst calls dataType thousands of times
+  // during analysis/planning, and type inference walks the regex AST —
+  // recomputing it per call made PLANNING (not execution) the dominant
+  // cost of asof-heavy programs
+  @transient private lazy val capIdxs: Seq[Int] =
     if (withG0) 0 +: parsed.groups.map(_.index)
     else parsed.groups.map(_.index)
 
-  private def capTypes: Seq[DataType] =
+  @transient private lazy val capTypes: Seq[DataType] =
     capIdxs.map(i =>
       Re2.inferCaprefType(parsed, i) match {
         case Re2.CapInt => LongType
@@ -55,7 +59,7 @@ case class RegexExtractStruct(child: Expression, re2Pattern: String,
         case Re2.CapString => StringType
       })
 
-  override def dataType: DataType = StructType(
+  @transient override lazy val dataType: DataType = StructType(
     StructField("matched", BooleanType, nullable = false) +:
       capIdxs.zip(capTypes).map {
         case (i, t) => StructField(s"g$i", t, nullable = true)

@@ -21,6 +21,12 @@ object LogLines {
   def batch(spark: SparkSession, paths: String*): DataFrame = {
     // mtail dialect: conversion errors null out (vm.go:97-129)
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // the engine's generated predicates are huge (stop guards conjoin
+    // per-site conds embedding window reads); catalyst constraint
+    // inference over them is super-linear and buys nothing for these
+    // hand-shaped plans — measured minutes of pure optimizer time on
+    // mysql_slowqueries before disabling
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     paths.map { p =>
       spark.read.format("graft-tail").option("path", p).load()
     }.reduceOption(_ unionAll _)

@@ -167,6 +167,157 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     col(name)
   }
 
+  /** like [[materializeStateJoin]], but the state relation derives
+    * from the line frame itself and so cannot be built until the
+    * columns it reads are materialized: `build` runs at flush time
+    * against the earliest curDf snapshot containing `needs`. Own name
+    * space (__koff): registered in pass 2 only, so it must not shift
+    * the shared __m/__carry counter between the two walk passes.
+    */
+  private val pendingLazyJoins =
+    mutable.Map[String, (Column, Set[String], DataFrame => DataFrame)]()
+  private var koffSeq = 0
+
+  /** memoized per (metric, key exprs, site, guard set): a read is
+    * compiled once by materializeExtraction's precompile pass and
+    * again when the aggregation branch builds — the second
+    * compilation must resolve to the SAME materialized columns/probe
+    * relations, not register duplicates. (Declared before the
+    * constructor-body walk() calls, which read metrics via it.)
+    */
+  private val metricReadMemo =
+    mutable.Map[(String, String, Int, String), Column]()
+  private def materializeLazyJoin(key: Column, needs: Set[String],
+      build: DataFrame => DataFrame): Column = {
+    val name = s"__koff_$koffSeq"
+    koffSeq += 1
+    pendingLazyJoins(name) = (key, needs, build)
+    col(name)
+  }
+
+  /** Order-contiguous bucket of the batch's total order, derived
+    * purely from the row ordinal's high bits — the partition unit of
+    * the keyless-read two-phase prefix scan (no sampling pass, no
+    * checkpoint; any two consumers agree by construction). A right
+    * shift is monotone, so buckets are contiguous ranges of the order
+    * for ANY long ordinal:
+    *  - long ordinal: >>18 = ≤256 Ki rows per bucket. Works for both
+    *    dense ids (event_id) and monotonically_increasing_id
+    *    (pid<<33 | row — the partition boundary stays a bucket
+    *    boundary). ~380 k buckets at 10^11 rows: the offsets relation
+    *    stays one small single-task window + a broadcastable join;
+    *  - (filename, byte-offset) ordinal: 128 MiB file blocks,
+    *    matching the tail source's default split size so bucket
+    *    parallelism tracks scan parallelism;
+    *  - anything else: one bucket (exact, sequential).
+    */
+  private def bucketOf(ordType: DataType, o: Column): Column =
+    ordType match {
+      case LongType => shiftright(o, 18)
+      case st: StructType
+          if st.fieldNames.sameElements(Array("f", "o")) =>
+        struct(o.getField("f").as("f"),
+          shiftright(o.getField("o"), 27).as("b"))
+      case _ => lit(0L)
+    }
+
+  /** injective string form of a bucket, for the offsets join key. */
+  private def bucketKey(ordType: DataType, b: Column): Column =
+    ordType match {
+      case _: StructType => PlanBuilder.joinKeys(Seq(
+        b.getField("f"), b.getField("b").cast(StringType)))
+      case _ => b.cast(StringType)
+    }
+
+  /** Keyless running-read prefix via a two-phase parallel scan.
+    *
+    * `Window.partitionBy()` with no key serializes the whole relation
+    * through ONE task — at cluster scale a keyless cross-line read
+    * (`snap = seen`, mysql_slowqueries' scalar state) would cap the
+    * batch path at single-core throughput. Both fold modes are
+    * associative monoids (sum; last = rightmost non-null), so the
+    * global exclusive prefix decomposes:
+    *   within-bucket window (parallel) ⊕ per-bucket exclusive offset
+    * where the offsets relation is a tiny aggregate (one row per
+    * 128 MiB of input) cumulated in bucket order and joined back by
+    * bucket — broadcastable by construction.
+    *
+    * Pass 1 keeps the within-bucket term only, embedded RAW: its
+    * value is frozen into captured conds as the provisional read
+    * (single-bucket inputs make that exactly the previous global
+    * window), it must not reference a name a pass-2 registration
+    * would rebind (self-conditioned writes would turn circular), and
+    * it must not shift the shared name counter between passes.
+    * Memoized per (metric, mode): every read site of a metric shares
+    * one offsets join and one materialized column.
+    */
+  private val readMemo = mutable.Map[(String, String), Column]()
+  private var kpfxSeq = 0
+
+  /** pass-2 cross-line reads materialize as COLUMNS of the (cached)
+    * line relation — each window computes once, and the per-metric
+    * aggregation branches read data instead of re-running a shuffle
+    * per read per branch. Pass 1 returns the raw expression (see
+    * [[keylessPrefix]] for why).
+    */
+  private def readMaterialized(metric: String, mode: String,
+      keyId: String, expr: => Column): Column =
+    if (resolvedSites.isEmpty) expr
+    else readMemo.getOrElseUpdate((metric, mode + "|" + keyId), {
+      val name = s"__kpfx_$kpfxSeq"
+      kpfxSeq += 1
+      pending(name) = expr
+      col(name)
+    })
+
+  private def keylessPrefix(metric: String, mode: String,
+      value: Column, vt: DataType): Column =
+    readMemo.getOrElseUpdate((metric, mode), {
+      val ordT = curDf.schema("ord").dataType
+      val wb = Window.partitionBy(bucketOf(ordT, col("ord")))
+        .orderBy(col("ord"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = mode match {
+        case "sum" => coalesce(sum(value).over(wb), zeroOf(vt))
+        case _ => last(value, ignoreNulls = true).over(wb)
+      }
+      if (resolvedSites.isEmpty) within // pass 1: raw provisional
+      else {
+        val key = bucketKey(ordT, bucketOf(ordT, col("ord")))
+        val off = materializeLazyJoin(key, refsOf(value) + "ord",
+          snap => {
+            val b = bucketOf(ordT, col("ord"))
+            val woff = Window.partitionBy(lit(0)).orderBy(col("__b"))
+              .rowsBetween(Window.unboundedPreceding, -1)
+            val agg = mode match {
+              case "sum" =>
+                snap.select(b.as("__b"), value.as("__d"))
+                  .groupBy(col("__b"))
+                  .agg(sum(col("__d")).as("__p"))
+                  .withColumn("v", sum(col("__p")).over(woff))
+              case _ =>
+                snap.select(b.as("__b"), col("ord").as("__o"),
+                  value.as("__d"))
+                  .groupBy(col("__b"))
+                  .agg(max(when(col("__d").isNotNull,
+                    struct(col("__o"), col("__d")))).as("__m"))
+                  .withColumn("v", last(col("__m").getField("__d"),
+                    ignoreNulls = true).over(woff))
+            }
+            agg.select(bucketKey(ordT, col("__b")).as("k"), col("v"))
+          })
+        // materialize the combined read as a COLUMN of the cached
+        // line relation (own __kpfx name space — see readMaterialized)
+        val name = s"__kpfx_$kpfxSeq"
+        kpfxSeq += 1
+        pending(name) = mode match {
+          case "sum" => within + coalesce(off, zeroOf(vt))
+          case _ => coalesce(within, off)
+        }
+        col(name)
+      }
+    })
+
   /** A cross-line read whose key EXPRESSION differs from the write
     * sites' key expressions (`m[$x/2]` read vs `m[$x]` write): the
     * cheap same-window read would attribute each row's write to the
@@ -193,6 +344,38 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
   private val pendingAsofs = mutable.Map[String, AsofSpec]()
 
+  /** snapshots of curDf as columns accrue, oldest first. Each asof's
+    * probe leg builds from the EARLIEST snapshot containing the
+    * columns it references: building it from the up-to-date curDf
+    * would embed the whole join chain again under each probe — the
+    * tree doubles per spec, and a program with ~8 chained keyless
+    * reads (mysql_slowqueries) makes the analyzer walk 2^8 copies.
+    * Snapshots make growth linear. They are cleared at the cache
+    * point (below): a pre-persist snapshot would not canonically
+    * match the cached plan, and its probes would re-scan the source.
+    */
+  private val snaps = mutable.ArrayBuffer[DataFrame]()
+  private def snapCur(): Unit =
+    if (snaps.isEmpty ||
+      snaps.last.columns.toSet != curDf.columns.toSet) snaps += curDf
+
+  /** extraction-persist request state: when the runner asks for a
+    * shared extraction cache, it must be registered BEFORE the first
+    * probe/state-join materialization so every probe leg's scan of
+    * the extraction hits the cache instead of re-deriving it from
+    * the source once per spec.
+    */
+  private var wantPersist = false
+  private var persistedDf: Option[DataFrame] = None
+  private var checkpointed: Option[DataFrame] = None
+  private def persistNow(): Unit = {
+    curDf = curDf.persist()
+    curDf.count() // populate before branches race the cache
+    persistedDf = Some(curDf)
+    snaps.clear()
+    snapCur()
+  }
+
   private def materializeAsofRead(spec: AsofSpec): Column = {
     val name = s"__asof_$colSeq"
     colSeq += 1
@@ -200,15 +383,21 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     col(name)
   }
 
+  // eagerExpression, not expression: the lazy form is a childless
+  // wrapper for composite columns, which made this return ∅ and the
+  // readiness checks below vacuously true (harmless while asof specs
+  // only referenced extraction columns; wrong once a spec's write
+  // conds can reference OTHER pending asof reads)
   private def refsOf(c: Column): Set[String] =
-    org.apache.spark.sql.GraftBridge.expression(c).collect {
+    org.apache.spark.sql.GraftBridge.eagerExpression(c).collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         a.nameParts.head
     }.toSet
 
   private def flushPending(): Unit = {
     while (pending.nonEmpty || pendingJoins.nonEmpty ||
-      pendingAsofs.nonEmpty) {
+      pendingLazyJoins.nonEmpty || pendingAsofs.nonEmpty) {
+      snapCur()
       val avail = curDf.columns.toSet
       val (ready, _) = pending.partition { case (_, c) =>
         refsOf(c).filter(_.startsWith("__")).forall(avail)
@@ -217,53 +406,119 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         curDf = curDf.select(col("*") +:
           ready.map { case (n, c) => c.as(n) }.toSeq: _*)
         ready.keys.foreach(pending.remove)
+        snapCur()
       } else {
         val (readyJoins, _) = pendingJoins.partition { case (_, (k, _)) =>
           refsOf(k).filter(_.startsWith("__")).forall(avail)
+        }
+        val (readyLazy, _) = pendingLazyJoins.partition {
+          case (_, (k, needs, _)) =>
+            (refsOf(k) ++ needs).filter(_.startsWith("__")).forall(avail)
         }
         val (readyAsofs, _) = pendingAsofs.partition { case (_, sp) =>
           (sp.probeKeys ++ sp.writes.flatMap(w =>
             w.keys ++ Seq(w.cond, w.value)))
             .flatMap(refsOf).filter(_.startsWith("__")).forall(avail)
         }
-        if (readyJoins.isEmpty && readyAsofs.isEmpty)
-          throw new IllegalStateException("circular materialization")
+        if (readyJoins.isEmpty && readyLazy.isEmpty &&
+          readyAsofs.isEmpty)
+          throw new IllegalStateException("circular materialization: " +
+            "unresolved refs " + (pendingAsofs.map { case (pn, sp) =>
+              pn -> ((sp.probeKeys ++ sp.writes.flatMap(w =>
+                w.keys ++ Seq(w.cond, w.value)))
+                .flatMap(refsOf).filter(_.startsWith("__")).toSet --
+                avail)
+            } ++ pending.map { case (pn, c) =>
+              pn -> (refsOf(c).filter(_.startsWith("__")) -- avail)
+            }))
+        if (wantPersist && persistedDf.isEmpty) persistNow()
         readyJoins.foreach { case (n, (key, state)) =>
           val st = state.select(col("k").as(s"${n}_k"),
             col("v").as(n))
           curDf = curDf.join(st, key === col(s"${n}_k"), "left")
             .drop(s"${n}_k")
           pendingJoins.remove(n)
+          snapCur()
+        }
+        readyLazy.foreach { case (n, (key, needs, build)) =>
+          val src = snaps.find(s =>
+            (needs + "ord").subsetOf(s.columns.toSet)).getOrElse(curDf)
+          val st = build(src).select(col("k").as(s"${n}_k"),
+            col("v").as(n))
+          curDf = curDf.join(st, key === col(s"${n}_k"), "left")
+            .drop(s"${n}_k")
+          pendingLazyJoins.remove(n)
+          snapCur()
         }
         readyAsofs.foreach { case (n, sp) =>
-          val base = curDf
+          // the probe leg builds from the EARLIEST snapshot holding
+          // every column it references (see `snaps`), not from the
+          // up-to-date curDf
+          val need = (sp.probeKeys ++ sp.writes.flatMap(w =>
+            w.keys ++ Seq(w.cond, w.value)))
+            .flatMap(refsOf).toSet + "ord"
+          val src = snaps.find(s => need.subsetOf(s.columns.toSet))
+            .getOrElse(curDf)
+          // materialize each leg's key/value on the base FIRST, as a
+          // plain projection: frozen pass-1 inline reads can carry
+          // window expressions, which the analyzer extracts from a
+          // Project but NOT from inside a generator (explode) — and
+          // the legs go through one
+          val base = src.select(col("*") +:
+            (sp.writes.zipWithIndex.flatMap { case (wr, i) =>
+              Seq(PlanBuilder.joinKeys(wr.keys).as(s"${n}_wk$i"),
+                when(wr.cond, wr.value).cast(sp.vt).as(s"${n}_wv$i"))
+            } :+ PlanBuilder.joinKeys(sp.probeKeys).as(s"${n}_pk")): _*)
           // ONE pass over the base for every write leg plus the probe
           // leg: each row explodes into (#writes + 1) typed rows. The
           // unionAll-of-selects alternative scans (and re-runs the
           // regex extraction of) the base once PER LEG — at cluster
           // scale that multiplies the dominant cost of the plan by
           // the number of write sites
-          val legs = sp.writes.map { wr =>
-            struct(PlanBuilder.joinKeys(wr.keys).as("k"),
+          val legs = sp.writes.zipWithIndex.map { case (wr, i) =>
+            struct(col(s"${n}_wk$i").as("k"),
               lit(wr.idx).as("__i"), lit(1).as("__w"),
-              when(wr.cond, wr.value).cast(sp.vt).as("__v"),
+              col(s"${n}_wv$i").as("__v"),
               lit(wr.isSet).as("__s"))
-          } :+ struct(PlanBuilder.joinKeys(sp.probeKeys).as("k"),
+          } :+ struct(col(s"${n}_pk").as("k"),
             lit(sp.probeIdx).as("__i"), lit(0).as("__w"),
             lit(null).cast(sp.vt).as("__v"), lit(false).as("__s"))
           // probes sort BEFORE a same-(ord,site) write, so a site's
           // own write is invisible to its own read; earlier-site
           // same-line writes stay visible
-          val w = Window.partitionBy(col("k"))
-            .orderBy(col("__o"), col("__i"), col("__w"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-          val u = base
-            .select(col("ord").as("__o"),
-              explode(array(legs: _*)).as("__leg"))
-            .select(col("__leg.k").as("k"), col("__o"),
-              col("__leg.__i").as("__i"), col("__leg.__w").as("__w"),
-              col("__leg.__v").as("__v"), col("__leg.__s").as("__s"))
-          val withVis = sp.mode match {
+          val keyless = sp.probeKeys.isEmpty &&
+            sp.writes.forall(_.keys.isEmpty)
+          val probes =
+            if (keyless) keylessAsofProbes(base, n, sp, legs)
+            else keyedAsofProbes(base, n, sp, legs)
+          // join back by the unique row ord. Strategy is left to AQE
+          // deliberately: at bench scale it broadcasts the probe side
+          // (measured faster than a forced shuffle_hash, which
+          // suppressed the broadcast and cost ~15%); at cluster scale
+          // it degrades to a shuffle join on the unique ord — no skew
+          // by construction
+          curDf = curDf.join(probes, col("ord") === col(s"${n}_o"),
+            "left").drop(s"${n}_o")
+          pendingAsofs.remove(n)
+          snapCur()
+        }
+      }
+    }
+  }
+
+  /** the keyed as-of leg: window partitioned by the metric key. */
+  private def keyedAsofProbes(base: DataFrame, n: String, sp: AsofSpec,
+      legs: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("__o"), col("__i"), col("__w"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u = base
+      .select(col("ord").as("__o"),
+        explode(array(legs: _*)).as("__leg"))
+      .select(col("__leg.k").as("k"), col("__o"),
+        col("__leg.__i").as("__i"), col("__leg.__w").as("__w"),
+        col("__leg.__v").as("__v"), col("__leg.__s").as("__s"))
+    val withVis = sp.mode match {
             case "sum" => u.withColumn(n, sum(col("__v")).over(w))
             case "last" =>
               u.withColumn(n, last(col("__v"), ignoreNulls = true)
@@ -306,21 +561,193 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
                       lit(0L).cast(sp.vt)))
                     .otherwise(lit(0L).cast(sp.vt))).as("inc")))
           }
-          val probes = withVis
-            .filter(col("__w") === 0)
-            .select(col("__o").as(s"${n}_o"), col(n))
-          // join back by the unique row ord. Strategy is left to AQE
-          // deliberately: at bench scale it broadcasts the probe side
-          // (measured faster than a forced shuffle_hash, which
-          // suppressed the broadcast and cost ~15%); at cluster scale
-          // it degrades to a shuffle join on the unique ord — no skew
-          // by construction
-          curDf = curDf.join(probes, col("ord") === col(s"${n}_o"),
-            "left").drop(s"${n}_o")
-          pendingAsofs.remove(n)
-        }
-      }
+    withVis.filter(col("__w") === 0)
+      .select(col("__o").as(s"${n}_o"), col(n))
+  }
+
+  /** Keyless as-of probes via a two-phase parallel prefix scan.
+    *
+    * `Window.partitionBy()` with no key (key-less scalar state, e.g.
+    * mysql_slowqueries' `hidden string user`) serializes the whole
+    * relation through ONE task — at cluster scale that caps the batch
+    * path at single-core throughput. All four fold modes are
+    * associative monoids (sum; last = rightmost non-null; set+inc
+    * combines as "right's set wins, else left's set and merged incs";
+    * text set+concat likewise with substring extents), so the global
+    * exclusive prefix decomposes into the classic two-phase scan:
+    *
+    *  1. bucket the exploded legs by an ORDER-CONTIGUOUS, purely
+    *     data-derived key: the high bits of the row ordinal. A long
+    *     ordinal (monotonically_increasing_id layout, pid<<33|row)
+    *     buckets by source partition; a (filename, byte-offset)
+    *     ordinal buckets by 128 MiB file block — matching the tail
+    *     source's split size, so bucket parallelism tracks scan
+    *     parallelism. No sampling pass, no checkpoint: unlike
+    *     repartitionByRange + spark_partition_id (whose bounds are
+    *     re-sampled per evaluation), both consumers of the bucket id
+    *     agree by construction, under any re-execution;
+    *  2. fold each bucket independently — the same window
+    *     expressions as the keyed path, partitioned by bucket:
+    *     parallel, with per-task size bounded by the block size;
+    *  3. fold the per-bucket TOTALS in bucket order — one row per
+    *     128 MiB of input, a trivially small one-task window;
+    *  4. broadcast the per-bucket exclusive offsets back and
+    *     combine with each row's within-bucket prefix.
+    *
+    * Same answer as the single global window — pinned by the
+    * opfolds/readmix oracles and the batch-split fuzz — with no
+    * single-partition pass over the data left in the plan.
+    */
+  private def keylessAsofProbes(base: DataFrame, n: String,
+      sp: AsofSpec, legs: Seq[Column]): DataFrame = {
+    val zero = zeroOf(sp.vt)
+    val bucket = base.schema("ord").dataType match {
+      case LongType => shiftright(col("__o"), 33)
+      case st: StructType
+          if st.fieldNames.sameElements(Array("f", "o")) =>
+        struct(col("__o").getField("f").as("f"),
+          shiftright(col("__o").getField("o"), 27).as("b"))
+      case _ => lit(0L) // unknown ordinal shape: one bucket (exact,
+      // sequential — the pre-optimization behavior)
     }
+    val parts = base
+      .select(col("ord").as("__o"),
+        explode(array(legs: _*)).as("__leg"))
+      .select(col("__o"),
+        col("__leg.__i").as("__i"), col("__leg.__w").as("__w"),
+        col("__leg.__v").as("__v"), col("__leg.__s").as("__s"))
+      .withColumn("__pid", bucket)
+    // phase 2: within-bucket exclusive prefix, parallel per bucket
+    val wp = Window.partitionBy(col("__pid"))
+      .orderBy(col("__o"), col("__i"), col("__w"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // phase 3: exclusive fold of bucket totals in bucket order (tiny)
+    val wo = Window.partitionBy(lit(0)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the last firing row of a partition, by the total order
+    def lastBy(cond: Column, v: Column): Column =
+      max(when(cond, struct(col("__o"), col("__i"), col("__w"),
+        v.as("x")))).getField("x")
+    val withFold = sp.mode match {
+      case "sum" =>
+        val within = parts.withColumn("__wn", sum(col("__v")).over(wp))
+        val offs = parts.groupBy(col("__pid"))
+          .agg(sum(col("__v")).as("__p"))
+          .withColumn("__off", sum(col("__p")).over(wo))
+          .select(col("__pid"), col("__off"))
+        within.join(broadcast(offs), Seq("__pid"), "left")
+          .withColumn(n,
+            when(col("__wn").isNull && col("__off").isNull,
+              lit(null).cast(sp.vt))
+              .otherwise(coalesce(col("__wn"), zero) +
+                coalesce(col("__off"), zero)))
+      case "last" =>
+        val within = parts.withColumn("__wn",
+          last(col("__v"), ignoreNulls = true).over(wp))
+        val offs = parts.groupBy(col("__pid"))
+          .agg(lastBy(col("__v").isNotNull, col("__v")).as("__p"))
+          .withColumn("__off",
+            last(col("__p"), ignoreNulls = true).over(wo))
+          .select(col("__pid"), col("__off"))
+        within.join(broadcast(offs), Seq("__pid"), "left")
+          .withColumn(n, coalesce(col("__wn"), col("__off")))
+      case "concat" =>
+        val setV = when(col("__s"), col("__v"))
+        val incV = when(!col("__s"), col("__v"))
+        val w1 = parts.withColumn("__cb",
+          coalesce(array_join(collect_list(incV).over(wp), ""),
+            lit("")))
+        val w2 = w1
+          .withColumn("__wset", last(setV, ignoreNulls = true).over(wp))
+          .withColumn("__pfx",
+            last(when(col("__s").and(col("__v").isNotNull), col("__cb")),
+              ignoreNulls = true).over(wp))
+        // partition total: last set + the full concat MINUS the
+        // running prefix at that set (same substring algebra as the
+        // per-row read)
+        val partials = w1.groupBy(col("__pid")).agg(
+          max(struct(col("__o"), col("__i"), col("__w"),
+            concat(col("__cb"), coalesce(incV, lit(""))).as("ci")))
+            .getField("ci").as("__tcb"),
+          lastBy(col("__s").and(col("__v").isNotNull),
+            struct(col("__v").as("s"), col("__cb").as("p"))).as("__sc"))
+        val p2 = partials.select(col("__pid"),
+          col("__sc").getField("s").as("__pset"),
+          when(col("__sc").isNotNull,
+            col("__tcb").substr(
+              length(col("__sc").getField("p")) + 1,
+              length(col("__tcb"))))
+            .otherwise(coalesce(col("__tcb"), lit(""))).as("__pinc"))
+        val o1 = p2.withColumn("__cumC",
+          coalesce(array_join(collect_list(col("__pinc")).over(wo), ""),
+            lit("")))
+        val offs = o1
+          .withColumn("__offSet",
+            last(col("__pset"), ignoreNulls = true).over(wo))
+          .withColumn("__cAtSet",
+            last(when(col("__pset").isNotNull, col("__cumC")),
+              ignoreNulls = true).over(wo))
+          .select(col("__pid"), col("__offSet"),
+            when(col("__cAtSet").isNotNull,
+              col("__cumC").substr(length(col("__cAtSet")) + 1,
+                length(col("__cumC"))))
+              .otherwise(col("__cumC")).as("__offInc"))
+        val joined = w2.join(broadcast(offs), Seq("__pid"), "left")
+        val winc = when(col("__pfx").isNotNull,
+          col("__cb").substr(length(col("__pfx")) + 1,
+            length(col("__cb"))))
+          .otherwise(col("__cb"))
+        joined.withColumn(n, struct(
+          coalesce(col("__wset"), col("__offSet")).as("set"),
+          when(col("__pfx").isNotNull, winc)
+            .otherwise(concat(coalesce(col("__offInc"), lit("")),
+              winc)).as("inc")))
+      case _ => // fold
+        val setV = when(col("__s"), col("__v"))
+        val incV = when(!col("__s"), coalesce(col("__v"), zero))
+        val w1 = parts.withColumn("__iv", incV)
+          .withColumn("__incB", coalesce(sum(col("__iv")).over(wp),
+            zero))
+        val w2 = w1
+          .withColumn("__wset", last(setV, ignoreNulls = true).over(wp))
+          .withColumn("__setCum",
+            last(when(col("__s").and(col("__v").isNotNull),
+              col("__incB")), ignoreNulls = true).over(wp))
+        // partition total: last set + (total incs − incs before it)
+        val partials = w1.groupBy(col("__pid")).agg(
+          sum(col("__iv")).as("__tinc"),
+          lastBy(col("__s").and(col("__v").isNotNull),
+            struct(col("__v").as("s"), col("__incB").as("c")))
+            .as("__sc"))
+        val p2 = partials.select(col("__pid"),
+          col("__sc").getField("s").as("__pset"),
+          (coalesce(col("__tinc"), zero) -
+            coalesce(col("__sc").getField("c"), zero)).as("__pinc"))
+        val o1 = p2.withColumn("__cumInc",
+          coalesce(sum(col("__pinc")).over(wo), zero))
+        val offs = o1
+          .withColumn("__offSet",
+            last(col("__pset"), ignoreNulls = true).over(wo))
+          .withColumn("__setCumP",
+            last(when(col("__pset").isNotNull, col("__cumInc")),
+              ignoreNulls = true).over(wo))
+          .select(col("__pid"), col("__offSet"),
+            (col("__cumInc") -
+              when(col("__offSet").isNotNull,
+                coalesce(col("__setCumP"), zero)).otherwise(zero))
+              .as("__offInc"))
+        val joined = w2.join(broadcast(offs), Seq("__pid"), "left")
+        val winc = col("__incB") -
+          when(col("__wset").isNotNull,
+            coalesce(col("__setCum"), zero)).otherwise(zero)
+        joined.withColumn(n, struct(
+          coalesce(col("__wset"), col("__offSet")).as("set"),
+          when(col("__wset").isNotNull, winc)
+            .otherwise(coalesce(col("__offInc"), zero) + winc)
+            .as("inc")))
+    }
+    withFold.filter(col("__w") === 0)
+      .select(col("__o").as(s"${n}_o"), col(n))
   }
 
   // ---------- frames: capref scopes ----------
@@ -677,6 +1104,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   frameMemo.clear()
   pending.clear()
   pendingJoins.clear()
+  pendingLazyJoins.clear()
+  koffSeq = 0
+  kpfxSeq = 0
+  readMemo.clear()
+  metricReadMemo.clear()
+  snaps.clear() // pass-1 snapshots hold provisional columns
   walk(program.stmts, Nil, lit(true))
 
   def metricType(name: String): DataType =
@@ -932,6 +1365,15 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   /** Cross-line metric read: running last-written value for this key. */
   private def metricReadColumn(metric: String, keys: Seq[Expr],
       frames: List[Frame], tReg: Column, siteIdx: Int,
+      reading: Set[String]): Column =
+    metricReadMemo.getOrElseUpdate((metric,
+      keys.map(_.toString).mkString(""), siteIdx,
+      reading.toSeq.sorted.mkString(",")),
+      metricReadColumnImpl(metric, keys, frames, tReg, siteIdx,
+        reading))
+
+  private def metricReadColumnImpl(metric: String, keys: Seq[Expr],
+      frames: List[Frame], tReg: Column, siteIdx: Int,
       reading: Set[String]): Column = {
     readMetricsBuf += metric
     if (reading.contains(metric))
@@ -1020,7 +1462,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       val w = Window.partitionBy(keyCols: _*).orderBy(col("ord"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val rowDelta = incWrites.map(deltaOf).reduce(_ + _)
-      val prev = coalesce(sum(rowDelta).over(w), zeroOf(vt))
+      // keyless: the two-phase prefix scan, NOT the single-partition
+      // global window partitionBy() would build; keyed: the key
+      // window, materialized once as a column (readMaterialized)
+      val prev =
+        if (keyCols.isEmpty) keylessPrefix(metric, "sum", rowDelta, vt)
+        else readMaterialized(metric, "sum",
+          keyCols.map(_.toString).mkString(","),
+          coalesce(sum(rowDelta).over(w), zeroOf(vt)))
       val sameLine =
         if (siteIdx < 0) zeroOf(vt)
         else incWrites.filter(_.idx < siteIdx).map(deltaOf)
@@ -1089,7 +1538,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
     val w = Window.partitionBy(keyCols: _*).orderBy(col("ord"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prevRows = whens(writes).map(c => last(c, ignoreNulls = true).over(w))
+    // keyless: two-phase prefix scan instead of a single-partition
+    // global window (see keylessPrefix); keyed: the key window,
+    // materialized once as a column (readMaterialized)
+    val prevRows = whens(writes).map(c =>
+      if (keyCols.isEmpty) keylessPrefix(metric, "last", c, vt)
+      else readMaterialized(metric, "last",
+        keyCols.map(_.toString).mkString(","),
+        last(c, ignoreNulls = true).over(w)))
     val sameLine =
       if (siteIdx < 0) None else whens(writes.filter(_.idx < siteIdx))
     coalesce((sameLine.toSeq ++ prevRows.toSeq ++ carried.toSeq :+
@@ -1500,14 +1956,57 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     * the cache write would never pay for itself.
     */
   def materializeExtraction(extraReaders: Int = 0): Unit = {
+    // request the cache BEFORE the flush: flushPending registers it
+    // just before the first probe/state-join materialization, so probe
+    // legs scan the cached extraction instead of re-deriving it from
+    // the source once per read
+    wantPersist = sites.size + extraReaders > 1
+    // compile every site's key/value expressions BEFORE the flush:
+    // cross-line reads inside them register their windows, probe
+    // relations and offsets joins here, so the checkpoint below
+    // materializes them as DATA — otherwise each aggregation branch
+    // would re-execute every read's window (a shuffle per read per
+    // branch; measured as the dominant cost of read-heavy programs).
+    // The branch-build recompilation hits metricReadMemo and resolves
+    // to the same columns.
+    sites.foreach { s =>
+      s.valueIr.foreach(v =>
+        exprColumn(v, s.frames, s.timeReg, s.idx))
+      s.keys.foreach(k =>
+        exprColumn(k, s.frames, s.timeReg, s.idx))
+    }
     flushPending()
-    if (sites.size + extraReaders > 1) {
-      curDf = curDf.persist()
-      curDf.count() // populate before branches race the cache
+    if (wantPersist) {
+      if (persistedDf.isEmpty) persistNow()
+      else if (!persistedDf.get.eq(curDf)) {
+        // probe/state joins followed the extraction cache: collapse
+        // the joined lineage to a MATERIALIZED LEAF. A cache would
+        // only help physical execution — each of the per-metric
+        // aggregation branches would still re-analyze and re-optimize
+        // curDf's full logical plan, which embeds every probe/offsets
+        // subtree and their (large) generated predicates; measured
+        // minutes of pure planning on mysql_slowqueries. The
+        // extraction cache only served probe construction — dropped
+        // once the checkpoint is materialized.
+        val extraction = persistedDf.get
+        curDf = curDf.localCheckpoint()
+        checkpointed = Some(curDf)
+        persistedDf = None
+        extraction.unpersist()
+        snaps.clear()
+        snapCur()
+      }
     }
   }
 
   def unpersistExtraction(): Unit = {
+    // the cache point can precede later joins, so curDf's final plan
+    // no longer matches it — unpersist the tracked handles
+    persistedDf.foreach(_.unpersist())
+    persistedDf = None
+    checkpointed.foreach(
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+    checkpointed = None
     val _ = curDf.unpersist()
   }
 

@@ -210,12 +210,16 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       // session for ANSI SQL must not silently lose ANSI semantics
       // because a stream runner ran a microbatch.
       val conf = batch.sparkSession.conf
-      val prevAnsi = conf.getOption("spark.sql.ansi.enabled")
-      conf.set("spark.sql.ansi.enabled", "false")
+      // constraint propagation: see LogLines — super-linear optimizer
+      // cost on the engine's generated predicates, no benefit
+      val scoped = Seq("spark.sql.ansi.enabled" -> "false",
+        "spark.sql.constraintPropagation.enabled" -> "false")
+      val prev = scoped.map { case (k, _) => k -> conf.getOption(k) }
+      scoped.foreach { case (k, v) => conf.set(k, v) }
       try processBatchInner(batch, batchId)
-      finally prevAnsi match {
-        case Some(v) => conf.set("spark.sql.ansi.enabled", v)
-        case None => conf.unset("spark.sql.ansi.enabled")
+      finally prev.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
       }
     }
 

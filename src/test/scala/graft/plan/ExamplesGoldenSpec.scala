@@ -35,7 +35,14 @@ class ExamplesGoldenSpec extends SparkSpec {
       val program = Frontend.parse(src, prog)
       val lines = LogLines.batch(spark, s"$testdata/$log")
       val pb = new PlanBuilder(program, lines, defaultYear = 0)
-      val actual = Snapshot.collect(pb.snapshot())
+      // the production lifecycle (Graft.oneShot, StreamRunner): probe
+      // joins build against the cached extraction and the aggregation
+      // branches scan the checkpointed leaf — without this, every
+      // branch replans the full join chain
+      pb.materializeExtraction()
+      val actual =
+        try Snapshot.collect(pb.snapshot())
+        finally pb.unpersistExtraction()
       val expected = Snapshot.readGolden(
         scala.io.Source.fromFile(s"$testdata/$golden").getLines())
       val d = Snapshot.diff(expected, actual)
@@ -62,7 +69,10 @@ class ExamplesGoldenSpec extends SparkSpec {
         val program = Frontend.parse(
           scala.io.Source.fromFile(f).mkString, f.getName)
         val pb = new PlanBuilder(program, lines, defaultYear = 0)
-        val n = pb.snapshot().count() // execute, not just plan
+        pb.materializeExtraction()
+        val n =
+          try pb.snapshot().count() // execute, not just plan
+          finally pb.unpersistExtraction()
         info(s"${f.getName}: $n exported cells")
       }
   }
