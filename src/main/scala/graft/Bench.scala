@@ -45,7 +45,7 @@ object Bench {
     */
   val HeadlineMaxBytes: Int = 1850
 
-  /** Render the one-line JSON headline, degrading until it fits
+  /** Render the final JSON headline, degrading until it fits
     * HeadlineMaxBytes. The ladder first drops value precision
     * (ms → cs → ds), then — still at ds — drops redundant extras in
     * three steps via `lean`: level 1 removes kvs duplicated verbatim
@@ -54,15 +54,23 @@ object Bench {
     * level 2 additionally removes the warm median (also on the detail
     * line); level 3 removes the constant replay line count and keeps
     * only throughput kvs from the evidence stages (battery totals
-    * stay in SCALE.json / the scale_detail line); level 4 also sheds
-    * the driver-clocked duplicate throughput; whole-second per-query
-    * precision arrives with level 4, and the last rung (level 5)
-    * additionally sheds ALL scale_* kvs — they are duplicated in the
-    * committed SCALE.json and the scale_detail line — so replay,
-    * streaming, wall, and the warm-replay steal audit are the kvs
-    * that survive every rung.
-    * Scale/streaming evidence kvs are the caller's business and
-    * survive every level — extraKv(p, lean) decides what to emit.
+    * stay in SCALE.json / the scale_detail line).
+    *
+    * Per-query precision NEVER degrades below one decimal (a ±0.5 s
+    * rounding made cross-round per-query comparison meaningless in
+    * BENCH_r13). When no single-line rung fits, the per-query map
+    * moves to its OWN `{"metric":"per_query",…}` line emitted
+    * immediately before the headline — both inside the driver's tail
+    * window, so the COMBINED two-line budget is checked against
+    * HeadlineMaxBytes. The headline (always the LAST line) then
+    * carries an empty queries map and degrades lean 3→4→5 (4 sheds
+    * the driver-clocked duplicate throughput, 5 sheds scale_* kvs —
+    * all duplicated in the committed SCALE.json / scale_detail line);
+    * replay, streaming, wall, and the warm-replay steal audit survive
+    * every rung. Whole-second per-query values are the very last
+    * resort, on the per_query line only.
+    * Scale/streaming evidence kvs are the caller's business —
+    * extraKv(p, lean) decides what to emit.
     */
   def renderHeadline(
       all: Seq[(String, Double)],
@@ -73,12 +81,15 @@ object Bench {
       partial: Option[String]): String = {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
-    def headline(prec: Int, lean: Int): String = {
-      def p(v: Double): String =
-        if (v < 0) "-1"
-        else s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
-      val qsP = all.map { case (k, v) => "\"" + k + "\":" + p(v) }
+    def fmt(prec: Int)(v: Double): String =
+      if (v < 0) "-1"
+      else s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+    def qs(prec: Int): String =
+      all.map { case (k, v) => "\"" + k + "\":" + fmt(prec)(v) }
         .mkString("{", ",", "}")
+    def headline(prec: Int, lean: Int, withQueries: Boolean): String = {
+      val p = fmt(prec) _
+      val qsP = if (withQueries) qs(prec) else "{}"
       val limitKv =
         if (lean >= 1) Seq.empty
         else Seq(s""""bench_wall_limit_secs":${WallLimitSecs.toInt}""")
@@ -88,11 +99,42 @@ object Bench {
         .mkString(",")
       s"""{\"metric\":\"total\",\"value\":${p(total)},\"unit\":\"sec\",\"queries\":$qsP,\"sf\":\"$sfDir\",\"failed\":$failedJson,\"extra\":{$extra}}"""
     }
-    Seq((3, 0), (2, 0), (1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (0, 4),
-        (0, 5))
-      .map { case (pr, ln) => headline(pr, ln) }
+    // minimal wrapper: every byte here competes with per-query
+    // decimals for the tail budget
+    def perQueryLine(prec: Int): String =
+      s"""{\"per_query\":${qs(prec)}}"""
+    val single = Seq((3, 0), (2, 0), (1, 0), (1, 1), (1, 2), (1, 3))
+      .map { case (pr, ln) => headline(pr, ln, withQueries = true) }
       .find(_.length <= HeadlineMaxBytes)
-      .getOrElse(headline(0, 5))
+    single.getOrElse {
+      // two-line: full map first (lean 3→5), then the SLOWEST top-K
+      // that fit — the expensive queries are the ones cross-round
+      // comparison needs at decimal precision; per_query_n says
+      // explicitly how many were kept
+      val full = (for (ln <- Seq(3, 4, 5))
+        yield perQueryLine(1) + "\n" +
+          headline(prec = 1, ln, withQueries = false))
+        .find(_.length <= HeadlineMaxBytes)
+      full.getOrElse {
+        val h = headline(prec = 1, lean = 5, withQueries = false)
+        val bySlow = all.sortBy { case (k, v) => (-v, k) }
+        val budget = HeadlineMaxBytes - h.length - 1
+        val base = s"""{"per_query_n":${all.size},"per_query":{}}"""
+        var used = base.length
+        val kept = bySlow.takeWhile { case (k, v) =>
+          val kv = "\"" + k + "\":" + fmt(1)(v)
+          val fits = used + kv.length + 1 <= budget
+          if (fits) used += kv.length + 1
+          fits
+        }
+        val pq = kept.map { case (k, v) =>
+          "\"" + k + "\":" + fmt(1)(v) }.mkString(
+          s"""{"per_query_n":${all.size},"per_query":{""", ",", "}}")
+        if (kept.nonEmpty && pq.length + 1 + h.length <=
+          HeadlineMaxBytes) pq + "\n" + h
+        else headline(0, 5, withQueries = true)
+      }
+    }
   }
 
   /** Optional scale-run evidence measured out-of-band (SCALE.json at

@@ -279,6 +279,31 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "na", "nb")
   }
 
+  /** Cross-source duplicate-overlap matrix: which source pairs share
+    * near-duplicate documents — the report a mixture design reads
+    * before setting per-source sampling rates. Parameterized on the
+    * PAIR LEG: the oracle twin feeds [[exactJaccardPairs]] (exact,
+    * quadratic per gram — test-SF only), production feeds
+    * [[minhashLshPairs]] (banded, capped — the designated 100 TB
+    * route); the join-back and rollup are identical. The pair set is
+    * tiny relative to the corpus, so the two source lookups join the
+    * pair ids back against the (id, source) projection.
+    */
+  def sourceOverlap(docs: DataFrame, idCol: String, sourceCol: String,
+      pairs: DataFrame): DataFrame = {
+    val d = docs.select(col(idCol), col(sourceCol))
+    pairs.select("doc_a", "doc_b")
+      .join(d.select(col(idCol).as("doc_a"),
+        col(sourceCol).as("source_a")), "doc_a")
+      .join(d.select(col(idCol).as("doc_b"),
+        col(sourceCol).as("source_b")), "doc_b")
+      .select(least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("dup_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   /** Near-duplicate CANONICALIZATION — the step that actually dedups a
     * corpus once pairs are known: connected components over the
     * similar-pair graph, labelling every document with the smallest id

@@ -111,28 +111,24 @@ object TrainExtras {
           round(col("hits") / lit(10.0), 4).as("recall"))
     }),
 
-    // cross-source duplicate-overlap matrix: which source pairs share
-    // near-duplicate documents — the overlap report mixture design
-    // reads before setting per-source rates. The pair set is tiny
-    // relative to the corpus, so the two source lookups join the pair
-    // ids back against the (id, source) projection; at scale the pair
-    // leg is the banded-LSH path and the same join-back applies.
-    "dedup_source_overlap" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("source"))
-      val pairs = Dedup.exactJaccardPairs(
-        docs(s, dir), "doc_id", "text", 3, 1, 2)
-        .select("doc_a", "doc_b")
-      pairs
-        .join(d.select(col("doc_id").as("doc_a"),
-          col("source").as("source_a")), "doc_a")
-        .join(d.select(col("doc_id").as("doc_b"),
-          col("source").as("source_b")), "doc_b")
-        .select(least(col("source_a"), col("source_b")).as("src_lo"),
-          greatest(col("source_a"), col("source_b")).as("src_hi"))
-        .groupBy("src_lo", "src_hi")
-        .agg(count(lit(1)).as("dup_pairs"))
-        .orderBy("src_lo", "src_hi")
-    }))
+    // cross-source duplicate-overlap matrix over the EXACT pair leg —
+    // the oracle twin of Dedup.sourceOverlap (quadratic per gram,
+    // test-SF only)
+    "dedup_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), "doc_id", "source",
+        Dedup.exactJaccardPairs(docs(s, dir), "doc_id", "text",
+          3, 1, 2))),
+
+    // the same report over the BANDED pair leg — the 100 TB route:
+    // map-side minhash signatures, bucket-capped band self-join,
+    // exact verification on candidates only. Identical rollup; the
+    // oracle (same SQL as the exact twin) doubles as a recall check —
+    // a hash match means LSH surfaced every qualifying pair at this
+    // scale factor.
+    "dedup_source_overlap_banded" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), "doc_id", "source",
+        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, bands = 16, rowsPerBand = 4, num = 1, den = 2))))
 
   /** the oracle's mirror of [[WordStats]]' tokenization contract */
   private val wSql =
@@ -221,14 +217,20 @@ object TrainExtras {
          USING (vec_id)""",
 
     // the pair leg is the verified dedup_ngram_jaccard oracle
-    "dedup_source_overlap" ->
-      s"""WITH pr AS (SELECT doc_a, doc_b
-             FROM (${LlmExtras.oracle("dedup_ngram_jaccard")})),
-         m AS (SELECT least(da.source, db.source) AS src_lo,
-                 greatest(da.source, db.source) AS src_hi
-               FROM pr
-               JOIN documents da ON da.doc_id = pr.doc_a
-               JOIN documents db ON db.doc_id = pr.doc_b)
-         SELECT src_lo, src_hi, count(*) AS dup_pairs
-         FROM m GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""")
+    "dedup_source_overlap" -> sourceOverlapSql,
+    // the banded variant must produce the SAME matrix here: LSH
+    // candidates are exact-verified, so a hash match additionally
+    // witnesses 100% recall at this scale factor
+    "dedup_source_overlap_banded" -> sourceOverlapSql)
+
+  private lazy val sourceOverlapSql =
+    s"""WITH pr AS (SELECT doc_a, doc_b
+           FROM (${LlmExtras.oracle("dedup_ngram_jaccard")})),
+       m AS (SELECT least(da.source, db.source) AS src_lo,
+               greatest(da.source, db.source) AS src_hi
+             FROM pr
+             JOIN documents da ON da.doc_id = pr.doc_a
+             JOIN documents db ON db.doc_id = pr.doc_b)
+       SELECT src_lo, src_hi, count(*) AS dup_pairs
+       FROM m GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi"""
 }

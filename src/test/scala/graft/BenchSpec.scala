@@ -61,21 +61,37 @@ class BenchSpec extends AnyFunSuite {
       }
     val line = Bench.renderHeadline(all, "/root/testdata/sf0.1",
       Seq("bench_wall_overrun"), 176.111, extraKv, None)
-    assert(line.startsWith("{\"metric\":\"total\",\"value\":"),
-      "headline must lead with the battery total")
+    val headline = line.linesIterator.toSeq.last
+    assert(headline.startsWith("{\"metric\":\"total\",\"value\":"),
+      "the LAST line must lead with the battery total")
     assert(line.length <= Bench.HeadlineMaxBytes,
-      s"headline is ${line.length} bytes > ${Bench.HeadlineMaxBytes}; " +
+      s"output is ${line.length} bytes > ${Bench.HeadlineMaxBytes}; " +
         "the driver's tail capture would cut its head")
+    // per-query values keep one decimal — if the single-line rungs no
+    // longer fit, the map moves to its own per_query line (slowest
+    // first, explicit per_query_n count) rather than rounding to
+    // whole seconds (the BENCH_r13 regression). The slowest query of
+    // this fixture is 161.123 s → ":161.1" must appear somewhere
+    assert(line.contains(":161.1"),
+      "per-query one-decimal precision was shed")
+    if (line.contains("\n")) {
+      val pq = line.linesIterator.next()
+      assert(pq.startsWith("{\"per_query"), pq)
+      // most of the battery must make the line, not a token few
+      assert("\"mt_|\"agg_|\"ann_|\"dedup_|\"pipeline_|\"text_|\"mtail_"
+        .r.findAllIn(pq).length >= all.size / 2,
+        s"too few per-query entries survived: $pq")
+    }
     // the evidence kvs NO lean rung may drop (scale_* kvs are allowed
     // to fall off at the last rung: they are duplicated in the
     // committed SCALE.json and the run's scale_detail line)
     for (k <- Seq("replay_klines_per_sec",
         "streaming_klines_per_sec", "bench_wall_secs"))
-      assert(line.contains("\"" + k + "\""), s"missing $k")
+      assert(headline.contains("\"" + k + "\""), s"missing $k")
     // the steal audit must survive at the rung this full-size fixture
     // lands on — if battery growth ever pushes it off the headline,
     // this tripwire forces a conscious re-budget, not a silent loss
-    assert(line.contains("\"replay_warm_steal_cpu_secs_sum\""),
+    assert(headline.contains("\"replay_warm_steal_cpu_secs_sum\""),
       "steal audit fell off the headline")
     // a small battery stays on the full-precision full-extras rung
     val small = Bench.renderHeadline(all.take(3), "/x", Nil, 10.0,

@@ -68,6 +68,18 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("*("), p) // WholeStageCodegen marker
   }
 
+  test("banded source-overlap has no gram self-join: pairs come from " +
+      "the band-bucket join, grams only verify candidates") {
+    val p = planOf("dedup_source_overlap_banded")
+    // the exact twin self-joins the full gram relation keyed on its
+    // bare hash (`Join [gh#..], [gh#..]` — K² rows per gram); the
+    // banded form's gram joins must be candidate-bounded, i.e. carry
+    // the doc id in the join key
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("[gh#")), p)
+    assert(p.contains("band_key"), p)
+  }
+
   test("LSH near-dup join is an equi-join on the signature (no NL join)") {
     val df = graft.operators.Ann.lshNearDupPairs(
       graft.Tables(spark, sf("sf0.001"), "embeddings"),
