@@ -8,26 +8,55 @@ import org.apache.spark.sql.functions._
   * initialised once per task (the Scala analogue of a batched
   * `mapInPandas` decode stage).
   *
-  * The DECODE ITSELF IS A STUB — image/audio codecs are not available in
-  * this environment — but everything Spark-level is real: the binary
-  * column schema, the per-partition batch shape, the typed Dataset
-  * output with an Encoder, and deterministic metadata so the stage is
-  * testable end-to-end. Swap [[decodeOne]] for a real codec (JavaCV /
-  * ImageIO / ffmpeg) without touching the plan.
+  * The IMAGE arm is REAL: payloads recognised by the JDK's `javax.
+  * imageio` registry (PNG, JPEG, GIF, BMP, …) are header-decoded —
+  * format name and pixel dimensions read from the container without
+  * materialising pixel data. The AUDIO/VIDEO arm remains an honest,
+  * documented stub (no A/V codecs ship in this environment):
+  * deterministic pseudo-metadata keeps the stage testable end-to-end;
+  * swap [[stubMeta]] for JavaCV/ffmpeg without touching the plan.
   *
   * Scale: decode is embarrassingly parallel (narrow, no shuffle);
   * metadata aggregation shuffles only small structs. Payload bytes never
-  * enter a shuffle.
+  * enter a shuffle, and the header read touches only the leading bytes
+  * of each payload.
   */
 object Multimodal {
 
   final case class MediaMeta(id: Long, format: String, width: Int,
       height: Int, n_frames: Int, n_bytes: Long)
 
-  /** STUB decode: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation would parse the container header here.
+  /** real image-header decode via the ImageIO reader registry: format
+    * and dimensions from the container header, no pixel decode. None
+    * when no installed reader recognises the payload.
     */
-  private def decodeOne(id: Long, payload: Array[Byte]): MediaMeta = {
+  private def decodeImage(id: Long, payload: Array[Byte])
+      : Option[MediaMeta] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Some(MediaMeta(id,
+            format = r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            width = r.getWidth(0), height = r.getHeight(0),
+            n_frames = 1, n_bytes = payload.length.toLong))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => None // truncated/corrupt header
+    } finally in.close()
+  }
+
+  /** STUB decode for audio/video containers: deterministic
+    * pseudo-metadata from the payload bytes. A real implementation
+    * would parse the container header here.
+    */
+  private def stubMeta(id: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong
     val format = (n % 3) match {
       case 0 => "image"
@@ -42,6 +71,9 @@ object Multimodal {
       n_frames = (1 + n % 24).toInt,
       n_bytes = n)
   }
+
+  private def decodeOne(id: Long, payload: Array[Byte]): MediaMeta =
+    decodeImage(id, payload).getOrElse(stubMeta(id, payload))
 
   /** (id, payload binary) → typed metadata, one codec init per
     * partition.

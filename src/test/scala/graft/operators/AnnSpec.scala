@@ -350,4 +350,31 @@ class AnnSpec extends SparkSpec {
     val one = meta.head()
     assert(one.width >= 16 && one.n_frames >= 1)
   }
+
+  test("multimodal decode reads REAL png/jpeg headers through the " +
+      "Dataset path; unrecognised payloads fall back to the stub") {
+    import spark.implicits._
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes("png", 640, 480)),
+      (2L, imageBytes("jpg", 31, 17)),
+      (3L, "definitely not an image".getBytes("UTF-8")))
+    val meta = Multimodal.decodeMeta(
+      rows.toDF("media_id", "payload"), "media_id", "payload")
+      .collect().map(m => m.id -> m).toMap
+    assert(meta(1L).format == "png" && meta(1L).width == 640 &&
+      meta(1L).height == 480 && meta(1L).n_frames == 1)
+    assert(meta(2L).format.startsWith("jp") && meta(2L).width == 31 &&
+      meta(2L).height == 17)
+    // no installed reader claims plain text → deterministic stub arm
+    assert(Set("image", "audio", "video").contains(meta(3L).format))
+    assert(meta(3L).n_bytes == rows(2)._2.length.toLong)
+  }
 }
