@@ -221,6 +221,37 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       case _ => lit(0L)
     }
 
+  /** `spark.graft.text.maxConcatChars` (0 = unlimited, the default):
+    * bounds the running `+=`-suffix stream a cross-line text read
+    * accumulates per cell per batch. The running-concat window is
+    * O(rows × accumulated length) per cell — a hot cell appended to on
+    * every line of a 100 TB batch is a memory/CPU hazard. With the cap
+    * set, the accumulated suffix stream is exactly the first N
+    * characters of the raw stream (appends past the cap drop), so the
+    * worst case becomes O(rows × N). On the keyless parallel path the
+    * cap applies per order bucket (each bucket keeps at most N chars).
+    */
+  private def textConcatCap: Long =
+    lines.sparkSession.conf
+      .get("spark.graft.text.maxConcatChars", "0").toLong
+
+  /** append `__iv` = the (possibly capped) `+=`-suffix column. The
+    * cap's running raw length rides its own window column — a nested
+    * window expression would be rejected by the analyzer.
+    */
+  private def withCappedInc(df: DataFrame, raw: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    val cap = textConcatCap
+    if (cap <= 0) df.withColumn("__iv", raw)
+    else df
+      .withColumn("__ivlb",
+        coalesce(sum(length(raw)).over(w), lit(0L)))
+      .withColumn("__iv",
+        when(col("__ivlb") >= cap, lit(null).cast(StringType))
+          .otherwise(raw.substr(lit(1),
+            greatest(lit(cap) - col("__ivlb"), lit(0L)).cast("int"))))
+  }
+
   /** injective string form of a bucket, for the offsets join key. */
   private def bucketKey(ordType: DataType, b: Column): Column =
     ordType match {
@@ -530,10 +561,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               // the prefix it had AT that set row — a substring, the
               // string analogue of the numeric fold's subtraction
               val setV = when(col("__s"), col("__v"))
-              val incV = when(!col("__s"), col("__v"))
-              val u2 = u.withColumn("__cb",
-                coalesce(array_join(collect_list(incV).over(w), ""),
-                  lit("")))
+              val u2 = withCappedInc(u, when(!col("__s"), col("__v")),
+                w).withColumn("__cb",
+                coalesce(array_join(collect_list(col("__iv")).over(w),
+                  ""), lit("")))
               val lastSet = last(setV, ignoreNulls = true).over(w)
               val pfx = last(when(col("__s").and(col("__v").isNotNull),
                 col("__cb")), ignoreNulls = true).over(w)
@@ -653,9 +684,9 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           .withColumn(n, coalesce(col("__wn"), col("__off")))
       case "concat" =>
         val setV = when(col("__s"), col("__v"))
-        val incV = when(!col("__s"), col("__v"))
-        val w1 = parts.withColumn("__cb",
-          coalesce(array_join(collect_list(incV).over(wp), ""),
+        val w1 = withCappedInc(parts, when(!col("__s"), col("__v")),
+          wp).withColumn("__cb",
+          coalesce(array_join(collect_list(col("__iv")).over(wp), ""),
             lit("")))
         val w2 = w1
           .withColumn("__wset", last(setV, ignoreNulls = true).over(wp))
@@ -667,7 +698,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         // per-row read)
         val partials = w1.groupBy(col("__pid")).agg(
           max(struct(col("__o"), col("__i"), col("__w"),
-            concat(col("__cb"), coalesce(incV, lit(""))).as("ci")))
+            concat(col("__cb"), coalesce(col("__iv"), lit("")))
+              .as("ci")))
             .getField("ci").as("__tcb"),
           lastBy(col("__s").and(col("__v").isNotNull),
             struct(col("__v").as("s"), col("__cb").as("p"))).as("__sc"))

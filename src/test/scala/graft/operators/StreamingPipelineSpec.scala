@@ -40,6 +40,67 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup ≡ batch first-arrival dedup on the " +
+      "same rows within the watermark horizon") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // 40 rows over 8 distinct texts, ids in arrival order, all inside
+    // one horizon — the regime where the streaming contract promises
+    // exactly the batch answer
+    val rows = (0 until 40).map(i =>
+      (ts(i % 9), s"text_${i % 8}", i.toLong))
+    val ms = MemoryStream[(Timestamp, String, Long)]
+    val q = StreamingPipeline.streamingExactDedup(
+      ms.toDF().toDF("ts", "text", "id"), "ts", "text", "1 hour")
+      .writeStream.format("memory").queryName("sdedup_eq")
+      .outputMode("append").start()
+    val got =
+      try {
+        ms.addData(rows: _*)
+        q.processAllAvailable()
+        spark.sql("SELECT id FROM sdedup_eq").as[Long].collect().toSet
+      } finally q.stop()
+    // batch twin: first arrival per text = min id (ids ARE the
+    // arrival order) — the dedup_exact keep-first semantics
+    val batch = rows.toDF("ts", "text", "id")
+      .groupBy("text").agg(min("id").as("id"))
+      .select("id").as[Long].collect().toSet
+    assert(got == batch, s"streaming=$got batch=$batch")
+  }
+
+  test("streaming quality counts ≡ the same windowed aggregation " +
+      "run in batch, for every window the watermark closed") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val rows = (0 until 60).map(i =>
+      (ts(i), s"src_${i % 3}", if (i % 4 == 0) "no" else "long enough"))
+    val keepExpr = length(col("text")) >= 5
+    val ms = MemoryStream[(Timestamp, String, String)]
+    val q = StreamingPipeline.streamingQualityCounts(
+      ms.toDF().toDF("ts", "source", "text"), "ts", "source",
+      keepExpr, "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("squal_eq")
+      .outputMode("append").start()
+    val got =
+      try {
+        ms.addData(rows: _*)
+        q.processAllAvailable()
+        // sentinel far past the data: closes every data window
+        ms.addData((ts(3600), "src_0", "sentinel"))
+        q.processAllAvailable()
+        spark.sql("SELECT * FROM squal_eq")
+          .as[(Timestamp, String, Long, Long)].collect().toSet
+      } finally q.stop()
+    // batch twin: the SAME transform applied to the bounded frame
+    // (withWatermark is a no-op in batch), minus the sentinel's
+    // still-open window
+    val batch = StreamingPipeline.streamingQualityCounts(
+      rows.toDF("ts", "source", "text"), "ts", "source",
+      keepExpr, "10 seconds", "5 seconds")
+      .as[(Timestamp, String, Long, Long)].collect().toSet
+    assert(got == batch, s"streaming=$got batch=$batch")
+  }
+
   test("windowed quality counts finalize per tumbling window in " +
       "append mode") {
     implicit val sql = spark.sqlContext

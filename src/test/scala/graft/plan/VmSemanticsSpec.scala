@@ -499,6 +499,30 @@ class VmSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("spark.graft.text.maxConcatChars caps the cross-line concat " +
+      "READ stream at exactly the first N raw characters") {
+    // the read of a `+=`-built text accumulates a running concat per
+    // cell; the cap bounds that state for 100 TB batches. Exact
+    // contract: capped stream ≡ substr(raw stream, 1, N)
+    val src =
+      """hidden text t0
+        |gauge l
+        |/^(?P<s>[a-z]+)$/ {
+        |  t0 += $s
+        |  l = len(t0)
+        |}
+        |""".stripMargin
+    val data = Seq("a", "bb", "ccc") // raw stream "abbccc" (6 chars)
+    val uncapped = run(src, data)
+    assert(uncapped(("l", Map.empty)) == VInt(6))
+    spark.conf.set("spark.graft.text.maxConcatChars", "4")
+    try {
+      val capped = run(src, data)
+      // "abbc": the third append truncates mid-value, later ones drop
+      assert(capped(("l", Map.empty)) == VInt(4))
+    } finally spark.conf.unset("spark.graft.text.maxConcatChars")
+  }
+
   test("op-aware folds: `=` on a counter is last-write, `++` on a " +
       "gauge accumulates, mixing folds set-then-increments") {
     // the VM applies Iset/Inc per datum regardless of declared kind
