@@ -1,0 +1,113 @@
+package graft.plan
+
+import graft.SparkSpec
+import graft.mtail.{Frontend, LogLines, Snapshot}
+import graft.mtail.Snapshot.{VInt, VStr}
+
+/** Directed pins for the keyless-read two-phase prefix scan: ordinals
+  * that SPAN bucket boundaries (the >>18 long-ordinal bucketing) must
+  * produce exactly the sequential fold for every mode — the offsets
+  * join is only correct if the per-bucket exclusive offsets compose in
+  * bucket order. Built on explicit ordCols so the bucket layout is
+  * controlled, not left to partition enumeration.
+  */
+class KeylessPrefixSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  /** run a program over lines whose explicit ords straddle `nBuckets`
+    * buckets of the >>18 bucketing (ord = i * 2^18 / linesPerBucket
+    * would be sparse; simpler: place line i at ord i*step with step
+    * chosen so consecutive lines land in distinct buckets).
+    */
+  private def run(src: String, lines: Seq[String], ordStep: Long)
+      : Map[(String, Map[String, String]), Snapshot.Value] = {
+    val prog = Frontend.parse(src, "kpfx")
+    val df = LogLines.fromLines(
+      lines.zipWithIndex.toDF("line", "i")
+        .withColumn("__ord", col("i").cast("long") * ordStep)
+        .select("line", "__ord"),
+      "line", ordCol = Some(col("__ord")))
+    Snapshot.collect(new PlanBuilder(prog, df, 0).snapshot())
+      .map(c => (c.name, c.labels) -> c.value).toMap
+  }
+
+  private val bucket = 1L << 18
+
+  test("keyless running-sum read composes across bucket boundaries") {
+    val src =
+      """hidden counter seen
+        |gauge snap
+        |/^(?P<x>\d+)$/ {
+        |  seen += $x
+        |  snap = seen
+        |}
+        |""".stripMargin
+    val data = (1 to 9).map(_.toString)
+    // one line per bucket: every cross-line read crosses a boundary
+    val spread = run(src, data, bucket)
+    assert(spread(("snap", Map.empty)) == VInt(45), spread)
+    // and identical to the single-bucket layout
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("keyless last-write read composes across bucket boundaries") {
+    val src =
+      """hidden gauge g
+        |gauge out
+        |/^(?P<x>\d+)$/ {
+        |  out = g
+        |  g = $x
+        |}
+        |""".stripMargin
+    val data = Seq("7", "11", "13")
+    // read-before-write: `out` sees the PREVIOUS line's g, written in
+    // the previous bucket
+    val spread = run(src, data, bucket)
+    assert(spread(("out", Map.empty)) == VInt(11), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("keyless mixed =/++ fold read composes across buckets " +
+      "(set in one bucket, increments in later ones)") {
+    val src =
+      """hidden gauge m
+        |gauge out
+        |/^set (?P<x>\d+)$/ { m = $x }
+        |/^inc (?P<x>\d+)$/ { m += $x }
+        |/^read$/ { out = m }
+        |""".stripMargin
+    val data = Seq("inc 1", "set 100", "inc 2", "inc 3", "read")
+    val spread = run(src, data, bucket)
+    assert(spread(("out", Map.empty)) == VInt(105), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("keyless text set/concat fold read composes across buckets") {
+    val src =
+      """hidden text t
+        |text out
+        |/^set (?P<s>[a-z]+)$/ { t = $s }
+        |/^add (?P<s>[a-z]+)$/ { t += $s }
+        |/^read$/ { out = t }
+        |""".stripMargin
+    val data = Seq("add x", "set ab", "add cd", "add ef", "read")
+    val spread = run(src, data, bucket)
+    assert(spread(("out", Map.empty)) == VStr("abcdef"), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("a bucket with no writes contributes the identity offset") {
+    val src =
+      """hidden counter c
+        |gauge snap
+        |/^hit$/ { c++ }
+        |/^(hit|miss)$/ { snap = c }
+        |""".stripMargin
+    // buckets: [hit] [miss] [miss] [hit] — empty-write buckets between
+    val data = Seq("hit", "miss", "miss", "hit")
+    val spread = run(src, data, bucket)
+    assert(spread(("snap", Map.empty)) == VInt(2), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+}
