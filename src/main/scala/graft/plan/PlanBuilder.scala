@@ -273,14 +273,21 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     * 128 MiB of input) cumulated in bucket order and joined back by
     * bucket — broadcastable by construction.
     *
-    * Pass 1 keeps the within-bucket term only, embedded RAW: its
-    * value is frozen into captured conds as the provisional read
-    * (single-bucket inputs make that exactly the previous global
-    * window), it must not reference a name a pass-2 registration
-    * would rebind (self-conditioned writes would turn circular), and
-    * it must not shift the shared name counter between passes.
-    * Memoized per (metric, mode): every read site of a metric shares
-    * one offsets join and one materialized column.
+    * Pass 1 returns the EXACT global window (the single-partition
+    * `Window.partitionBy()` form), embedded RAW: its value is frozen
+    * into captured conds as the provisional read, so it must be
+    * correct across bucket boundaries (a bucket-local pass-1 term
+    * silently loses cross-bucket state for any write whose cond reads
+    * keyless state — the mysql `partial == 1 { partial = 0 }` idiom),
+    * it must not reference a name a pass-2 registration would rebind
+    * (self-conditioned writes would turn circular), and it must not
+    * shift the shared name counter between passes. The raw global
+    * window registers no names and shifts no counters, satisfying
+    * both constraints; its single-task cost is paid ONLY by programs
+    * whose write conds read keyless metrics (otherwise pass-1 columns
+    * never reach the final plan) — correctness over parallelism for
+    * that rare shape. Memoized per (metric, mode): every read site of
+    * a metric shares one offsets join and one materialized column.
     */
   private val readMemo = mutable.Map[(String, String), Column]()
   private var kpfxSeq = 0
@@ -305,15 +312,22 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       value: Column, vt: DataType): Column =
     readMemo.getOrElseUpdate((metric, mode), {
       val ordT = curDf.schema("ord").dataType
-      val wb = Window.partitionBy(bucketOf(ordT, col("ord")))
-        .orderBy(col("ord"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val within = mode match {
-        case "sum" => coalesce(sum(value).over(wb), zeroOf(vt))
-        case _ => last(value, ignoreNulls = true).over(wb)
-      }
-      if (resolvedSites.isEmpty) within // pass 1: raw provisional
-      else {
+      if (resolvedSites.isEmpty) {
+        // pass 1: the exact global window, raw (see scaladoc above)
+        val wg = Window.partitionBy().orderBy(col("ord"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        mode match {
+          case "sum" => coalesce(sum(value).over(wg), zeroOf(vt))
+          case _ => last(value, ignoreNulls = true).over(wg)
+        }
+      } else {
+        val wb = Window.partitionBy(bucketOf(ordT, col("ord")))
+          .orderBy(col("ord"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val within = mode match {
+          case "sum" => coalesce(sum(value).over(wb), zeroOf(vt))
+          case _ => last(value, ignoreNulls = true).over(wb)
+        }
         val key = bucketKey(ordT, bucketOf(ordT, col("ord")))
         val off = materializeLazyJoin(key, refsOf(value) + "ord",
           snap => {
@@ -1784,16 +1798,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               .otherwise(lit(wasSetStatic)).as("__was_set"))
         else g.filter(col("value").isNotNull)
       } else {
-        val g = u.groupBy(keyNames.map(col): _*)
-          .agg(aggs.head, aggs.tail: _*)
-        // `limit N`: keep the N newest cells by datum timestamp
-        // (metric.go:184-198, store.go:160-164). Cell cardinality is
-        // export-sized, so the single-partition window is fine.
-        if (decl.limit > 0) {
-          val w = Window.orderBy(col("ts").desc)
-          g.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") <= decl.limit).drop("__rn")
-        } else g
+        limitNewest(u.groupBy(keyNames.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*), decl)
       }
       if (done.columns.contains("__was_set")) done
       else done.withColumn("__was_set", lit(wasSetStatic))
@@ -1863,12 +1869,23 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         combined.filter(touched).select(
           (keyNames.map(col) ++ Seq(value.as("value"), ts.as("ts"),
             col("__setOrd").isNotNull.as("__was_set"))): _*)
-    if (decl.limit > 0) {
-      val w = Window.orderBy(col("ts").desc)
-      out.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= decl.limit).drop("__rn")
-    } else out
+    limitNewest(out, decl)
   }
+
+  /** `limit N`: keep the N newest cells by datum timestamp
+    * (metric.go:184-198, store.go:160-164). `orderBy(desc).limit(N)`
+    * compiles to TakeOrderedAndProject — a parallel per-partition
+    * top-N merged driver-side from N-row partials — where the
+    * equivalent global `row_number` window funnels the ENTIRE
+    * pre-eviction cell set through one task; a high-cardinality
+    * labeled metric is precisely when users declare `limit N`, so
+    * that single-partition sort sat exactly on the hot path. Equal
+    * timestamps tie-break arbitrarily on both forms (the reference's
+    * map-iteration eviction has the same property).
+    */
+  private def limitNewest(df: DataFrame, decl: MetricDecl): DataFrame =
+    if (decl.limit > 0) df.orderBy(col("ts").desc).limit(decl.limit)
+    else df
 
   /** Per-cell fold for a TEXT metric written by BOTH `=` and `+=`:
     * Iset replaces the string datum, ADD_ASSIGN appends
@@ -1919,11 +1936,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     val out = combined.filter(touched).select(
       (keyNames.map(col) ++ Seq(value.as("value"), ts.as("ts"),
         col("__setOrd").isNotNull.as("__was_set"))): _*)
-    if (decl.limit > 0) {
-      val w = Window.orderBy(col("ts").desc)
-      out.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= decl.limit).drop("__rn")
-    } else out
+    limitNewest(out, decl)
   }
 
   /** Full exported snapshot: one row per metric cell. */

@@ -170,16 +170,22 @@ object LlmExtras {
         .orderBy("doc_id")
     }),
 
-    // multimodal: binary payloads → per-partition decode (stub codec) →
-    // typed metadata aggregation
+    // multimodal: binary payloads (REAL synthesized WAV/MP4 containers
+    // + raw-text unknowns) → per-partition header decode → typed
+    // metadata aggregation; the oracle reproduces every decoded field
+    // from (doc_id, length(text)) because the synthesis is
+    // deterministic (see Multimodal.demoMedia)
     "multimodal_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.demoMedia(s, dir), "media_id",
         "payload")
         .groupBy("format")
         .agg(count(lit(1)).as("n"),
           sum(col("width").cast("long")).as("width_sum"),
-          sum(col("n_frames").cast("long")).as("frames_sum"),
-          sum("n_bytes").as("bytes_sum"))
+          sum(col("height").cast("long")).as("height_sum"),
+          sum("n_bytes").as("bytes_sum"),
+          sum(col("sample_rate").cast("long")).as("sr_sum"),
+          sum(col("channels").cast("long")).as("ch_sum"),
+          sum("duration_ms").as("dur_ms_sum"))
         .orderBy("format")),
 
     // deterministic train/val/test split by md5-hex range — map-side
@@ -649,17 +655,41 @@ object LlmExtras {
                FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(cos, 5) AS cos FROM p
          WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+    // mirrors Multimodal.demoMedia's deterministic container
+    // synthesis: doc_id%3 → wav (44-byte header + data chunk) / mp4
+    // (236-byte ftyp+moov) / raw text (unknown); every decoded field
+    // is a pure function of (doc_id, length(text))
     "multimodal_decode_meta" ->
-      """WITH m AS (SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n,
-               CASE length(text) % 3 WHEN 0 THEN 'image'
-                 WHEN 1 THEN 'audio' ELSE 'video' END AS format
-             FROM documents)
+      """WITH m AS (SELECT doc_id AS id,
+               CAST(length(text) AS BIGINT) AS nn,
+               doc_id % 3 AS arm
+             FROM documents),
+         f AS (SELECT id, nn,
+               CASE arm WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
+                 ELSE 'unknown' END AS format,
+               CASE arm WHEN 1 THEN 160 + (nn % 16) * 16
+                 ELSE 0 END AS width,
+               CASE arm WHEN 1 THEN 120 + (id % 9) * 8
+                 ELSE 0 END AS height,
+               CASE arm WHEN 0 THEN 8000 + (nn % 8) * 1000
+                 ELSE 0 END AS sr,
+               CASE arm WHEN 0 THEN 1 + id % 2 ELSE 0 END AS ch,
+               CASE arm WHEN 0 THEN
+                 ((nn % 50) + 1) * (1 + id % 2) * 2 * 8
+                 ELSE 0 END AS db
+             FROM m)
          SELECT format, count(*) AS n,
-           CAST(sum(16 + n % 624) AS BIGINT) AS width_sum,
-           CAST(sum(1 + n % 24) AS BIGINT) AS frames_sum,
-           CAST(sum(n) AS BIGINT) AS bytes_sum
-         FROM m GROUP BY format ORDER BY format""",
+           CAST(sum(width) AS BIGINT) AS width_sum,
+           CAST(sum(height) AS BIGINT) AS height_sum,
+           CAST(sum(CASE format WHEN 'wav' THEN 44 + db
+             WHEN 'mp4' THEN 236 ELSE nn END) AS BIGINT) AS bytes_sum,
+           CAST(sum(sr) AS BIGINT) AS sr_sum,
+           CAST(sum(ch) AS BIGINT) AS ch_sum,
+           CAST(sum(CASE format
+             WHEN 'wav' THEN (db * 1000) // (sr * ch * 2)
+             WHEN 'mp4' THEN nn % 10000
+             ELSE 0 END) AS BIGINT) AS dur_ms_sum
+         FROM f GROUP BY format ORDER BY format""",
 
     // hash thresholds are Pipeline.rateHex values: 0.8→'cccd',
     // 0.9→'e666' (md5 hex prefix < threshold, byte-wise compare — both

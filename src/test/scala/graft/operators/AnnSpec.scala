@@ -340,19 +340,59 @@ class AnnSpec extends SparkSpec {
       (2, 3L, -1L, -1L)))
   }
 
-  test("multimodal decode stub is deterministic and typed") {
+  test("multimodal demo media decodes REAL synthesized wav/mp4 " +
+      "containers; raw-text payloads come back unknown") {
     val meta = Multimodal.decodeMeta(
       Multimodal.demoMedia(spark, sf("sf0.001")), "media_id", "payload")
     val byFormat = meta.groupBy("format").count().as[(String, Long)]
       .collect().toMap
     assert(byFormat.values.sum == 500L)
-    assert(byFormat.keySet.subsetOf(Set("image", "audio", "video")))
-    val one = meta.head()
-    assert(one.width >= 16 && one.n_frames >= 1)
+    assert(byFormat.keySet == Set("wav", "mp4", "unknown"))
+    val cells = meta.collect().map(m => m.id -> m).toMap
+    cells.values.foreach { m =>
+      (m.id % 3) match {
+        case 0 => // wav: real header parse, not fabrication
+          assert(m.format == "wav" && m.sample_rate >= 8000 &&
+            m.channels >= 1 && m.width == 0)
+        case 1 =>
+          assert(m.format == "mp4" && m.width >= 160 &&
+            m.height >= 120 && m.n_bytes == 236L)
+        case _ =>
+          assert(m.format == "unknown" && m.width == 0 &&
+            m.sample_rate == 0 && m.duration_ms == 0L)
+      }
+    }
+  }
+
+  test("wav/mp4 header parsers recover the exact synthesized fields; " +
+      "corrupt payloads degrade to unknown, never fail the task") {
+    import spark.implicits._
+    val wav = Multimodal.synthWav(sampleRate = 44100, channels = 2,
+      dataBytes = 44100 * 2 * 2) // exactly 1 s of 16-bit stereo
+    val mp4 = Multimodal.synthMp4(width = 1920, height = 1080,
+      durationMs = 123456L)
+    // corrupt: a PNG signature over garbage makes the ImageIO plugin
+    // reader throw a RuntimeException mid-header — must not propagate
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26,
+      10) ++ Array.fill[Byte](16)(0x7f)
+    val truncatedWav = wav.take(10)
+    val rows = Seq((1L, wav), (2L, mp4), (3L, corrupt),
+      (4L, truncatedWav))
+    val meta = Multimodal.decodeMeta(
+      rows.toDF("media_id", "payload"), "media_id", "payload")
+      .collect().map(m => m.id -> m).toMap
+    assert(meta(1L).format == "wav" && meta(1L).sample_rate == 44100 &&
+      meta(1L).channels == 2 && meta(1L).duration_ms == 1000L &&
+      meta(1L).n_bytes == wav.length.toLong)
+    assert(meta(2L).format == "mp4" && meta(2L).width == 1920 &&
+      meta(2L).height == 1080 && meta(2L).duration_ms == 123456L)
+    assert(meta(3L).format == "unknown" && meta(3L).n_bytes ==
+      corrupt.length.toLong)
+    assert(meta(4L).format == "unknown")
   }
 
   test("multimodal decode reads REAL png/jpeg headers through the " +
-      "Dataset path; unrecognised payloads fall back to the stub") {
+      "Dataset path; unrecognised payloads come back unknown") {
     import spark.implicits._
     def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
@@ -373,8 +413,8 @@ class AnnSpec extends SparkSpec {
       meta(1L).height == 480 && meta(1L).n_frames == 1)
     assert(meta(2L).format.startsWith("jp") && meta(2L).width == 31 &&
       meta(2L).height == 17)
-    // no installed reader claims plain text → deterministic stub arm
-    assert(Set("image", "audio", "video").contains(meta(3L).format))
+    // no arm claims plain text → honest unknown, zeroed fields
+    assert(meta(3L).format == "unknown")
     assert(meta(3L).n_bytes == rows(2)._2.length.toLong)
   }
 }

@@ -97,6 +97,49 @@ class KeylessPrefixSpec extends SparkSpec {
     assert(run(src, data, 1L) == spread)
   }
 
+  test("self-conditioned write (cond reads the written metric) " +
+      "composes across buckets — the mysql partial-reset idiom") {
+    // `partial == 1 { partial = 0 }`: the write's own condition reads
+    // the metric being written. The cond is compiled in pass 1 and
+    // frozen; if the pass-1 provisional read were bucket-local, the
+    // cond would lose all cross-bucket state (mark in bucket 0, reset
+    // in bucket 1 never fires).
+    val src =
+      """hidden gauge partial
+        |counter resets
+        |/^p$/ { partial = 1 }
+        |/^c$/ {
+        |  partial == 1 {
+        |    partial = 0
+        |    resets++
+        |  }
+        |}
+        |""".stripMargin
+    // one line per bucket: p(mark) c(reset fires) c(no-op)
+    //                      p(mark) c(reset fires)
+    val data = Seq("p", "c", "c", "p", "c")
+    val spread = run(src, data, bucket)
+    assert(spread(("resets", Map.empty)) == VInt(2), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("cond reading a DIFFERENT keyless metric composes across " +
+      "buckets (frozen pass-1 cond, no self-reference)") {
+    val src =
+      """hidden counter armed
+        |counter fired
+        |/^arm$/ { armed++ }
+        |/^go$/ {
+        |  armed > 0 { fired++ }
+        |}
+        |""".stripMargin
+    // arm in bucket 0; both `go`s in later buckets must see it
+    val data = Seq("go", "arm", "go", "go")
+    val spread = run(src, data, bucket)
+    assert(spread(("fired", Map.empty)) == VInt(2), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
   test("a bucket with no writes contributes the identity offset") {
     val src =
       """hidden counter c

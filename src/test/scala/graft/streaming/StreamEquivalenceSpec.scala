@@ -123,6 +123,12 @@ class StreamEquivalenceSpec extends SparkSpec {
       "t1[$s] = tolower($s)",
       "del t1[$s]",
       "g0 = len(t1[$s])",
+      // self-conditioned write: the write's own cond reads the metric
+      // being written (the mysql `partial == 1 { partial = 0 }` reset
+      // idiom) — the frozen pass-1 cond read must carry across batch
+      // boundaries exactly like the one-shot global window
+      "hid0 = 1",
+      "hid0 == 1 {\nhid0 = 0\nc0++\n}",
       // timestamp machinery: line numbers are MONOTONE (genLines), so
       // the store's max-ts merge agrees with one-shot last-write and
       // the settime exclusion in the scaladoc doesn't apply
