@@ -156,13 +156,36 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     col(name)
   }
 
+  /** CONTENT-DERIVED registration names for read-triggered
+    * materializations (__carry state joins, __asof probe relations).
+    * These registrations happen during METRIC-READ compilation, whose
+    * branch choice depends on the set of VISIBLE write sites — which
+    * differs between the two walk passes by design (pass 1 sees only
+    * earlier sites, pass 2 the full list). A shared sequence counter
+    * therefore drifts between passes the moment one pass registers a
+    * read the other skipped, and every later walk-deterministic
+    * `__m_N` name shifts — a frozen pass-1 cond then references a
+    * name pass 2 bound to a DIFFERENT column (the fuzz-found
+    * "circular materialization: __asof_1 -> __m_1" crash on a write
+    * cond reading a mixed `=`/`++` metric). Deriving the name from
+    * the read's memo key instead makes it pass-independent: pass 2
+    * recompiles every site cond (same memo keys), so each frozen
+    * pass-1 reference resolves to pass 2's registration — built
+    * against the full site list, i.e. the MORE exact spec.
+    */
+  private def stableName(prefix: String, key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    prefix + "_" + md.digest(key.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
   /** left-join `state` (k, v) against the line frame on `key`,
     * yielding the carried value as a named column (null = no state).
+    * `nameKey` is the owning read's memo key (see [[stableName]]).
     */
-  private def materializeStateJoin(key: Column, state: DataFrame)
-      : Column = {
-    val name = s"__carry_$colSeq"
-    colSeq += 1
+  private def materializeStateJoin(key: Column, state: DataFrame,
+      nameKey: String): Column = {
+    val name = stableName("__carry", nameKey)
     pendingJoins(name) = (key, state)
     col(name)
   }
@@ -249,7 +272,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       .withColumn("__iv",
         when(col("__ivlb") >= cap, lit(null).cast(StringType))
           .otherwise(raw.substr(lit(1),
-            greatest(lit(cap) - col("__ivlb"), lit(0L)).cast("int"))))
+            // clamp into Int BEFORE the cast: a cap above
+            // Int.MaxValue would wrap negative under the pinned
+            // non-ANSI session and silently DROP text instead of
+            // capping it (substr lengths are Int-bounded anyway)
+            least(greatest(lit(cap) - col("__ivlb"), lit(0L)),
+              lit(Int.MaxValue.toLong)).cast("int"))))
   }
 
   /** injective string form of a bucket, for the offsets join key. */
@@ -421,9 +449,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     snapCur()
   }
 
-  private def materializeAsofRead(spec: AsofSpec): Column = {
-    val name = s"__asof_$colSeq"
-    colSeq += 1
+  /** `nameKey` is the owning read's memo key — the name must be
+    * identical across the two walk passes (see [[stableName]]).
+    */
+  private def materializeAsofRead(spec: AsofSpec,
+      nameKey: String): Column = {
+    val name = stableName("__asof", nameKey)
     pendingAsofs(name) = spec
     col(name)
   }
@@ -623,8 +654,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     *
     *  1. bucket the exploded legs by an ORDER-CONTIGUOUS, purely
     *     data-derived key: the high bits of the row ordinal. A long
-    *     ordinal (monotonically_increasing_id layout, pid<<33|row)
-    *     buckets by source partition; a (filename, byte-offset)
+    *     ordinal buckets by >>18 (same granularity as [[bucketOf]]:
+    *     ≤256 Ki rows per bucket for dense ids, and under the
+    *     monotonically_increasing_id pid<<33|row layout partition
+    *     boundaries stay bucket boundaries); a (filename, byte-offset)
     *     ordinal buckets by 128 MiB file block — matching the tail
     *     source's split size, so bucket parallelism tracks scan
     *     parallelism. No sampling pass, no checkpoint: unlike
@@ -646,8 +679,15 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   private def keylessAsofProbes(base: DataFrame, n: String,
       sp: AsofSpec, legs: Seq[Column]): DataFrame = {
     val zero = zeroOf(sp.vt)
+    // same >>18 granularity as bucketOf (both legs of a row share
+    // __o, so any monotone bucketing is safe): under the
+    // monotonically_increasing_id layout (pid<<33|row) this still
+    // respects partition boundaries, and for DENSE long ordinals
+    // (event ids) it keeps ≤256 Ki rows per bucket where a >>33 shift
+    // would put everything below 2^33 in ONE bucket — the
+    // single-task window this decomposition exists to eliminate
     val bucket = base.schema("ord").dataType match {
-      case LongType => shiftright(col("__o"), 33)
+      case LongType => shiftright(col("__o"), 18)
       case st: StructType
           if st.fieldNames.sameElements(Array("f", "o")) =>
         struct(col("__o").getField("f").as("f"),
@@ -1151,6 +1191,11 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   pending.clear()
   pendingJoins.clear()
   pendingLazyJoins.clear()
+  // pass-1 asof registrations hold PROVISIONAL column refs; pass 2
+  // re-registers every read it compiles under the same content-derived
+  // name (stableName), so clearing here means a stale pass-1 spec can
+  // never flush — an unresolvable ref fails loudly instead
+  pendingAsofs.clear()
   koffSeq = 0
   kpfxSeq = 0
   readMemo.clear()
@@ -1411,16 +1456,17 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   /** Cross-line metric read: running last-written value for this key. */
   private def metricReadColumn(metric: String, keys: Seq[Expr],
       frames: List[Frame], tReg: Column, siteIdx: Int,
-      reading: Set[String]): Column =
-    metricReadMemo.getOrElseUpdate((metric,
-      keys.map(_.toString).mkString(""), siteIdx,
-      reading.toSeq.sorted.mkString(",")),
+      reading: Set[String]): Column = {
+    val memoKey = (metric, keys.map(_.toString).mkString(""), siteIdx,
+      reading.toSeq.sorted.mkString(","))
+    metricReadMemo.getOrElseUpdate(memoKey,
       metricReadColumnImpl(metric, keys, frames, tReg, siteIdx,
-        reading))
+        reading, memoKey.toString))
+  }
 
   private def metricReadColumnImpl(metric: String, keys: Seq[Expr],
       frames: List[Frame], tReg: Column, siteIdx: Int,
-      reading: Set[String]): Column = {
+      reading: Set[String], nameKey: String): Column = {
     readMetricsBuf += metric
     if (reading.contains(metric))
       throw new IllegalArgumentException(
@@ -1457,7 +1503,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             "not supported")
       val carried = initialState.get(metric)
         .map(st => coalesce(
-          materializeStateJoin(PlanBuilder.joinKeys(keyCols), st),
+          materializeStateJoin(PlanBuilder.joinKeys(keyCols), st,
+            nameKey),
           zeroOf(vt)))
         .getOrElse(zeroOf(vt))
       def incAsofWrites: Seq[AsofWrite] = incWrites.map(s =>
@@ -1489,7 +1536,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               AsofWrite(writeKeyColsOf(s), s.idx,
                 coalesce(s.cond, lit(false)),
                 zeroOf(vt), isSet = true)),
-          mode = "fold", vt))
+          mode = "fold", vt), nameKey)
         val inc = coalesce(f.getField("inc"), zeroOf(vt))
         return when(f.getField("set").isNull, carried + inc)
           .otherwise(f.getField("set") + inc)
@@ -1499,7 +1546,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       // the carried cross-batch total
       if (!sameKeyExprs(incWrites)) {
         val asof = materializeAsofRead(AsofSpec(keyCols, siteIdx,
-          incAsofWrites, mode = "sum", vt))
+          incAsofWrites, mode = "sum", vt), nameKey)
         return coalesce(asof, zeroOf(vt)) + carried
       }
       def deltaOf(s: Site): Column = coalesce(
@@ -1548,10 +1595,11 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
                 exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
                   reading + metric), s.frames, StringType),
               isSet = true)),
-        mode = "concat", StringType))
+        mode = "concat", StringType), nameKey)
       val carriedC = initialState.get(metric)
         .map(st => coalesce(
-          materializeStateJoin(PlanBuilder.joinKeys(keyCols), st),
+          materializeStateJoin(PlanBuilder.joinKeys(keyCols), st,
+            nameKey),
           lit("")))
         .getOrElse(lit(""))
       val inc = coalesce(f.getField("inc"), lit(""))
@@ -1568,13 +1616,13 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     }
 
     val carried = initialState.get(metric).map { st =>
-      materializeStateJoin(PlanBuilder.joinKeys(keyCols), st)
+      materializeStateJoin(PlanBuilder.joinKeys(keyCols), st, nameKey)
     }
     if (!sameKeyExprs(writes)) {
       val asof = materializeAsofRead(AsofSpec(keyCols, siteIdx,
         writes.map(s => AsofWrite(writeKeyColsOf(s), s.idx,
           coalesce(s.cond, lit(false)), writeVal(s), isSet = true)),
-        mode = "last", vt))
+        mode = "last", vt), nameKey)
       return coalesce((asof +: carried.toSeq :+ zeroOf(vt)): _*)
     }
 

@@ -521,6 +521,53 @@ class VmSemanticsSpec extends SparkSpec {
       // "abbc": the third append truncates mid-value, later ones drop
       assert(capped(("l", Map.empty)) == VInt(4))
     } finally spark.conf.unset("spark.graft.text.maxConcatChars")
+    // a cap past Int.MaxValue must behave as unlimited, not wrap the
+    // substr length negative (which would silently DROP all text)
+    spark.conf.set("spark.graft.text.maxConcatChars",
+      (Int.MaxValue.toLong + 10L).toString)
+    try {
+      val huge = run(src, data)
+      assert(huge(("l", Map.empty)) == VInt(6))
+    } finally spark.conf.unset("spark.graft.text.maxConcatChars")
+  }
+
+  test("a write cond reading a mixed =/++ metric compiles and folds " +
+      "(fuzz-found cross-pass name-alignment crash)") {
+    // The cond `h == 1` reads h, whose sites mix a set (`h = 0`) and
+    // an increment (`h++`) under a LATER regex — the read compiles to
+    // an as-of fold whose registration pass 1 skips (no writes visible
+    // at the cond yet). With sequence-numbered registration names this
+    // shifted every later walk-materialized column between the two
+    // compile passes, and the frozen pass-1 cond referenced a name
+    // pass 2 bound elsewhere — "circular materialization" / unresolved
+    // attribute at plan build. Content-derived names (stableName) make
+    // the passes agree; this pins the compile and the fold value.
+    //
+    // Value semantics: this shape is NON-ABSORBING self-reference —
+    // whether the reset fires depends on its own full firing history
+    // through the later `++` (a sequential automaton). The engine's
+    // documented one-level unroll evaluates the reset's frozen cond
+    // against pass-1 visibility (no writes yet → never fires), so
+    // reads over-count past the first reset: c = 1 here where the
+    // strictly sequential VM yields 2. The ABSORBING reset idiom the
+    // reference actually uses (`partial == 1 { partial = 0 }` after a
+    // regex-guarded mark) stays EXACT — pinned in KeylessPrefixSpec —
+    // because an over/under-fired reset writes the value the cell
+    // already holds. Deterministic either way; one-shot ≡ batch-split
+    // is enforced by the equivalence fuzz, whose pool carries this
+    // shape.
+    val cells = run(
+      """hidden gauge h
+        |counter c
+        |/^a$/ {
+        |  h == 1 {
+        |    h = 0
+        |    c++
+        |  }
+        |}
+        |/b (?P<x>\d+)/ { h++ }
+        |""".stripMargin, Seq("a", "b 1", "a", "b 2", "a"))
+    assert(cells(("c", Map.empty)) == VInt(1))
   }
 
   test("op-aware folds: `=` on a counter is last-write, `++` on a " +
