@@ -506,17 +506,29 @@ object Bench {
           val warm = 50000
           append(lines.take(warm))
           val warmed = awaitTotal(warm, 60)
-          val t0 = System.nanoTime()
-          append(lines)
-          val done = warmed && awaitTotal(warm + lines.length, 120)
-          val secs = (System.nanoTime() - t0) / 1e9
-          val k = lines.length / 1000.0 / secs
-          println(s"""{"replay_run":"streaming_tail","lines":${lines.length},"warmup_lines":$warm,"ingested":${totalCell},"secs":${ms(secs)},"klines_per_sec":${ms(k)},"trigger_ms":$streamTriggerMs}""")
-          if (done)
+          // MEDIAN OF 3 measured ingest cycles (r14's single sample
+          // dropped 34% against r13 on an otherwise-clean box and was
+          // unexplainable from one number; the per-batch fixed cost
+          // measured identical across those code points, so spread
+          // must be visible in the artifact). Each cycle appends the
+          // full 1M lines and waits for the counter to absorb them.
+          var expected = warm.toLong
+          val runSecs = (1 to 3).flatMap { r =>
+            val t0 = System.nanoTime()
+            append(lines)
+            expected += lines.length
+            val done = warmed && awaitTotal(expected, 120)
+            val secs = (System.nanoTime() - t0) / 1e9
+            val k = lines.length / 1000.0 / secs
+            println(s"""{"replay_run":"streaming_tail","run":$r,"lines":${lines.length},"warmup_lines":$warm,"ingested":${totalCell},"secs":${ms(secs)},"klines_per_sec":${ms(k)},"trigger_ms":$streamTriggerMs}""")
+            if (done) Some(secs) else None
+          }
+          if (runSecs.size == 3) {
+            val k = lines.length / 1000.0 / median(runSecs)
             streamKvs = Seq(
               s""""streaming_klines_per_sec":${ms(k)}""",
               s""""streaming_trigger_ms":$streamTriggerMs""")
-          else streamFailed = Seq("streaming_tail_incomplete")
+          } else streamFailed = Seq("streaming_tail_incomplete")
         } finally {
           handle.stop()
           // the replay file lives on tmpfs (RAM) — leaking ~45 MB per

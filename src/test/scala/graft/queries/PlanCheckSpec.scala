@@ -211,6 +211,29 @@ class PlanCheckSpec extends SparkSpec {
         "scanning per-site again")
   }
 
+  test("limit-N eviction compiles to a parallel TakeOrderedAndProject, " +
+      "not a single-partition window sort") {
+    // `limit N` keeps the N newest cells; the pre-eviction cell set is
+    // precisely high-cardinality when a user declares it, so a global
+    // row_number() window (one task holds every cell) would sit on the
+    // hot path. orderBy(ts.desc).limit(N) → partial per-partition
+    // top-N merged driver-side.
+    import graft.mtail.{Frontend, LogLines}
+    import graft.plan.PlanBuilder
+    import spark.implicits._
+    val prog = Frontend.parse(
+      """counter hits by ip limit 3
+        |/^(?P<ip>\S+)$/ { hits[$ip]++ }
+        |""".stripMargin, "limitplan")
+    val df = LogLines.fromLines(
+      Seq("a", "b", "c", "d", "e").toDF("line"), "line")
+    val pb = new PlanBuilder(prog, df, 0)
+    val plan = pb.snapshot().queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("RunningWindowFunction") &&
+      !plan.contains("row_number"), plan)
+  }
+
   test("WordStats queries scan once, prune columns, and partial-agg " +
       "map-side") {
     val p = planOf("text_repetition_stats")
