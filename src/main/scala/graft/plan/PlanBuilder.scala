@@ -301,24 +301,57 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     * 128 MiB of input) cumulated in bucket order and joined back by
     * bucket — broadcastable by construction.
     *
-    * Pass 1 returns the EXACT global window (the single-partition
-    * `Window.partitionBy()` form), embedded RAW: its value is frozen
-    * into captured conds as the provisional read, so it must be
-    * correct across bucket boundaries (a bucket-local pass-1 term
-    * silently loses cross-bucket state for any write whose cond reads
-    * keyless state — the mysql `partial == 1 { partial = 0 }` idiom),
-    * it must not reference a name a pass-2 registration would rebind
-    * (self-conditioned writes would turn circular), and it must not
-    * shift the shared name counter between passes. The raw global
-    * window registers no names and shifts no counters, satisfying
-    * both constraints; its single-task cost is paid ONLY by programs
-    * whose write conds read keyless metrics (otherwise pass-1 columns
-    * never reach the final plan) — correctness over parallelism for
-    * that rare shape. Memoized per (metric, mode): every read site of
-    * a metric shares one offsets join and one materialized column.
+    * Pass 1 returns the CONTENT-NAMED pass-2 column (stableName over
+    * the (metric, mode) memo key — the same cross-pass contract as
+    * __asof/__carry): the frozen conds that capture it resolve, in
+    * pass 2, to the registration built against the FULL site list and
+    * the distributed two-phase scan. This both removes the
+    * single-task `Window.partitionBy()` residue pre-r15 frozen conds
+    * carried AND lifts the unroll bottom one level — a frozen cond
+    * reading keyless state now sees writes that appear LATER in
+    * program text (pass-1 visibility froze them at zero before;
+    * KeylessPrefixSpec pins the text-order case).
+    *
+    * Self/mutual reference: if pass 2's value for this read itself
+    * references this (or a mutually-referenced) kpfx name — a write
+    * cond reading the metric being folded — the name can't resolve to
+    * its own pending registration. Pass 1 therefore stores a RAW
+    * provisional (the exact single-partition global window over
+    * pass-1-visible deltas) per name, and the self-reference is
+    * substituted with it: the documented one-level-unroll bottom,
+    * exact for absorbing resets, single-task ONLY for that bottom
+    * term. The provisional-reference graph is acyclic by construction
+    * (a provisional can only reference names created strictly earlier
+    * in the pass-1 walk), so substitution terminates. Memoized per
+    * (metric, mode): every read site of a metric shares one offsets
+    * join and one materialized column.
     */
   private val readMemo = mutable.Map[(String, String), Column]()
   private var kpfxSeq = 0
+
+  /** pass-1 raw provisionals per content name — the unroll bottom for
+    * self/mutual keyless reference (see [[keylessPrefix]]). Filled in
+    * pass 1, consumed by pass-2 substitution; NOT cleared at the
+    * pass-2 reset (the raw windows reference only walk-deterministic
+    * __m/ord columns, which pass 2 re-registers under identical
+    * names).
+    */
+  private val kpfxProvisional = mutable.Map[String, Column]()
+
+  /** replace every reference to column `name` inside `c` with `repl`
+    * (eager Catalyst tree transform — composite Columns convert
+    * lazily, see GraftBridge.eagerExpression).
+    */
+  private def substituteRef(c: Column, name: String,
+      repl: Column): Column = {
+    val replE = org.apache.spark.sql.GraftBridge.eagerExpression(repl)
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.GraftBridge.eagerExpression(c).transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 && a.nameParts.head == name =>
+          replE
+      })
+  }
 
   /** pass-2 cross-line reads materialize as COLUMNS of the (cached)
     * line relation — each window computes once, and the per-metric
@@ -340,8 +373,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       value: Column, vt: DataType): Column =
     readMemo.getOrElseUpdate((metric, mode), {
       val ordT = curDf.schema("ord").dataType
+      val name = stableName("__kpfx", metric + "|" + mode)
       if (resolvedSites.isEmpty) {
-        // pass 1: the exact global window, raw (see scaladoc above)
+        // pass 1: the raw exact global window, INLINE. This branch
+        // only ever executes inside a pass-1 provisional (the __mrd
+        // wrapper defers the read itself), so the raw form is exactly
+        // the self-contained substitution bottom self/mutual cycles
+        // need — a content-named reference here would re-enter the
+        // cycle the provisional exists to break.
         val wg = Window.partitionBy().orderBy(col("ord"))
           .rowsBetween(Window.unboundedPreceding, -1)
         mode match {
@@ -349,28 +388,29 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           case _ => last(value, ignoreNulls = true).over(wg)
         }
       } else {
+        val v = value
         val wb = Window.partitionBy(bucketOf(ordT, col("ord")))
           .orderBy(col("ord"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val within = mode match {
-          case "sum" => coalesce(sum(value).over(wb), zeroOf(vt))
-          case _ => last(value, ignoreNulls = true).over(wb)
+          case "sum" => coalesce(sum(v).over(wb), zeroOf(vt))
+          case _ => last(v, ignoreNulls = true).over(wb)
         }
         val key = bucketKey(ordT, bucketOf(ordT, col("ord")))
-        val off = materializeLazyJoin(key, refsOf(value) + "ord",
+        val off = materializeLazyJoin(key, refsOf(v) + "ord",
           snap => {
             val b = bucketOf(ordT, col("ord"))
             val woff = Window.partitionBy(lit(0)).orderBy(col("__b"))
               .rowsBetween(Window.unboundedPreceding, -1)
             val agg = mode match {
               case "sum" =>
-                snap.select(b.as("__b"), value.as("__d"))
+                snap.select(b.as("__b"), v.as("__d"))
                   .groupBy(col("__b"))
                   .agg(sum(col("__d")).as("__p"))
                   .withColumn("v", sum(col("__p")).over(woff))
               case _ =>
                 snap.select(b.as("__b"), col("ord").as("__o"),
-                  value.as("__d"))
+                  v.as("__d"))
                   .groupBy(col("__b"))
                   .agg(max(when(col("__d").isNotNull,
                     struct(col("__o"), col("__d")))).as("__m"))
@@ -380,9 +420,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             agg.select(bucketKey(ordT, col("__b")).as("k"), col("v"))
           })
         // materialize the combined read as a COLUMN of the cached
-        // line relation (own __kpfx name space — see readMaterialized)
-        val name = s"__kpfx_$kpfxSeq"
-        kpfxSeq += 1
+        // line relation, under the cross-pass content name
         pending(name) = mode match {
           case "sum" => within + coalesce(off, zeroOf(vt))
           case _ => coalesce(within, off)
@@ -496,8 +534,63 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             w.keys ++ Seq(w.cond, w.value)))
             .flatMap(refsOf).filter(_.startsWith("__")).forall(avail)
         }
+        // LAST RESORT before declaring a cycle: an unavailable
+        // __kpfx reference that pass 2 never registered (the read took
+        // a different branch than pass 1 — e.g. pass 1 saw only inc
+        // sites and returned the kpfx name, pass 2 sees set+inc and
+        // goes through the as-of fold) or that forms a genuine
+        // self/mutual cycle bottoms out with the pass-1 provisional
+        // (see keylessPrefix). The provisional-reference graph is
+        // acyclic, so this strictly reduces the unresolved set.
         if (readyJoins.isEmpty && readyLazy.isEmpty &&
-          readyAsofs.isEmpty)
+          readyAsofs.isEmpty) {
+          def unresolvedKpfx(cols: Seq[Column]): Set[String] =
+            cols.flatMap(refsOf).toSet
+              .filter(r => !avail(r) && kpfxProvisional.contains(r))
+          var substituted = false
+          pending.toSeq.foreach { case (pn, c) =>
+            val miss = unresolvedKpfx(Seq(c))
+            if (miss.nonEmpty) {
+              pending(pn) = miss.foldLeft(c)((acc, r) =>
+                substituteRef(acc, r, kpfxProvisional(r)))
+              substituted = true
+            }
+          }
+          pendingAsofs.toSeq.foreach { case (pn, sp) =>
+            val cols = sp.probeKeys ++
+              sp.writes.flatMap(w => w.keys ++ Seq(w.cond, w.value))
+            val miss = unresolvedKpfx(cols)
+            if (miss.nonEmpty) {
+              def sub(c: Column): Column = miss.foldLeft(c)((acc, r) =>
+                substituteRef(acc, r, kpfxProvisional(r)))
+              pendingAsofs(pn) = sp.copy(
+                probeKeys = sp.probeKeys.map(sub),
+                writes = sp.writes.map(w => w.copy(keys = w.keys.map(sub),
+                  cond = sub(w.cond), value = sub(w.value))))
+              substituted = true
+            }
+          }
+          // lazy state joins capture their value columns in the build
+          // closure, so substitution can't rewrite them — instead the
+          // provisional is SELECTED INTO the snapshot under the
+          // missing name, resolving the closure's reference to the
+          // exact same expression the pending-side substitution used
+          // (the two legs of a prefix decomposition must fold the
+          // same value)
+          pendingLazyJoins.toSeq.foreach { case (n, (k, needs, build)) =>
+            val miss = (needs ++ refsOf(k))
+              .filter(r => !avail(r) && kpfxProvisional.contains(r))
+            if (miss.nonEmpty) {
+              val pv = miss.toSeq.map(r => kpfxProvisional(r).as(r))
+              val newNeeds = needs -- miss ++
+                miss.flatMap(r => refsOf(kpfxProvisional(r)))
+              pendingLazyJoins(n) = (k, newNeeds,
+                snap => build(snap.select(col("*") +: pv: _*)))
+              substituted = true
+            }
+          }
+          if (substituted) () // retry the flush loop with bottoms in
+          else
           throw new IllegalStateException("circular materialization: " +
             "unresolved refs " + (pendingAsofs.map { case (pn, sp) =>
               pn -> ((sp.probeKeys ++ sp.writes.flatMap(w =>
@@ -507,6 +600,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             } ++ pending.map { case (pn, c) =>
               pn -> (refsOf(c).filter(_.startsWith("__")) -- avail)
             }))
+        }
         if (wantPersist && persistedDf.isEmpty) persistNow()
         readyJoins.foreach { case (n, (key, state)) =>
           val st = state.select(col("k").as(s"${n}_k"),
@@ -1454,14 +1548,34 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   }
 
   /** Cross-line metric read: running last-written value for this key. */
+  /** Cross-pass DEFERRED binding for every metric read: the memo
+    * wrapper returns a CONTENT-NAMED column (stableName over the
+    * read's memo key). In pass 2 the name binds to the impl result
+    * compiled against the FULL site list; in pass 1 it binds to
+    * nothing yet — the pass-1 impl result (pass-1-visible sites only,
+    * the historical frozen semantic) is stored as the PROVISIONAL and
+    * used only as the substitution bottom for genuine self/mutual
+    * reference cycles (see the flushPending fallback). Effect: a
+    * frozen pass-1 cond that reads ANY metric — keyless or keyed,
+    * window, as-of or fold branch — resolves to the exact
+    * full-visibility read, including write sites that appear LATER in
+    * program text (pre-r15 those were frozen at pass-1 visibility:
+    * reading a metric whose write cond read a later-written keyless
+    * metric silently returned zero).
+    */
   private def metricReadColumn(metric: String, keys: Seq[Expr],
       frames: List[Frame], tReg: Column, siteIdx: Int,
       reading: Set[String]): Column = {
     val memoKey = (metric, keys.map(_.toString).mkString(""), siteIdx,
       reading.toSeq.sorted.mkString(","))
-    metricReadMemo.getOrElseUpdate(memoKey,
-      metricReadColumnImpl(metric, keys, frames, tReg, siteIdx,
-        reading, memoKey.toString))
+    metricReadMemo.getOrElseUpdate(memoKey, {
+      val name = stableName("__mrd", memoKey.toString)
+      val impl = metricReadColumnImpl(metric, keys, frames, tReg,
+        siteIdx, reading, memoKey.toString)
+      if (resolvedSites.isEmpty) { kpfxProvisional(name) = impl }
+      else { pending(name) = impl }
+      col(name)
+    })
   }
 
   private def metricReadColumnImpl(metric: String, keys: Seq[Expr],

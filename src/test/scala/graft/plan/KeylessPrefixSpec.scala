@@ -140,6 +140,53 @@ class KeylessPrefixSpec extends SparkSpec {
     assert(run(src, data, 1L) == spread)
   }
 
+  test("cond reads a keyless metric whose only writes appear LATER " +
+      "in program text — and still resolves to the full write set") {
+    // pass 1 collects sites in text order, so at the `armed > 0` cond
+    // the arm site is not yet visible; a frozen pass-1 read built
+    // over pass-1-visible sites would be constant zero and the cond
+    // could never fire. The content-named read must resolve to the
+    // pass-2 registration (full site list, distributed prefix scan).
+    val src =
+      """counter fired
+        |hidden counter armed
+        |/^go$/ {
+        |  armed > 0 { fired++ }
+        |}
+        |/^arm$/ { armed++ }
+        |""".stripMargin
+    val data = Seq("go", "arm", "go", "go")
+    val spread = run(src, data, bucket)
+    assert(spread(("fired", Map.empty)) == VInt(2), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("mutually-referencing keyless conds compile and fold " +
+      "deterministically (no circular materialization)") {
+    // a's write cond reads b; b's write cond reads a — the name-based
+    // pass-1 references form a cycle that the flush must bottom out
+    // with the pass-1 provisional, not crash on
+    val src =
+      """counter done
+        |hidden gauge a
+        |hidden gauge b
+        |/^x$/ {
+        |  b == 0 { a = 1 }
+        |}
+        |/^y$/ {
+        |  a == 1 { b = 1 }
+        |}
+        |/^z$/ {
+        |  b == 1 { done++ }
+        |}
+        |""".stripMargin
+    val data = Seq("x", "y", "z", "z")
+    val spread = run(src, data, bucket)
+    // x: b==0 (nothing written) → a=1; y: a==1 → b=1; z,z: done++
+    assert(spread(("done", Map.empty)) == VInt(2), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
   test("a bucket with no writes contributes the identity offset") {
     val src =
       """hidden counter c

@@ -570,6 +570,28 @@ class VmSemanticsSpec extends SparkSpec {
     assert(cells(("c", Map.empty)) == VInt(1))
   }
 
+  test("reading a metric whose write cond reads a LATER-written " +
+      "keyless metric resolves the inner read against the full " +
+      "site list (deferred __mrd binding)") {
+    // m's write cond reads k, whose only write site appears later in
+    // program text. Pre-r15 the frozen pass-1 cond bottomed k at
+    // pass-1 visibility (no sites yet → constant zero), so the read
+    // of m silently saw the write as never firing and out stayed 0.
+    // The content-named deferred binding resolves the inner read to
+    // the pass-2 registration — full site list, distributed scan.
+    val cells = run(
+      """gauge out
+        |hidden gauge m
+        |hidden counter k
+        |/^w$/ {
+        |  k > 0 { m = 1 }
+        |}
+        |/^k$/ { k++ }
+        |/^r$/ { out = m }
+        |""".stripMargin, Seq("k", "w", "r"))
+    assert(cells(("out", Map.empty)) == VInt(1))
+  }
+
   test("op-aware folds: `=` on a counter is last-write, `++` on a " +
       "gauge accumulates, mixing folds set-then-increments") {
     // the VM applies Iset/Inc per datum regardless of declared kind
