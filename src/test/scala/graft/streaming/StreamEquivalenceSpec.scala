@@ -129,6 +129,14 @@ class StreamEquivalenceSpec extends SparkSpec {
       // boundaries exactly like the one-shot global window
       "hid0 = 1",
       "hid0 == 1 {\nhid0 = 0\nc0++\n}",
+      // conds reading metrics through every fold family: a keyless
+      // counter (sum mode), a KEYED hidden gauge (per-key window /
+      // as-of), and a threshold read guarding a keyed write — the
+      // deferred __mrd binding must give each the same full-site
+      // resolution in one-shot and across any batch split
+      "hidc > 2 { c0++ }",
+      "hid1[$s][$x] == $x { c0++ }",
+      "hidc % 2 == 0 { g1[$s][$x] = hidc }",
       // timestamp machinery: line numbers are MONOTONE (genLines), so
       // the store's max-ts merge agrees with one-shot last-write and
       // the settime exclusion in the scaladoc doesn't apply
