@@ -544,12 +544,39 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         // acyclic, so this strictly reduces the unresolved set.
         if (readyJoins.isEmpty && readyLazy.isEmpty &&
           readyAsofs.isEmpty) {
-          def unresolvedKpfx(cols: Seq[Column]): Set[String] =
+          // refs of a REGISTERED-but-unmaterialized name, across all
+          // three registries, for the cycle test below
+          def refsOfName(n: String): Set[String] =
+            pending.get(n).map(c => refsOf(c))
+              .orElse(pendingAsofs.get(n).map(sp =>
+                (sp.probeKeys ++ sp.writes.flatMap(w =>
+                  w.keys ++ Seq(w.cond, w.value))).flatMap(refsOf).toSet))
+              .orElse(pendingLazyJoins.get(n).map {
+                case (k, needs, _) => refsOf(k) ++ needs })
+              .getOrElse(Set.empty).filter(_.startsWith("__"))
+          def registered(n: String): Boolean =
+            pending.contains(n) || pendingAsofs.contains(n) ||
+              pendingLazyJoins.contains(n)
+          def reaches(from: String, target: String): Boolean = {
+            val seen = mutable.Set[String]()
+            def go(n: String): Boolean = refsOfName(n).exists(r =>
+              r == target || (seen.add(r) && go(r)))
+            go(from)
+          }
+          // substitute the provisional ONLY along genuine cycle edges
+          // (the ref's own registration transitively depends on this
+          // entry) or for names pass 2 never registered (the read took
+          // a different branch than pass 1). Everything else resolves
+          // with the REAL column once the cycle is broken — bottoming
+          // it too would silently freeze exact reads at pass-1 values.
+          def unresolvedKpfx(entry: String, cols: Seq[Column])
+              : Set[String] =
             cols.flatMap(refsOf).toSet
-              .filter(r => !avail(r) && kpfxProvisional.contains(r))
+              .filter(r => !avail(r) && kpfxProvisional.contains(r) &&
+                (!registered(r) || reaches(r, entry)))
           var substituted = false
           pending.toSeq.foreach { case (pn, c) =>
-            val miss = unresolvedKpfx(Seq(c))
+            val miss = unresolvedKpfx(pn, Seq(c))
             if (miss.nonEmpty) {
               pending(pn) = miss.foldLeft(c)((acc, r) =>
                 substituteRef(acc, r, kpfxProvisional(r)))
@@ -559,7 +586,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           pendingAsofs.toSeq.foreach { case (pn, sp) =>
             val cols = sp.probeKeys ++
               sp.writes.flatMap(w => w.keys ++ Seq(w.cond, w.value))
-            val miss = unresolvedKpfx(cols)
+            val miss = unresolvedKpfx(pn, cols)
             if (miss.nonEmpty) {
               def sub(c: Column): Column = miss.foldLeft(c)((acc, r) =>
                 substituteRef(acc, r, kpfxProvisional(r)))
@@ -579,7 +606,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           // same value)
           pendingLazyJoins.toSeq.foreach { case (n, (k, needs, build)) =>
             val miss = (needs ++ refsOf(k))
-              .filter(r => !avail(r) && kpfxProvisional.contains(r))
+              .filter(r => !avail(r) && kpfxProvisional.contains(r) &&
+                (!registered(r) || reaches(r, n)))
             if (miss.nonEmpty) {
               val pv = miss.toSeq.map(r => kpfxProvisional(r).as(r))
               val newNeeds = needs -- miss ++

@@ -153,6 +153,38 @@ object EngineQueries {
     }),
 
     // histogram observation through the engine: per-label bucket counts
+    // text-order state gating through the engine: exported values READ
+    // hidden metrics whose write conds read OTHER hidden metrics whose
+    // only write sites appear LATER in the block — the two-level shape
+    // the deferred cross-pass read binding (round 15) makes exact.
+    // VM semantics per line (statement order): the cond sees the
+    // PRIOR-line count, the export reads the same-line write.
+    "mtail_engine_condgate" -> ((s, dir) => {
+      val src =
+        """gauge out
+          |gauge uout by u
+          |hidden gauge m
+          |hidden counter k
+          |hidden gauge um by u
+          |hidden counter uk by u
+          |/^(?P<t>\w+) (?P<u>\d+)$/ {
+          |  k > 3 { m = k }
+          |  out = m
+          |  k++
+          |  uk[$u] > 1 { um[$u] = uk[$u] }
+          |  uout[$u] = um[$u]
+          |  uk[$u]++
+          |}
+          |""".stripMargin
+      val lineExpr = concat_ws(" ",
+        col("event_type"), col("user_id").cast("string"))
+      run(s, dir, src, lineExpr)
+        .select(col("name"),
+          coalesce(element_at(col("labels"), "u"), lit("")).as("label"),
+          col("ival").as("val"))
+        .orderBy("name", "label")
+    }),
+
     "mtail_engine_histogram" -> ((s, dir) => {
       val src =
         """histogram lat by t buckets 10, 50, 100, 200
@@ -230,6 +262,24 @@ object EngineQueries {
            UNION ALL
            SELECT 'snap', CAST(count(*) AS BIGINT) FROM events) t
          ORDER BY name""",
+    // out: m is set once k (prior-line count) exceeds 3, i.e. from the
+    // 5th line on, to the prior count; the last line's prior count is
+    // N-1. uout likewise per user with threshold 1 (set from each
+    // user's 3rd line). Untouched-threshold cells read 0.
+    "mtail_engine_condgate" ->
+      """WITH e AS (SELECT event_id,
+               CAST(user_id AS VARCHAR) AS u FROM events),
+         n AS (SELECT count(*) AS total FROM e),
+         pu AS (SELECT u, count(*) AS nu FROM e GROUP BY u)
+         SELECT name, label, CAST(val AS BIGINT) AS val FROM (
+           SELECT 'out' AS name, '' AS label,
+                CASE WHEN total > 4 THEN total - 1 ELSE 0 END AS val
+           FROM n
+           UNION ALL
+           SELECT 'uout', u,
+                CASE WHEN nu > 2 THEN nu - 1 ELSE 0 END
+           FROM pu) t
+         ORDER BY name, label""",
     "mtail_engine_counters" ->
       """SELECT name, label, val FROM (
            SELECT 'by_type' AS name, event_type AS label,
