@@ -609,11 +609,19 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               .filter(r => !avail(r) && kpfxProvisional.contains(r) &&
                 (!registered(r) || reaches(r, n)))
             if (miss.nonEmpty) {
-              val pv = miss.toSeq.map(r => kpfxProvisional(r).as(r))
+              val missSeq = miss.toSeq
               val newNeeds = needs -- miss ++
                 miss.flatMap(r => refsOf(kpfxProvisional(r)))
-              pendingLazyJoins(n) = (k, newNeeds,
-                snap => build(snap.select(col("*") +: pv: _*)))
+              pendingLazyJoins(n) = (k, newNeeds, snap => {
+                // the name may have materialized into the snapshot
+                // between substitution and build — only add columns
+                // the snapshot still lacks, or the reference turns
+                // ambiguous (fuzz iteration 772)
+                val add = missSeq.filterNot(snap.columns.contains)
+                  .map(r => kpfxProvisional(r).as(r))
+                build(if (add.isEmpty) snap
+                  else snap.select(col("*") +: add: _*))
+              })
               substituted = true
             }
           }

@@ -187,6 +187,36 @@ class KeylessPrefixSpec extends SparkSpec {
     assert(run(src, data, 1L) == spread)
   }
 
+  test("DUPLICATE self-conditioned blocks compile: the provisional " +
+      "may already sit in the lazy join's snapshot (soak iter 772)") {
+    // two identical `hid0 == 1 { hid0 = 0 }` blocks give two read
+    // sites whose cycle-substituted provisional can materialize into
+    // the line frame BETWEEN the fallback's substitution and the lazy
+    // offsets-join build — re-adding it made the reference ambiguous.
+    val src =
+      """counter c0
+        |hidden gauge hid0
+        |/^p$/ { hid0 = 1 }
+        |/^c$/ {
+        |  hid0 == 1 {
+        |    hid0 = 0
+        |    c0++
+        |  }
+        |  hid0 == 1 {
+        |    hid0 = 0
+        |    c0++
+        |  }
+        |}
+        |""".stripMargin
+    val data = Seq("p", "c", "c", "p", "c")
+    val spread = run(src, data, bucket)
+    // first block resets on each armed c; the second block's cond
+    // re-reads hid0 — within the same line the first block already
+    // wrote 0, so it never fires
+    assert(spread(("c0", Map.empty)) == VInt(2), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
   test("a bucket with no writes contributes the identity offset") {
     val src =
       """hidden counter c
