@@ -210,6 +210,20 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     */
   private val metricReadMemo =
     mutable.Map[(String, String, Int, String), Column]()
+
+  /** registries for the EXACT sequential bottom of genuine keyless
+    * self/mutual-reference cycles (see [[SeqCycleEval]] and the
+    * flushPending fallback): per read name the (metric, site) it
+    * observes, and per metric the full write-site program in
+    * replayable form. Filled in pass 2 only — the flush consumes them
+    * when, and only when, a cycle stalls resolution. (Declared before
+    * the constructor-body walk() calls, like [[metricReadMemo]].)
+    */
+  private case class SeqReadInfo(metric: String, siteIdx: Int,
+      keyEnc: Column)
+  private val seqReadInfo = mutable.Map[String, SeqReadInfo]()
+  private val seqSitesByMetric =
+    mutable.Map[String, Seq[SeqCycleEval.SiteSpec]]()
   private def materializeLazyJoin(key: Column, needs: Set[String],
       build: DataFrame => DataFrame): Column = {
     val name = s"__koff_$koffSeq"
@@ -563,6 +577,15 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               r == target || (seen.add(r) && go(r)))
             go(from)
           }
+          // EXACT bottom first: a genuine KEYLESS self/mutual-reference
+          // cycle is a sequential automaton — resolve its reads with
+          // the one-task state machine ([[SeqCycleEval]]), VM-exact,
+          // and let downstream machinery consume the materialized
+          // columns. Keyed cycles and unsupported shapes fall through
+          // to the provisional substitution below (the documented
+          // one-level-unroll bottom).
+          val exactResolved =
+            trySeqCycleResolve(avail, registered, reaches)
           // substitute the provisional ONLY along genuine cycle edges
           // (the ref's own registration transitively depends on this
           // entry) or for names pass 2 never registered (the read took
@@ -574,7 +597,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             cols.flatMap(refsOf).toSet
               .filter(r => !avail(r) && kpfxProvisional.contains(r) &&
                 (!registered(r) || reaches(r, entry)))
-          var substituted = false
+          var substituted = exactResolved
+          // the substitution scans run off the PRE-resolution `avail`,
+          // so they must not fire in the same iteration an exact
+          // resolution succeeded (a just-resolved read is not yet in
+          // `avail` and its registration is gone — the provisional
+          // would wrongly splice in); the flush loop retries with the
+          // updated relation instead
+          if (!exactResolved) {
           pending.toSeq.foreach { case (pn, c) =>
             val miss = unresolvedKpfx(pn, Seq(c))
             if (miss.nonEmpty) {
@@ -624,6 +654,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               })
               substituted = true
             }
+          }
           }
           if (substituted) () // retry the flush loop with bottoms in
           else
@@ -710,6 +741,104 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         }
       }
     }
+  }
+
+  /** EXACT resolution of a stalled self/mutual-reference cycle —
+    * keyless OR keyed — via [[SeqCycleEval]]'s sequential state
+    * machine. Returns true if it resolved the cycle's reads (the
+    * flush loop retries with the joined columns); false defers to the
+    * provisional one-level-unroll substitution — shapes whose inputs
+    * are not yet materialized, carried state behind a state-dependent
+    * key, or any analysis failure.
+    */
+  private def trySeqCycleResolve(avail: Set[String],
+      registered: String => Boolean,
+      reaches: (String, String) => Boolean): Boolean = {
+    val regNames = (pending.keys ++ pendingAsofs.keys ++
+      pendingLazyJoins.keys).toSeq
+    val cyc = regNames.filter(n => reaches(n, n)).toSet
+    val cycReads = cyc.filter(seqReadInfo.contains)
+    if (cycReads.isEmpty) return false
+    val metrics = cycReads.map(seqReadInfo(_).metric)
+    // EVERY read of a cycle metric resolves together (one replayed
+    // automaton); all must still be pending, with recorded site
+    // programs
+    val readNames = seqReadInfo.collect {
+      case (n, i) if metrics(i.metric) => n
+    }.toSeq.sorted
+    if (readNames.exists(avail)) return false
+    if (readNames.exists(n => !pending.contains(n))) return false
+    if (!metrics.forall(seqSitesByMetric.contains)) return false
+    val specs = metrics.toSeq.sorted.flatMap(seqSitesByMetric(_))
+    // every non-state input of the replayed site programs must be a
+    // materialized column already (a cond reading some OTHER stuck
+    // machinery defers to the provisional bottom)
+    val stateNames = readNames.toSet
+    val inputRefs = specs.flatMap(s =>
+      refsOf(s.keyEnc) ++ refsOf(s.cond) ++ refsOf(s.value)).toSet ++
+      readNames.flatMap(n => refsOf(seqReadInfo(n).keyEnc))
+    if (!inputRefs.filter(_.startsWith("__"))
+      .forall(r => avail(r) || stateNames(r))) return false
+    // carried state seeds join on the access's key encoding — a key
+    // that itself reads cycle state cannot pre-join. The guard is
+    // SHAPE-only (not initialState-dependent): a batch-split run must
+    // take the same path in every batch or the runs diverge
+    val dynKey =
+      (specs.map(_.keyEnc) ++ readNames.map(seqReadInfo(_).keyEnc))
+        .exists(ke => refsOf(ke).exists(stateNames))
+    if (dynKey) return false
+    if (wantPersist && persistedDf.isEmpty) persistNow()
+    val mspecs = metrics.toSeq.sorted.map(m =>
+      SeqCycleEval.MetricSpec(m, metricType(m), initialState.get(m)))
+    val reads = readNames.map(n =>
+      SeqCycleEval.ReadSpec(n, seqReadInfo(n).metric,
+        seqReadInfo(n).siteIdx, seqReadInfo(n).keyEnc))
+    val out =
+      try SeqCycleEval.resolve(curDf, specs, reads, mspecs,
+        textConcatCap)
+      catch { case scala.util.control.NonFatal(_) => return false }
+    curDf = curDf.join(out, col("ord") === col("__sq_ord"), "left")
+      .drop("__sq_ord")
+    curDf = curDf.select(col("*") +: readNames.map(n =>
+      col("__sqv_" + n).as(n)): _*)
+      .drop(readNames.map("__sqv_" + _): _*)
+    readNames.foreach(pending.remove)
+    // GC: internal registrations (probe relations, prefix offsets,
+    // carried-state joins) reachable only from the replaced read
+    // impls are orphans — materializing them would run the very
+    // sequential provisional machinery the exact path replaced. Site
+    // conds and aggregation branches reference only __mrd/__m names,
+    // so the internal prefixes are safe to collect by reference
+    // count. The kpfx/koff memo (readMemo) is purged for the resolved
+    // metrics so a read registered AFTER this flush (a different
+    // guard-set memo key at branch-build time) re-registers fresh
+    // machinery instead of referencing a collected name.
+    val gcable = Set("__asof_", "__kpfx_", "__koff_", "__carry_")
+    def collectible(n: String): Boolean = gcable.exists(n.startsWith)
+    readMemo.keys.filter(k => metrics(k._1)).toSeq
+      .foreach(readMemo.remove)
+    var changed = true
+    while (changed) {
+      changed = false
+      val referenced: Set[String] =
+        (pending.values.flatMap(refsOf) ++
+          pendingAsofs.values.flatMap(sp =>
+            (sp.probeKeys ++ sp.writes.flatMap(w =>
+              w.keys ++ Seq(w.cond, w.value))).flatMap(refsOf)) ++
+          pendingJoins.values.flatMap { case (k, _) => refsOf(k) } ++
+          pendingLazyJoins.values.flatMap { case (k, needs, _) =>
+            refsOf(k) ++ needs }).toSet
+      (pending.keys ++ pendingAsofs.keys ++ pendingJoins.keys ++
+        pendingLazyJoins.keys).toSeq
+        .filter(n => collectible(n) && !referenced(n))
+        .foreach { n =>
+          pending.remove(n); pendingAsofs.remove(n)
+          pendingJoins.remove(n); pendingLazyJoins.remove(n)
+          changed = true
+        }
+    }
+    snapCur()
+    true
   }
 
   /** the keyed as-of leg: window partitioned by the metric key. */
@@ -1609,9 +1738,53 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       val impl = metricReadColumnImpl(metric, keys, frames, tReg,
         siteIdx, reading, memoKey.toString)
       if (resolvedSites.isEmpty) { kpfxProvisional(name) = impl }
-      else { pending(name) = impl }
+      else {
+        pending(name) = impl
+        seqReadInfo(name) = SeqReadInfo(metric, siteIdx,
+          PlanBuilder.joinKeys(keys.map(k =>
+            strCast(k, exprColumn(k, frames, tReg, siteIdx, reading),
+              frames))))
+        if (!seqSitesByMetric.contains(metric))
+          scala.util.Try(seqSitesOf(metric, reading + metric))
+            .foreach(seqSitesByMetric(metric) = _)
+      }
       col(name)
     })
+  }
+
+  /** the full write-site program of `metric` in the replayable form
+    * [[SeqCycleEval]] consumes. Compiled through the same exprColumn
+    * calls as [[metricReadColumnImpl]]'s branches (memo-shared), so
+    * this registers no columns the impl does not.
+    */
+  private def seqSitesOf(metric: String,
+      reading: Set[String]): Seq[SeqCycleEval.SiteSpec] = {
+    val vt = metricType(metric)
+    allSites.filter(_.metric.name == metric).flatMap { s =>
+      val cnd = coalesce(s.cond, lit(false))
+      val keyEnc = PlanBuilder.joinKeys(s.keys.map(k =>
+        strCast(k, exprColumn(k, s.frames, s.timeReg, s.idx, reading),
+          s.frames)))
+      s.op match {
+        case OpInc => Some(SeqCycleEval.SiteSpec(s.idx, "inc", metric,
+          keyEnc, cnd, exprColumn(s.valueIr.get, s.frames, s.timeReg,
+            s.idx, reading).cast(vt)))
+        case OpSet => Some(SeqCycleEval.SiteSpec(s.idx, "set", metric,
+          keyEnc, cnd, valCast(s.valueIr.get,
+            exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
+              reading), s.frames, vt)))
+        case OpConcat => Some(SeqCycleEval.SiteSpec(s.idx, "concat",
+          metric, keyEnc, cnd, strCast(s.valueIr.get,
+            exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
+              reading), s.frames)))
+        case OpDel if s.afterSeconds.isEmpty =>
+          // an immediate del is a fresh-datum barrier for reads
+          // (store.go GetDatum recreates at zero)
+          Some(SeqCycleEval.SiteSpec(s.idx, "set", metric, keyEnc, cnd,
+            zeroOf(vt)))
+        case _ => None // `del … after` is a TTL hint, not a write
+      }
+    }
   }
 
   private def metricReadColumnImpl(metric: String, keys: Seq[Expr],

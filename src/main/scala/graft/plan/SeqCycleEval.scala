@@ -1,0 +1,317 @@
+package graft.plan
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  GenericInternalRow, JoinedRow, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** EXACT evaluation of genuinely cyclic metric reads — a write whose
+  * own condition (or a mutually-referencing chain of conditions) reads
+  * the metric being written: the `partial == 1 { partial = 0 }` reset
+  * idiom (mysql_slowqueries), its keyed per-session analogue, and
+  * NON-absorbing generalizations (`n < 3 { n++ }`).
+  *
+  * Such a program is a sequential automaton: whether a site fires on
+  * row i depends on the full firing history over rows < i, which no
+  * associative window/prefix decomposition can express. The engine
+  * therefore replays exactly the VM's per-line/per-site order
+  * (vm.go:962-989 fetch-execute; same-line statement order = site
+  * index) for JUST the cyclic metric group:
+  *
+  *  1. every state-free subexpression of the group's site conditions /
+  *     values / key tuples is precomputed IN PARALLEL as a column of
+  *     the input projection (regex structs, caprefs, arithmetic — the
+  *     expensive part stays distributed and codegen'd);
+  *  2. the rows, reduced to (ord, slots, seeds), sort into ONE
+  *     partition and a single task runs the state machine — evaluating
+  *     only the thin residual expressions that combine slots with
+  *     metric state (analyzer-resolved and bound once on the driver,
+  *     so Catalyst's own operator semantics apply, interpreted);
+  *  3. the per-row read values join back to the line relation by row
+  *     ordinal under the reads' content names — downstream plan
+  *     machinery (as-of folds, aggregation branches, carried-state
+  *     export) consumes them exactly like any other materialized read.
+  *
+  * Scale: the sequential leg is O(rows) over a NARROW projection —
+  * the same cost class as the pre-r14 single-partition window, paid
+  * only by programs that are inherently sequential (the reference
+  * replays a log single-threaded always, runtime.go:199-202).
+  * Correctness over parallelism for exactly the rare shape that
+  * cannot parallelize; every acyclic read keeps the distributed
+  * two-phase prefix scan / keyed window / as-of machinery.
+  *
+  * Keyed metrics hold a per-key-tuple state map; keys are accessed
+  * through their injective joinKeys encoding, so carried cross-batch
+  * state seeds by a plain broadcast join per (metric, key expression)
+  * and batch-split runs compose exactly like the VM checkpointing its
+  * store between chunks.
+  */
+private[plan] object SeqCycleEval {
+
+  /** one write site of a cycle metric. op ∈ inc|set|concat (immediate
+    * `del` arrives as set-to-zero — for a READ a del is a fresh-datum
+    * barrier, store.go GetDatum). `keyEnc` is the joinKeys-encoded
+    * label tuple (lit("") for keyless).
+    */
+  final case class SiteSpec(idx: Int, op: String, metric: String,
+      keyEnc: Column, cond: Column, value: Column)
+
+  /** one read to resolve: output column `name` = value of
+    * `metric[keyEnc]` visible at site `siteIdx` (idx -1 = before any
+    * same-line site).
+    */
+  final case class ReadSpec(name: String, metric: String, siteIdx: Int,
+      keyEnc: Column)
+
+  final case class MetricSpec(name: String, vt: DataType,
+      seed: Option[DataFrame])
+
+  // ---- serializable runtime forms shipped to the executor ----
+
+  private final case class RtSite(idx: Int, op: Int, metric: Int,
+      key: Expression, seedOrd: Int, cond: Expression, value: Expression)
+  private final case class RtRead(pos: Int, metric: Int, stateOrd: Int,
+      key: Expression, seedOrd: Int)
+  private val OpInc = 0; private val OpSet = 1; private val OpConcat = 2
+
+  /** Resolve `reads` over `base`. Returns a DataFrame
+    * (__sq_ord, __sqv_<read name>*) with one row per input row.
+    */
+  def resolve(base: DataFrame, sites: Seq[SiteSpec], reads: Seq[ReadSpec],
+      metrics: Seq[MetricSpec], textCap: Long): DataFrame = {
+    val spark = base.sparkSession
+    val stateNames = reads.map(_.name).toSet
+    val metricIdx = metrics.map(_.name).zipWithIndex.toMap
+    val metricVts = metrics.map(_.vt).toArray
+
+    // ---- decompose: state-free subtrees → parallel slot columns ----
+    val slots = mutable.LinkedHashMap[String, (String, Expression)]()
+    def hasState(e: Expression): Boolean = e.exists {
+      case a: UnresolvedAttribute =>
+        a.nameParts.length == 1 && stateNames(a.nameParts.head)
+      case _ => false
+    }
+    def slotFor(e: Expression): Expression = e match {
+      case l: Literal => l
+      case _ =>
+        val key = e.toString
+        val (name, _) = slots.getOrElseUpdate(key,
+          (s"__sq_s${slots.size}", e))
+        UnresolvedAttribute(name)
+    }
+    def decompose(c: Column): Expression = {
+      def go(e: Expression): Expression =
+        if (!hasState(e)) slotFor(e)
+        else e match {
+          case a: UnresolvedAttribute => a
+          case _ => e.withNewChildren(e.children.map(go))
+        }
+      go(GraftBridge.eagerExpression(c))
+    }
+    val siteRes = sites.map(s =>
+      (decompose(s.keyEnc), decompose(s.cond), decompose(s.value)))
+    val readRes = reads.map(r => decompose(r.keyEnc))
+
+    // ---- input projection: ord + slots, then per-(metric, key expr)
+    // seed joins, then one sorted partition. Narrow by construction;
+    // the heavy expressions run distributed here.
+    var inputDf = base.select(col("ord").as("__sq_ord") +:
+      slots.values.toSeq.map { case (n, e) =>
+        GraftBridge.column(e).as(n) }: _*)
+
+    // a carried-state seed joins on the access's own key encoding —
+    // the row that first touches a key carries that key's seed. A key
+    // expression that itself reads cycle state cannot pre-join
+    // (guarded by the caller: such metrics must have no carried state).
+    val seedCols = mutable.Map[(Int, String), String]() // → col name
+    var seedSeq = 0
+    def seedColFor(metric: Int, keyExpr: Expression): Int =
+      metrics(metric).seed match {
+        case Some(st) if !hasState(keyExpr) =>
+          val name = seedCols.getOrElseUpdate((metric, keyExpr.toString), {
+            val sn = s"__sq_seed_$seedSeq"
+            seedSeq += 1
+            inputDf = inputDf.join(
+              broadcast(st.select(col("k").as(sn + "_k"),
+                col("v").cast(metrics(metric).vt).as(sn))),
+              GraftBridge.column(keyExpr) === col(sn + "_k"), "left")
+              .drop(sn + "_k")
+            sn
+          })
+          name.hashCode // placeholder, replaced below by field index
+        case _ => -1
+      }
+    // first pass registers the joins; ordinals resolve after the
+    // final schema is known
+    val siteSeedKeys = sites.zip(siteRes).map { case (s, (ke, _, _)) =>
+      seedColFor(metricIdx(s.metric), ke)
+      (metricIdx(s.metric), ke.toString)
+    }
+    val readSeedKeys = reads.zip(readRes).map { case (r, ke) =>
+      seedColFor(metricIdx(r.metric), ke)
+      (metricIdx(r.metric), ke.toString)
+    }
+
+    val sorted = inputDf.coalesce(1).sortWithinPartitions(col("__sq_ord"))
+    val inSchema = sorted.schema
+    val ordType = inSchema("__sq_ord").dataType
+    def seedOrdOf(k: (Int, String)): Int =
+      seedCols.get(k).map(inSchema.fieldIndex).getOrElse(-1)
+
+    // ---- bind residual expressions against (input ++ state) ----
+    val stateFields = reads.map(r =>
+      StructField(r.name, metricVts(metricIdx(r.metric)), nullable = true))
+    val fullSchema = StructType(inSchema.fields ++ stateFields)
+    val bound = GraftBridge.bindForEval(spark, fullSchema,
+      (siteRes.flatMap { case (k, c, v) => Seq(k, c, v) } ++ readRes)
+        .map(GraftBridge.column))
+    val rtSites = sites.zipWithIndex.map { case (s, i) =>
+      RtSite(s.idx, s.op match {
+        case "inc" => OpInc
+        case "set" => OpSet
+        case "concat" => OpConcat
+      }, metricIdx(s.metric), bound(3 * i),
+        seedOrdOf(siteSeedKeys(i)), bound(3 * i + 1), bound(3 * i + 2))
+    }.sortBy(_.idx).toArray
+    val nSite = 3 * sites.length
+    val rtReads = reads.zipWithIndex.map { case (r, i) =>
+      RtRead(r.siteIdx, metricIdx(r.metric), i, bound(nSite + i),
+        seedOrdOf(readSeedKeys(i)))
+    }.toArray
+    val nMetrics = metrics.length
+    val vts = metricVts
+    val cap = textCap
+
+    // merged event walk positions: reads refresh BEFORE the same-idx
+    // site applies (a read at site j sees writes from sites < j only)
+    val positions = (rtSites.map(_.idx) ++ rtReads.map(_.pos))
+      .distinct.sorted
+
+    // output field names are prefixed so the join-back never collides
+    // with the line relation's columns (state binding above used the
+    // raw read names; PlanBuilder re-aliases on join)
+    val outSchema = StructType(
+      StructField("__sq_ord", ordType, nullable = false) +:
+      reads.zip(stateFields).map { case (r, f) =>
+        StructField("__sqv_" + r.name, f.dataType, nullable = true) })
+
+    GraftBridge.mapInternal(sorted, outSchema) { iter =>
+      // per-metric, per-key datum state; zero-init at first touch
+      // (store.go GetDatum), seeded from the carried relation when the
+      // touching row carries a seed for that key
+      val state = Array.fill(nMetrics)(mutable.HashMap[String, Any]())
+      val appended = Array.fill(nMetrics)( // concat-cap raw chars
+        mutable.HashMap[String, Long]())
+      def zeroOf(i: Int): Any = vts(i) match {
+        case LongType => 0L
+        case DoubleType => 0.0d
+        case _ => UTF8String.fromString("")
+      }
+      val stateRow = new GenericInternalRow(rtReads.length)
+      val joined = new JoinedRow
+      def copyOf(v: Any): Any = v match {
+        case s: UTF8String => s.clone()
+        case x => x
+      }
+      iter.map { row =>
+        joined(row, stateRow)
+        def keyOf(e: Expression): String = e.eval(joined) match {
+          case null => null
+          case s: UTF8String => s.toString
+          case other => other.toString
+        }
+        def touch(m: Int, key: String, seedOrd: Int): Any =
+          state(m).getOrElseUpdate(key,
+            if (seedOrd >= 0 && !row.isNullAt(seedOrd))
+              copyOf(row.get(seedOrd, vts(m)))
+            else zeroOf(m))
+        var p = 0
+        while (p < positions.length) {
+          val pos = positions(p)
+          var r = 0
+          while (r < rtReads.length) {
+            val rd = rtReads(r)
+            if (rd.pos == pos) {
+              val k = keyOf(rd.key)
+              stateRow.update(rd.stateOrd,
+                if (k == null) null
+                else touch(rd.metric, k, rd.seedOrd))
+            }
+            r += 1
+          }
+          var s = 0
+          while (s < rtSites.length) {
+            val site = rtSites(s)
+            if (site.idx == pos) {
+              val c = site.cond.eval(joined)
+              if (c == true) {
+                val k = keyOf(site.key)
+                val v = site.value.eval(joined)
+                // null key (failed capref) or null value (aborted
+                // conversion) drops the update, like the plan's
+                // isNotNull filters
+                if (k != null && v != null) {
+                  val m = site.metric
+                  site.op match {
+                    case OpInc =>
+                      state(m)(k) =
+                        (touch(m, k, site.seedOrd), v) match {
+                          case (a: java.lang.Long, b: java.lang.Long) =>
+                            a + b
+                          case (a: java.lang.Double,
+                              b: java.lang.Double) => a + b
+                          case (a, b) =>
+                            throw new IllegalStateException(
+                              s"seq-cycle inc type mismatch: $a + $b")
+                        }
+                    case OpSet => state(m)(k) = copyOf(v)
+                    case OpConcat =>
+                      // mirror withCappedInc: prior RAW append lengths
+                      // gate; the crossing append keeps its prefix
+                      val sv = v.asInstanceOf[UTF8String]
+                      val len = sv.numChars().toLong
+                      val prior = appended(m).getOrElse(k, 0L)
+                      val take =
+                        if (cap <= 0) len
+                        else math.min(math.max(cap - prior, 0L), len)
+                      appended(m)(k) = prior + len
+                      if (take > 0) {
+                        val cur = touch(m, k, site.seedOrd)
+                          .asInstanceOf[UTF8String]
+                        val part =
+                          if (take == len) sv
+                          else sv.substring(0, take.toInt)
+                        state(m)(k) = UTF8String.concat(cur,
+                          part.clone())
+                      }
+                  }
+                }
+              }
+            }
+            s += 1
+          }
+          p += 1
+        }
+        val out = new GenericInternalRow(1 + rtReads.length)
+        out.update(0, row.get(0, ordType) match {
+          case r: InternalRow => r.copy()
+          case s: UTF8String => s.clone()
+          case v => v
+        })
+        var r = 0
+        while (r < rtReads.length) {
+          out.update(1 + rtReads(r).stateOrd, copyOf(stateRow.get(
+            rtReads(r).stateOrd, vts(rtReads(r).metric))))
+          r += 1
+        }
+        out: InternalRow
+      }
+    }
+  }
+}

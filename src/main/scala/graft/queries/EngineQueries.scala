@@ -185,6 +185,49 @@ object EngineQueries {
         .orderBy("name", "label")
     }),
 
+    // genuinely CYCLIC reads through the engine: writes whose own
+    // conditions read the written metric — the sequential-automaton
+    // shape SeqCycleEval replays exactly (round 16). Four arms:
+    // keyless/keyed non-absorbing saturation (`cap < N { cap++ }`)
+    // and keyless/keyed absorbing arm/reset alternation (the mysql
+    // `partial` idiom generalized). The reset count is SQL-expressible
+    // without recursion because the automaton is absorbing: a
+    // purchase fires iff the latest signup-or-purchase before it
+    // (within its scope) is a signup.
+    "mtail_engine_seqcycle" -> ((s, dir) => {
+      val src =
+        """counter cap
+          |counter resets
+          |counter ucap by u
+          |counter uresets by u
+          |hidden gauge armed
+          |hidden gauge uarmed by u
+          |/^(?P<t>\w+) (?P<u>\d+)$/ {
+          |  cap < 100 { cap++ }
+          |  ucap[$u] < 3 { ucap[$u]++ }
+          |  $t == "signup" {
+          |    armed = 1
+          |    uarmed[$u] = 1
+          |  }
+          |  $t == "purchase" && armed == 1 {
+          |    armed = 0
+          |    resets++
+          |  }
+          |  $t == "purchase" && uarmed[$u] == 1 {
+          |    uarmed[$u] = 0
+          |    uresets[$u]++
+          |  }
+          |}
+          |""".stripMargin
+      val lineExpr = concat_ws(" ",
+        col("event_type"), col("user_id").cast("string"))
+      run(s, dir, src, lineExpr)
+        .select(col("name"),
+          coalesce(element_at(col("labels"), "u"), lit("")).as("label"),
+          col("ival").as("val"))
+        .orderBy("name", "label")
+    }),
+
     "mtail_engine_histogram" -> ((s, dir) => {
       val src =
         """histogram lat by t buckets 10, 50, 100, 200
@@ -310,6 +353,37 @@ object EngineQueries {
            SELECT 'pairs', count(*)
            FROM x WHERE event_type = 'purchase' AND sg IS NOT NULL) t
          ORDER BY name""",
+    // cap = min(100, lines); resets = purchases whose immediately
+    // preceding signup/purchase (by event_id) is a signup — the
+    // absorbing automaton's closed form (see the query comment);
+    // keyed arms likewise per user. Keyed cells exist only when
+    // written (no zero-init for dimensioned metrics), keyless
+    // counters zero-init.
+    "mtail_engine_seqcycle" ->
+      """WITH e AS (SELECT event_id, event_type,
+               CAST(user_id AS VARCHAR) AS u FROM events),
+         sp AS (SELECT event_id, event_type, u,
+               lag(event_type) OVER (ORDER BY event_id) AS prev
+               FROM e WHERE event_type IN ('signup', 'purchase')),
+         usp AS (SELECT event_id, event_type, u,
+               lag(event_type)
+                 OVER (PARTITION BY u ORDER BY event_id) AS prev
+               FROM e WHERE event_type IN ('signup', 'purchase')),
+         n AS (SELECT count(*) AS total FROM e),
+         pu AS (SELECT u, count(*) AS nu FROM e GROUP BY u)
+         SELECT name, label, CAST(val AS BIGINT) AS val FROM (
+           SELECT 'cap' AS name, '' AS label,
+                least(100, total) AS val FROM n
+           UNION ALL
+           SELECT 'resets', '', count(*) FROM sp
+           WHERE event_type = 'purchase' AND prev = 'signup'
+           UNION ALL
+           SELECT 'ucap', u, least(3, nu) FROM pu
+           UNION ALL
+           SELECT 'uresets', u, count(*) FROM usp
+           WHERE event_type = 'purchase' AND prev = 'signup'
+           GROUP BY u
+         ) t ORDER BY name, label""",
     "mtail_engine_histogram" ->
       """SELECT label, le, cnt FROM (
            SELECT event_type AS label,

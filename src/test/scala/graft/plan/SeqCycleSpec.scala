@@ -1,0 +1,246 @@
+package graft.plan
+
+import graft.SparkSpec
+import graft.mtail.{Frontend, LogLines, Snapshot}
+import graft.mtail.Snapshot.{VInt, VStr}
+import graft.streaming.StreamRunner
+
+/** Directed pins for the EXACT sequential bottom of genuinely cyclic
+  * keyless reads ([[SeqCycleEval]]): NON-absorbing self-reference —
+  * where the one-level-unroll provisional deviated from the VM —
+  * must now produce the strictly sequential VM value, across bucket
+  * boundaries and across batch splits (seeded automaton). Expected
+  * values are hand-simulated against the reference VM semantics
+  * (vm.go:962-989 per-line fetch-execute, same-line statement order).
+  */
+class SeqCycleSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def run(src: String, lines: Seq[String], ordStep: Long)
+      : Map[(String, Map[String, String]), Snapshot.Value] = {
+    val prog = Frontend.parse(src, "seqcyc")
+    val df = LogLines.fromLines(
+      lines.zipWithIndex.toDF("line", "i")
+        .withColumn("__ord", col("i").cast("long") * ordStep)
+        .select("line", "__ord"),
+      "line", ordCol = Some(col("__ord")))
+    Snapshot.collect(new PlanBuilder(prog, df, 0).snapshot())
+      .map(c => (c.name, c.labels) -> c.value).toMap
+  }
+
+  private val bucket = 1L << 18
+
+  test("non-absorbing inc guard `n < 3 { n++ }` saturates exactly " +
+      "like the VM, across bucket boundaries") {
+    // whether n++ fires depends on n's own full firing history — a
+    // sequential automaton. VM: n = min(3, #lines) = 3.
+    val src =
+      """counter n
+        |counter seen
+        |/^t$/ {
+        |  seen++
+        |  n < 3 { n++ }
+        |}
+        |""".stripMargin
+    val data = Seq.fill(5)("t")
+    val spread = run(src, data, bucket)
+    assert(spread(("n", Map.empty)) == VInt(3), spread)
+    assert(spread(("seen", Map.empty)) == VInt(5), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("self-conditioned reset through a later ++ site counts every " +
+      "armed cycle (the VmSemanticsSpec shape, bucket-spread)") {
+    val src =
+      """hidden gauge h
+        |counter c
+        |/^a$/ {
+        |  h == 1 {
+        |    h = 0
+        |    c++
+        |  }
+        |}
+        |/^b$/ { h++ }
+        |""".stripMargin
+    // a(h=0: no) b(h=1) a(reset, c=1) b(h=1) a(reset, c=2)
+    val data = Seq("a", "b", "a", "b", "a")
+    val spread = run(src, data, bucket)
+    assert(spread(("c", Map.empty)) == VInt(2), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("mutual ping-pong automaton: otherwise-paired conds flip a " +
+      "shared turn metric with VM statement-order semantics") {
+    // the otherwise rewrite references the SIBLING cond's read at the
+    // sibling's site index — the VM's matched-flag: once the first
+    // block fires and sets turn=1, the otherwise must NOT re-evaluate
+    // against the updated value on the same line
+    val src =
+      """hidden gauge turn
+        |counter pings
+        |counter pongs
+        |/^t$/ {
+        |  turn == 0 {
+        |    pings++
+        |    turn = 1
+        |  }
+        |  otherwise {
+        |    pongs++
+        |    turn = 0
+        |  }
+        |}
+        |""".stripMargin
+    // t: ping(turn=1) t: pong(turn=0) t: ping t: pong t: ping
+    val data = Seq.fill(5)("t")
+    val spread = run(src, data, bucket)
+    assert(spread(("pings", Map.empty)) == VInt(3), spread)
+    assert(spread(("pongs", Map.empty)) == VInt(2), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("length-bounded text accumulation: cond reads the concat " +
+      "metric it gates") {
+    val src =
+      """hidden text acc
+        |gauge l
+        |/^(?P<s>[a-z]+)$/ {
+        |  len(acc) < 4 { acc += $s }
+        |  l = len(acc)
+        |}
+        |""".stripMargin
+    // ab(acc=ab) cd(acc=abcd) ef(len 4, no append) → l = 4
+    val data = Seq("ab", "cd", "ef")
+    val spread = run(src, data, bucket)
+    assert(spread(("l", Map.empty)) == VInt(4), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("the automaton state seeds across batch splits: any cut of " +
+      "the line stream equals the one-shot run") {
+    val src =
+      """counter n
+        |hidden gauge h
+        |/^a$/ {
+        |  h == 1 {
+        |    h = 0
+        |    n++
+        |  }
+        |}
+        |/^b$/ { h++ }
+        |""".stripMargin
+    val lines = Seq("b", "a", "a", "b", "b", "a", "b", "a", "a")
+    // VM: b(h=1) a(n=1,h=0) a(no) b(h=1) b(h=2) a(h==1? no — h=2)
+    //     b(h=3) a(no) a(no) → n = 1
+    val prog = Frontend.parse(src, "seqcyc.split")
+    val oneShot = Snapshot.collect(new PlanBuilder(prog,
+      LogLines.fromLines(lines.toDF("line"), "line"), 0).snapshot())
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(oneShot(("n", Map.empty)) == VInt(1), oneShot)
+    for (cut <- 1 until lines.length) {
+      val runner = new StreamRunner(prog, spark, 0)
+      runner.processBatch(lines.take(cut).toDF("line"), 0)
+      runner.processBatch(lines.drop(cut).toDF("line"), 1)
+      val split = runner.store.snapshot()
+        .map(c => (c.name, c.labels) -> c.value).toMap
+      assert(split(("n", Map.empty)) == VInt(1),
+        s"cut=$cut: $split")
+    }
+  }
+
+  test("non-absorbing seeded saturation across a split: the carried " +
+      "count resumes exactly") {
+    val src =
+      """counter n
+        |/^t$/ {
+        |  n < 3 { n++ }
+        |}
+        |""".stripMargin
+    val lines = Seq.fill(5)("t")
+    val prog = Frontend.parse(src, "seqcyc.sat")
+    for (cut <- 1 until lines.length) {
+      val runner = new StreamRunner(prog, spark, 0)
+      runner.processBatch(lines.take(cut).toDF("line"), 0)
+      runner.processBatch(lines.drop(cut).toDF("line"), 1)
+      val split = runner.store.snapshot()
+        .map(c => (c.name, c.labels) -> c.value).toMap
+      assert(split(("n", Map.empty)) == VInt(3), s"cut=$cut: $split")
+    }
+  }
+
+  test("KEYED self-conditioned reset (the per-session partial idiom) " +
+      "is exact — r15 crashed at plan build on this shape") {
+    // the keyed reset's cond reads the metric through a DIFFERENT
+    // regex frame than the write, so the read lowers to an as-of
+    // whose write leg references the read itself. Pre-r16 the
+    // provisional substitution spliced the pass-1 impl — itself the
+    // same as-of name — into the spec, and the flush threw "circular
+    // materialization". The sequential state machine resolves it
+    // per key tuple, VM-exact.
+    val src =
+      """counter resets by u
+        |hidden gauge p by u
+        |/^p (?P<s>\w+)$/ { p[$s] = 1 }
+        |/^c (?P<s>\w+)$/ {
+        |  p[$s] == 1 {
+        |    p[$s] = 0
+        |    resets[$s]++
+        |  }
+        |}
+        |""".stripMargin
+    val data = Seq("p a", "c a", "c a", "p b", "c b", "p a", "c a")
+    val spread = run(src, data, bucket)
+    assert(spread(("resets", Map("u" -> "a"))) == VInt(2), spread)
+    assert(spread(("resets", Map("u" -> "b"))) == VInt(1), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+
+  test("KEYED non-absorbing saturation per key, seeded across any " +
+      "batch split") {
+    // n[$s] < 2 { n[$s]++ }: a per-key automaton; the carried state
+    // must seed each key's count through the broadcast keyed-seed
+    // join so every cut equals the one-shot run
+    val src =
+      """counter n by u
+        |/^t (?P<s>\w+)$/ {
+        |  n[$s] < 2 { n[$s]++ }
+        |}
+        |""".stripMargin
+    val lines = Seq("t a", "t b", "t a", "t a", "t b", "t b", "t a")
+    val prog = Frontend.parse(src, "seqcyc.keyed")
+    val oneShot = Snapshot.collect(new PlanBuilder(prog,
+      LogLines.fromLines(lines.toDF("line"), "line"), 0).snapshot())
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(oneShot(("n", Map("u" -> "a"))) == VInt(2), oneShot)
+    assert(oneShot(("n", Map("u" -> "b"))) == VInt(2), oneShot)
+    for (cut <- 1 until lines.length) {
+      val runner = new StreamRunner(prog, spark, 0)
+      runner.processBatch(lines.take(cut).toDF("line"), 0)
+      runner.processBatch(lines.drop(cut).toDF("line"), 1)
+      val split = runner.store.snapshot()
+        .map(c => (c.name, c.labels) -> c.value).toMap
+      assert(split == oneShot, s"cut=$cut: $split")
+    }
+  }
+
+  test("downstream reads of the cyclic metric flow through the " +
+      "normal as-of machinery and see the exact values") {
+    val src =
+      """hidden counter n
+        |gauge out
+        |text trail
+        |/^t$/ {
+        |  n < 2 { n++ }
+        |  out = n
+        |  trail += string(n)
+        |}
+        |""".stripMargin
+    // t: n=1 out=1 trail=1; t: n=2 out=2 trail=12; t: no inc,
+    // out=2 trail=122
+    val data = Seq("t", "t", "t")
+    val spread = run(src, data, bucket)
+    assert(spread(("out", Map.empty)) == VInt(2), spread)
+    assert(spread(("trail", Map.empty)) == VStr("122"), spread)
+    assert(run(src, data, 1L) == spread)
+  }
+}

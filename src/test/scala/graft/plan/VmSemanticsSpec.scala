@@ -545,17 +545,19 @@ class VmSemanticsSpec extends SparkSpec {
     //
     // Value semantics: this shape is NON-ABSORBING self-reference —
     // whether the reset fires depends on its own full firing history
-    // through the later `++` (a sequential automaton). The engine's
-    // documented one-level unroll evaluates the reset's frozen cond
-    // against pass-1 visibility (no writes yet → never fires), so
-    // reads over-count past the first reset: c = 1 here where the
-    // strictly sequential VM yields 2. The ABSORBING reset idiom the
-    // reference actually uses (`partial == 1 { partial = 0 }` after a
-    // regex-guarded mark) stays EXACT — pinned in KeylessPrefixSpec —
-    // because an over/under-fired reset writes the value the cell
-    // already holds. Deterministic either way; one-shot ≡ batch-split
-    // is enforced by the equivalence fuzz, whose pool carries this
-    // shape.
+    // through the later `++` (a sequential automaton no associative
+    // window can express). Since round 16 the engine resolves genuine
+    // keyless cycles with SeqCycleEval's sequential state machine —
+    // exactly the VM's per-line/per-site replay — so the value is the
+    // strictly sequential VM's: h++ arms on each `b` line, the next
+    // `a` line sees h == 1, resets and counts. a(h=0,no) b(h=1)
+    // a(reset,c=1) b(h=1) a(reset,c=2). Pre-r16 the one-level-unroll
+    // bottom froze the reset's cond at pass-1 visibility and yielded
+    // c = 1; that approximation now survives only for shapes the
+    // automaton declines — a cycle whose KEY expression itself reads
+    // cycle state, or residual inputs stuck behind other unresolved
+    // machinery (documented fallback). One-shot ≡ batch-split is
+    // enforced by the equivalence fuzz, whose pool carries this shape.
     val cells = run(
       """hidden gauge h
         |counter c
@@ -567,7 +569,7 @@ class VmSemanticsSpec extends SparkSpec {
         |}
         |/b (?P<x>\d+)/ { h++ }
         |""".stripMargin, Seq("a", "b 1", "a", "b 2", "a"))
-    assert(cells(("c", Map.empty)) == VInt(1))
+    assert(cells(("c", Map.empty)) == VInt(2))
   }
 
   test("reading a metric whose write cond reads a LATER-written " +

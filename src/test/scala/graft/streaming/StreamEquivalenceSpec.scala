@@ -125,10 +125,21 @@ class StreamEquivalenceSpec extends SparkSpec {
       "g0 = len(t1[$s])",
       // self-conditioned write: the write's own cond reads the metric
       // being written (the mysql `partial == 1 { partial = 0 }` reset
-      // idiom) — the frozen pass-1 cond read must carry across batch
-      // boundaries exactly like the one-shot global window
+      // idiom) — resolved by the round-16 exact sequential automaton
+      // (SeqCycleEval), which must seed across batch boundaries
+      // exactly like the VM checkpointing its store
       "hid0 = 1",
       "hid0 == 1 {\nhid0 = 0\nc0++\n}",
+      // NON-absorbing self-reference: saturating counters whose cond
+      // reads their own full firing history — keyless and keyed; the
+      // one-level-unroll provisional deviated from the VM here, the
+      // sequential bottom must not, under any batch cut
+      "hidc < 3 { hidc++ }",
+      "hidc1[$s] < 2 { hidc1[$s]++ }",
+      // keyed absorbing arm/reset across DIFFERENT patterns (the
+      // per-session partial idiom) — crashed at plan build pre-r16
+      "hid1[$s][\"7\"] = 1",
+      "hid1[$s][\"7\"] == 1 {\nhid1[$s][\"7\"] = 0\nc0++\n}",
       // conds reading metrics through every fold family: a keyless
       // counter (sum mode), a KEYED hidden gauge (per-key window /
       // as-of), and a threshold read guarding a keyed write — the
