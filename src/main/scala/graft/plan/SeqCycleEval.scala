@@ -158,7 +158,13 @@ private[plan] object SeqCycleEval {
       (metricIdx(r.metric), ke.toString)
     }
 
-    val sorted = inputDf.coalesce(1).sortWithinPartitions(col("__sq_ord"))
+    // repartition(1), NOT coalesce(1): coalesce is a narrow dependency
+    // that would collapse the whole upstream stage — including the
+    // expensive slot expressions — into the single sequential task.
+    // The round-trip shuffle keeps slot evaluation distributed and
+    // codegen'd; only the narrow (ord, slots) rows funnel through the
+    // exchange into the one-task sorted walk.
+    val sorted = inputDf.repartition(1).sortWithinPartitions(col("__sq_ord"))
     val inSchema = sorted.schema
     val ordType = inSchema("__sq_ord").dataType
     def seedOrdOf(k: (Int, String)): Int =
