@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Expression,
-  GenericInternalRow, JoinedRow, Literal}
+  GenericInternalRow, JoinedRow, Literal, MutableProjection}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -214,11 +214,30 @@ private[plan] object SeqCycleEval {
       val state = Array.fill(nMetrics)(mutable.HashMap[String, Any]())
       val appended = Array.fill(nMetrics)( // concat-cap raw chars
         mutable.HashMap[String, Long]())
+      // compiled ONCE per task: codegen'd (interpreted-fallback)
+      // projections over the thin residual expressions. The walk is
+      // the sequential bottleneck — per-row interpreted tree-eval
+      // with boxing costs several times what a generated evaluator
+      // does, and the residuals re-evaluate at every site of every
+      // row. Constant key encodings (every keyless metric) skip the
+      // projection and the per-row UTF8String→String copy entirely.
+      val siteProj = rtSites.map(s =>
+        MutableProjection.create(Seq(s.key, s.cond, s.value)))
+      val siteValDt: Array[DataType] = rtSites.map(s =>
+        if (s.op == OpConcat) StringType else vts(s.metric))
+      def constKeyOf(e: Expression): String = e match {
+        case Literal(u: UTF8String, StringType) => u.toString
+        case _ => null
+      }
+      val siteConstKey = rtSites.map(s => constKeyOf(s.key))
+      val readProj = rtReads.map(r => MutableProjection.create(Seq(r.key)))
+      val readConstKey = rtReads.map(r => constKeyOf(r.key))
       def zeroOf(i: Int): Any = vts(i) match {
         case LongType => 0L
         case DoubleType => 0.0d
         case _ => UTF8String.fromString("")
       }
+      val walkT0 = System.nanoTime()
       val stateRow = new GenericInternalRow(rtReads.length)
       val joined = new JoinedRow
       def copyOf(v: Any): Any = v match {
@@ -227,11 +246,6 @@ private[plan] object SeqCycleEval {
       }
       iter.map { row =>
         joined(row, stateRow)
-        def keyOf(e: Expression): String = e.eval(joined) match {
-          case null => null
-          case s: UTF8String => s.toString
-          case other => other.toString
-        }
         def touch(m: Int, key: String, seedOrd: Int): Any =
           state(m).getOrElseUpdate(key,
             if (seedOrd >= 0 && !row.isNullAt(seedOrd))
@@ -244,7 +258,13 @@ private[plan] object SeqCycleEval {
           while (r < rtReads.length) {
             val rd = rtReads(r)
             if (rd.pos == pos) {
-              val k = keyOf(rd.key)
+              val k =
+                if (readConstKey(r) != null) readConstKey(r)
+                else {
+                  val pr = readProj(r)(joined)
+                  if (pr.isNullAt(0)) null
+                  else pr.getUTF8String(0).toString
+                }
               stateRow.update(rd.stateOrd,
                 if (k == null) null
                 else touch(rd.metric, k, rd.seedOrd))
@@ -255,10 +275,14 @@ private[plan] object SeqCycleEval {
           while (s < rtSites.length) {
             val site = rtSites(s)
             if (site.idx == pos) {
-              val c = site.cond.eval(joined)
-              if (c == true) {
-                val k = keyOf(site.key)
-                val v = site.value.eval(joined)
+              val pr = siteProj(s)(joined)
+              if (!pr.isNullAt(1) && pr.getBoolean(1)) {
+                val k =
+                  if (siteConstKey(s) != null) siteConstKey(s)
+                  else if (pr.isNullAt(0)) null
+                  else pr.getUTF8String(0).toString
+                val v =
+                  if (pr.isNullAt(2)) null else pr.get(2, siteValDt(s))
                 // null key (failed capref) or null value (aborted
                 // conversion) drops the update, like the plan's
                 // isNotNull filters
@@ -317,6 +341,10 @@ private[plan] object SeqCycleEval {
           r += 1
         }
         out: InternalRow
+      } ++ {
+        if (sys.env.contains("SPARK_GRAFT_SEQ_TIMING"))
+          System.err.println(f"[seqwalk] ${(System.nanoTime() - walkT0) / 1e9}%.2f s in-task")
+        Iterator.empty
       }
     }
   }
