@@ -211,16 +211,21 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   private val metricReadMemo =
     mutable.Map[(String, String, Int, String), Column]()
 
-  /** registries for the EXACT sequential bottom of genuine keyless
+  /** registry for the EXACT sequential bottom of genuine
     * self/mutual-reference cycles (see [[SeqCycleEval]] and the
-    * flushPending fallback): per read name the (metric, site) it
-    * observes, and per metric the full write-site program in
-    * replayable form. Filled in pass 2 only — the flush consumes them
-    * when, and only when, a cycle stalls resolution. (Declared before
-    * the constructor-body walk() calls, like [[metricReadMemo]].)
+    * flushPending fallback): per read name, the (metric, site,
+    * uncompiled key inputs) it observes. Filled in pass 2 only; the
+    * flush consumes it when, and only when, a SEMANTIC cycle stalls
+    * resolution. Registration stores raw inputs and compiles NOTHING —
+    * an eager compile here measurably perturbed acyclic programs by
+    * shifting registration order (a lazy offsets join then built
+    * against a pre-persist snapshot and re-scanned the source; 2.3×
+    * on the condgate shape at ×100). (Declared before the
+    * constructor-body walk() calls, like [[metricReadMemo]].)
     */
   private case class SeqReadInfo(metric: String, siteIdx: Int,
-      keyEnc: Column)
+      keys: Seq[Expr], frames: List[Frame], tReg: Column,
+      reading: Set[String])
   private val seqReadInfo = mutable.Map[String, SeqReadInfo]()
   private val seqSitesByMetric =
     mutable.Map[String, Seq[SeqCycleEval.SiteSpec]]()
@@ -577,15 +582,50 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               r == target || (seen.add(r) && go(r)))
             go(from)
           }
-          // EXACT bottom first: a genuine KEYLESS self/mutual-reference
-          // cycle is a sequential automaton — resolve its reads with
-          // the one-task state machine ([[SeqCycleEval]]), VM-exact,
-          // and let downstream machinery consume the materialized
-          // columns. Keyed cycles and unsupported shapes fall through
-          // to the provisional substitution below (the documented
-          // one-level-unroll bottom).
+          // EXACT bottom first: a SEMANTICALLY cyclic metric group
+          // (keyed or keyless — a write whose cond/value/key reads a
+          // metric of the group) is a sequential automaton — resolve
+          // its reads with the one-task state machine
+          // ([[SeqCycleEval]]), VM-exact, and let downstream machinery
+          // consume the materialized columns. The name-reference
+          // graph's APPARENT cycles (pass-1/pass-2 branch divergence)
+          // stay with the provisional substitution below — resolving
+          // those sequentially would trade the distributed prefix scan
+          // for a one-task walk on acyclic programs.
+          val cycMetrics = seqCyclicMetrics
           val exactResolved =
-            trySeqCycleResolve(avail, registered, reaches)
+            cycMetrics.nonEmpty && trySeqCycleResolve(cycMetrics, avail)
+          // while a feasible group WAITS for its residual inputs, its
+          // reads and their exclusively-owned machinery are fenced off
+          // from the provisional substitution — bottoming them would
+          // materialize the one-level unroll the automaton replaces.
+          // Machinery a non-group entry also references is NOT fenced
+          // (an inter-tangled name graph keeps the r15 bottom there).
+          val fenced: Set[String] =
+            if (exactResolved || cycMetrics.isEmpty) Set.empty
+            else {
+              val rds = seqReadInfo.collect {
+                case (n, i) if cycMetrics(i.metric) => n }.toSet
+              val gcable = Seq("__asof_", "__kpfx_", "__koff_",
+                "__carry_")
+              val protectable = mutable.Set[String](rds.toSeq: _*)
+              var grown = true
+              while (grown) {
+                grown = false
+                val outside = (pending.keys ++ pendingAsofs.keys ++
+                  pendingJoins.keys ++ pendingLazyJoins.keys)
+                  .filterNot(protectable).toSeq
+                val outsideRefs = outside.flatMap(refsOfName).toSet
+                val candidates = protectable.toSeq.flatMap(refsOfName)
+                  .filter(n => gcable.exists(n.startsWith))
+                  .filterNot(protectable)
+                  .filterNot(outsideRefs)
+                if (candidates.nonEmpty) {
+                  protectable ++= candidates; grown = true
+                }
+              }
+              protectable.toSet
+            }
           // substitute the provisional ONLY along genuine cycle edges
           // (the ref's own registration transitively depends on this
           // entry) or for names pass 2 never registered (the read took
@@ -604,9 +644,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           // `avail` and its registration is gone — the provisional
           // would wrongly splice in); the flush loop retries with the
           // updated relation instead
-          if (!exactResolved) {
+          def substitutePass(skip: Set[String]): Unit = {
           pending.toSeq.foreach { case (pn, c) =>
-            val miss = unresolvedKpfx(pn, Seq(c))
+            val miss = if (skip(pn)) Set.empty[String]
+              else unresolvedKpfx(pn, Seq(c))
             if (miss.nonEmpty) {
               pending(pn) = miss.foldLeft(c)((acc, r) =>
                 substituteRef(acc, r, kpfxProvisional(r)))
@@ -616,7 +657,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           pendingAsofs.toSeq.foreach { case (pn, sp) =>
             val cols = sp.probeKeys ++
               sp.writes.flatMap(w => w.keys ++ Seq(w.cond, w.value))
-            val miss = unresolvedKpfx(pn, cols)
+            val miss = if (skip(pn)) Set.empty[String]
+              else unresolvedKpfx(pn, cols)
             if (miss.nonEmpty) {
               def sub(c: Column): Column = miss.foldLeft(c)((acc, r) =>
                 substituteRef(acc, r, kpfxProvisional(r)))
@@ -635,9 +677,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           // (the two legs of a prefix decomposition must fold the
           // same value)
           pendingLazyJoins.toSeq.foreach { case (n, (k, needs, build)) =>
-            val miss = (needs ++ refsOf(k))
-              .filter(r => !avail(r) && kpfxProvisional.contains(r) &&
-                (!registered(r) || reaches(r, n)))
+            val miss = if (skip(n)) Set.empty[String]
+              else (needs ++ refsOf(k))
+                .filter(r => !avail(r) && kpfxProvisional.contains(r) &&
+                  (!registered(r) || reaches(r, n)))
             if (miss.nonEmpty) {
               val missSeq = miss.toSeq
               val newNeeds = needs -- miss ++
@@ -655,6 +698,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               substituted = true
             }
           }
+          }
+          if (!exactResolved) {
+            substitutePass(fenced)
+            // a waiting group whose inputs can ONLY come through its
+            // own fenced machinery makes no progress — surrender
+            // exactness (the pre-r16 one-level unroll, deterministic
+            // and batch-split-consistent) rather than deadlock
+            if (!substituted && fenced.nonEmpty) substitutePass(Set.empty)
           }
           if (substituted) () // retry the flush loop with bottoms in
           else
@@ -743,56 +794,102 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     }
   }
 
+  /** the SEMANTICALLY cyclic metric groups the automaton can replay:
+    * metric-level edges M → metric(r) for every read column name r
+    * referenced by M's recorded site columns (conds reference reads
+    * as content-named `__mrd` columns since r15, so [[seqReadInfo]]
+    * maps ref names back to metrics). A metric enters the set iff it
+    * reaches itself on THAT graph — NOT the name-reference graph,
+    * whose apparent cycles the provisional substitution exists to
+    * break for acyclic programs (resolving those sequentially would
+    * trade the distributed prefix scan for a one-task walk) — and the
+    * whole group is feasible: recorded site programs and
+    * still-pending reads for every member.
+    */
+  /** metrics READ (transitively through keys) by an IR expression. */
+  private def irReadMetrics(e: Expr): Set[String] = e match {
+    case MetricRead(m, ks) => ks.flatMap(irReadMetrics).toSet + m
+    case Binop(_, l, r) => irReadMetrics(l) ++ irReadMetrics(r)
+    case Unop(_, x) => irReadMetrics(x)
+    case Call(_, args) => args.flatMap(irReadMetrics).toSet
+    case _ => Set.empty
+  }
+
+  private def seqCyclicMetrics: Set[String] = {
+    // metric-level read edges, computed WITHOUT compiling anything:
+    // site values/keys from the IR, enclosing-condition reads from
+    // the walk-recorded [[Site.condReads]]
+    def deps(m: String): Set[String] =
+      allSites.filter(_.metric.name == m).flatMap(s =>
+        s.valueIr.toSeq.flatMap(irReadMetrics) ++
+          s.keys.flatMap(irReadMetrics) ++ s.condReads).toSet
+    val all = seqReadInfo.values.map(_.metric).toSet
+    val cyclic = all.filter { m =>
+      val seen = mutable.Set[String]()
+      def go(x: String): Boolean = deps(x).exists(d =>
+        d == m || (seen.add(d) && go(d)))
+      go(m)
+    }
+    val feasible = cyclic.nonEmpty &&
+      seqReadInfo.forall { case (n, i) =>
+        !cyclic(i.metric) || pending.contains(n) }
+    if (feasible) cyclic else Set.empty
+  }
+
   /** EXACT resolution of a stalled self/mutual-reference cycle —
     * keyless OR keyed — via [[SeqCycleEval]]'s sequential state
-    * machine. Returns true if it resolved the cycle's reads (the
-    * flush loop retries with the joined columns); false defers to the
-    * provisional one-level-unroll substitution — shapes whose inputs
-    * are not yet materialized, carried state behind a state-dependent
-    * key, or any analysis failure.
+    * machine over the [[seqCyclicMetrics]] group. Returns true if it
+    * resolved the group's reads (the flush loop retries with the
+    * joined columns); false means the group's residual inputs are not
+    * materialized yet (wait) or analysis failed (the caller falls
+    * back to the provisional one-level-unroll substitution).
     */
-  private def trySeqCycleResolve(avail: Set[String],
-      registered: String => Boolean,
-      reaches: (String, String) => Boolean): Boolean = {
-    val regNames = (pending.keys ++ pendingAsofs.keys ++
-      pendingLazyJoins.keys).toSeq
-    val cyc = regNames.filter(n => reaches(n, n)).toSet
-    val cycReads = cyc.filter(seqReadInfo.contains)
-    if (cycReads.isEmpty) return false
-    val metrics = cycReads.map(seqReadInfo(_).metric)
+  private def trySeqCycleResolve(metrics: Set[String],
+      avail: Set[String]): Boolean = {
     // EVERY read of a cycle metric resolves together (one replayed
-    // automaton); all must still be pending, with recorded site
-    // programs
+    // automaton)
     val readNames = seqReadInfo.collect {
       case (n, i) if metrics(i.metric) => n
     }.toSeq.sorted
-    if (readNames.exists(avail)) return false
-    if (readNames.exists(n => !pending.contains(n))) return false
-    if (!metrics.forall(seqSitesByMetric.contains)) return false
-    val specs = metrics.toSeq.sorted.flatMap(seqSitesByMetric(_))
+    // COMPILE LAZILY, only here — registration-time compilation
+    // measurably perturbed acyclic plans (see [[SeqReadInfo]]). The
+    // exprColumn calls are memo-shared with the impls; a miss may
+    // register fresh machinery, which the flush materializes before
+    // the retry finds its inputs available.
+    def keyEncOf(n: String): Column = {
+      val i = seqReadInfo(n)
+      PlanBuilder.joinKeys(i.keys.map(k => strCast(k,
+        exprColumn(k, i.frames, i.tReg, i.siteIdx, i.reading),
+        i.frames)))
+    }
+    val (specs, readKeyEncs) =
+      try {
+        metrics.toSeq.sorted.foreach { m =>
+          if (!seqSitesByMetric.contains(m)) {
+            val rdg = seqReadInfo.collect {
+              case (_, i) if i.metric == m => i.reading
+            }.toSeq.minBy(_.toSeq.sorted.mkString(","))
+            seqSitesByMetric(m) = seqSitesOf(m, rdg + m)
+          }
+        }
+        (metrics.toSeq.sorted.flatMap(seqSitesByMetric(_)),
+          readNames.map(n => n -> keyEncOf(n)).toMap)
+      } catch { case scala.util.control.NonFatal(_) => return false }
     // every non-state input of the replayed site programs must be a
     // materialized column already (a cond reading some OTHER stuck
-    // machinery defers to the provisional bottom)
+    // machinery defers — the flush materializes it and retries)
     val stateNames = readNames.toSet
     val inputRefs = specs.flatMap(s =>
       refsOf(s.keyEnc) ++ refsOf(s.cond) ++ refsOf(s.value)).toSet ++
-      readNames.flatMap(n => refsOf(seqReadInfo(n).keyEnc))
+      readNames.flatMap(n => refsOf(readKeyEncs(n)))
     if (!inputRefs.filter(_.startsWith("__"))
       .forall(r => avail(r) || stateNames(r))) return false
-    // carried state seeds join on the access's key encoding — a key
-    // that itself reads cycle state cannot pre-join. The guard is
-    // SHAPE-only (not initialState-dependent): a batch-split run must
-    // take the same path in every batch or the runs diverge
-    val dynKey =
-      (specs.map(_.keyEnc) ++ readNames.map(seqReadInfo(_).keyEnc))
-        .exists(ke => refsOf(ke).exists(stateNames))
-    if (dynKey) return false
     if (wantPersist && persistedDf.isEmpty) persistNow()
     val mspecs = metrics.toSeq.sorted.map(m =>
       SeqCycleEval.MetricSpec(m, metricType(m), initialState.get(m)))
     val reads = readNames.map(n =>
       SeqCycleEval.ReadSpec(n, seqReadInfo(n).metric,
-        seqReadInfo(n).siteIdx, seqReadInfo(n).keyEnc))
+        seqReadInfo(n).siteIdx, readKeyEncs(n)))
     val out =
       try SeqCycleEval.resolve(curDf, specs, reads, mspecs,
         textConcatCap)
@@ -802,7 +899,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     curDf = curDf.select(col("*") +: readNames.map(n =>
       col("__sqv_" + n).as(n)): _*)
       .drop(readNames.map("__sqv_" + _): _*)
-    readNames.foreach(pending.remove)
+    readNames.foreach { n => pending.remove(n); seqReadInfo.remove(n) }
     // GC: internal registrations (probe relations, prefix offsets,
     // carried-state joins) reachable only from the replaced read
     // impls are orphans — materializing them would run the very
@@ -1167,9 +1264,18 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   case object OpConcat extends Op
 
   /** one metric-update site with context captured at walk time. */
+  /** `condReads`: metrics the site's ENCLOSING CONDITIONS read, at
+    * the IR level — the semantic firing dependence ([[seqCyclicMetrics]]
+    * edges). Deliberately excludes the conservative line-abort guard
+    * terms the compiled `cond` conjoins (an abort-mediated
+    * self-dependence — a string-compare error on the metric's own read
+    * gating its write — stays on the provisional one-level-unroll
+    * bottom, not the automaton).
+    */
   private case class Site(idx: Int, metric: MetricDecl, op: Op,
       cond: Column, keys: Seq[Expr], valueIr: Option[Expr],
-      frames: List[Frame], timeReg: Column, afterSeconds: Option[Long])
+      frames: List[Frame], timeReg: Column, afterSeconds: Option[Long],
+      condReads: Set[String] = Set.empty)
 
   private val sites = mutable.ArrayBuffer[Site]()
   private var siteSeq = 0 // shared order for sites AND strptime/settime
@@ -1320,15 +1426,31 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       abortCond = abortCond || coalesce(execCond && nc, lit(false))
     }
 
+  /** reads accumulated into `stopGuard` by executed `stop` statements
+    * — later sites' firing depends on those conds' metric reads.
+    */
+  private var stopGuardReads: Set[String] = Set.empty
+
   private def walk(stmts: Seq[Stmt], frames: List[Frame],
-      cond: Column): Unit = {
+      cond: Column, condReads: Set[String] = Set.empty): Unit = {
     val siblings = mutable.ArrayBuffer[Column]()
+    val siblingReads = mutable.Set[String]()
     stmts.foreach {
       case CondBlock(c, body, els) =>
         val (condCol, newFrames) = condToColumn(c, frames, siblings.toSeq)
+        // the semantic read set of THIS condition: expression reads at
+        // the IR level; `otherwise` fires on the siblings' matched
+        // flags, so it inherits their reads
+        val cReads = c match {
+          case CondExpr(e) => irReadMetrics(e)
+          case CondOtherwise => siblingReads.toSet
+          case _ => Set.empty[String]
+        }
         c match {
           case CondOtherwise =>
-          case _ => siblings += (cond && condCol)
+          case _ =>
+            siblings += (cond && condCol)
+            siblingReads ++= cReads
         }
         c match {
           case CondExpr(e) =>
@@ -1340,25 +1462,29 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             abortOn(cond, typedCaprefNullCond(e, frames))
           case _ =>
         }
-        walk(body, newFrames, cond && condCol)
+        walk(body, newFrames, cond && condCol, condReads ++ cReads)
         if (els.nonEmpty)
-          walk(els, frames, cond && !coalesce(condCol, lit(false)))
+          walk(els, frames, cond && !coalesce(condCol, lit(false)),
+            condReads ++ cReads)
       case IncStmt(m, keys, delta, _) =>
         // `text += e` is ADD_ASSIGN = `m = m + e` (codegen.go:359-363)
         // → an ordered running concatenation, not a numeric sum
         val op = if (metricType(m) == StringType) OpConcat else OpInc
         sites += Site(nextSeq(), program.decl(m), op,
-          cond && stopGuard, keys, Some(delta), frames, timeReg, None)
+          cond && stopGuard, keys, Some(delta), frames, timeReg, None,
+          condReads ++ stopGuardReads)
         abortOn(cond, typedCaprefNullCond(
           keys.foldLeft(delta)((a, k) => Binop("+", a, k)), frames))
       case SetStmt(m, keys, v) =>
         sites += Site(nextSeq(), program.decl(m), OpSet,
-          cond && stopGuard, keys, Some(v), frames, timeReg, None)
+          cond && stopGuard, keys, Some(v), frames, timeReg, None,
+          condReads ++ stopGuardReads)
         abortOn(cond, typedCaprefNullCond(
           keys.foldLeft(v)((a, k) => Binop("+", a, k)), frames))
       case DelStmt(m, keys, after) =>
         sites += Site(nextSeq(), program.decl(m), OpDel,
-          cond && stopGuard, keys, None, frames, timeReg, after)
+          cond && stopGuard, keys, None, frames, timeReg, after,
+          condReads ++ stopGuardReads)
       case ExprStmt(Call("strptime", Seq(arg, StrLit(layout)))) =>
         val seq = nextSeq()
         val execCond = cond && stopGuard
@@ -1407,6 +1533,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         val _ = e // no other expression statement has a batch effect
       case StopStmt =>
         stopGuard = stopGuard && !coalesce(cond, lit(false))
+        stopGuardReads ++= condReads
       case NextStmt =>
         throw new IllegalArgumentException(
           "`next` outside a decorator def")
@@ -1442,6 +1569,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   siteSeq = 0
   timeReg = lit(null).cast(TimestampType)
   stopGuard = lit(true)
+  stopGuardReads = Set.empty
   metricTypeMemo.clear()
   abortCond = lit(false)
   curDf = baseLines // pass-1 materialized columns are provisional too
@@ -1740,13 +1868,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       if (resolvedSites.isEmpty) { kpfxProvisional(name) = impl }
       else {
         pending(name) = impl
-        seqReadInfo(name) = SeqReadInfo(metric, siteIdx,
-          PlanBuilder.joinKeys(keys.map(k =>
-            strCast(k, exprColumn(k, frames, tReg, siteIdx, reading),
-              frames))))
-        if (!seqSitesByMetric.contains(metric))
-          scala.util.Try(seqSitesOf(metric, reading + metric))
-            .foreach(seqSitesByMetric(metric) = _)
+        seqReadInfo(name) =
+          SeqReadInfo(metric, siteIdx, keys, frames, tReg, reading)
       }
       col(name)
     })

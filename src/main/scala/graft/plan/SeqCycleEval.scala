@@ -5,8 +5,9 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Expression,
-  GenericInternalRow, JoinedRow, Literal, MutableProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+  Expression, GenericInternalRow, JoinedRow, Literal,
+  MutableProjection}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -48,9 +49,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Keyed metrics hold a per-key-tuple state map; keys are accessed
   * through their injective joinKeys encoding, so carried cross-batch
-  * state seeds by a plain broadcast join per (metric, key expression)
-  * and batch-split runs compose exactly like the VM checkpointing its
-  * store between chunks.
+  * state seeds from per-metric collected maps (export-store-sized by
+  * contract) and batch-split runs compose exactly like the VM
+  * checkpointing its store between chunks — including key expressions
+  * that themselves read cycle state.
   */
 private[plan] object SeqCycleEval {
 
@@ -75,9 +77,9 @@ private[plan] object SeqCycleEval {
   // ---- serializable runtime forms shipped to the executor ----
 
   private final case class RtSite(idx: Int, op: Int, metric: Int,
-      key: Expression, seedOrd: Int, cond: Expression, value: Expression)
+      key: Expression, cond: Expression, value: Expression)
   private final case class RtRead(pos: Int, metric: Int, stateOrd: Int,
-      key: Expression, seedOrd: Int)
+      key: Expression)
   private val OpInc = 0; private val OpSet = 1; private val OpConcat = 2
 
   /** Resolve `reads` over `base`. Returns a DataFrame
@@ -118,45 +120,33 @@ private[plan] object SeqCycleEval {
       (decompose(s.keyEnc), decompose(s.cond), decompose(s.value)))
     val readRes = reads.map(r => decompose(r.keyEnc))
 
-    // ---- input projection: ord + slots, then per-(metric, key expr)
-    // seed joins, then one sorted partition. Narrow by construction;
-    // the heavy expressions run distributed here.
-    var inputDf = base.select(col("ord").as("__sq_ord") +:
+    // ---- input projection: ord + slots, one sorted partition. Narrow
+    // by construction; the heavy expressions run distributed here.
+    val inputDf = base.select(col("ord").as("__sq_ord") +:
       slots.values.toSeq.map { case (n, e) =>
         GraftBridge.column(e).as(n) }: _*)
 
-    // a carried-state seed joins on the access's own key encoding —
-    // the row that first touches a key carries that key's seed. A key
-    // expression that itself reads cycle state cannot pre-join
-    // (guarded by the caller: such metrics must have no carried state).
-    val seedCols = mutable.Map[(Int, String), String]() // → col name
-    var seedSeq = 0
-    def seedColFor(metric: Int, keyExpr: Expression): Int =
-      metrics(metric).seed match {
-        case Some(st) if !hasState(keyExpr) =>
-          val name = seedCols.getOrElseUpdate((metric, keyExpr.toString), {
-            val sn = s"__sq_seed_$seedSeq"
-            seedSeq += 1
-            inputDf = inputDf.join(
-              broadcast(st.select(col("k").as(sn + "_k"),
-                col("v").cast(metrics(metric).vt).as(sn))),
-              GraftBridge.column(keyExpr) === col(sn + "_k"), "left")
-              .drop(sn + "_k")
-            sn
-          })
-          name.hashCode // placeholder, replaced below by field index
-        case _ => -1
+    // carried cross-batch state collects into plain per-metric maps —
+    // the same driver round-trip broadcast() would pay, without the
+    // per-(metric, key expression) join machinery, and key expressions
+    // that themselves read cycle state (`m[string(n)]` with n in the
+    // cycle) seed exactly like any other: every batch takes the same
+    // path, so batch-split runs compose identically. The relations are
+    // export-store-sized by contract (the streaming store holds every
+    // cell in driver memory already).
+    val seedMaps: Array[Map[String, Any]] = metrics.map { m =>
+      m.seed match {
+        case Some(st) =>
+          st.select(col("k"), col("v").cast(m.vt)).collect().map { r =>
+            val v: Any = r.get(1) match {
+              case s: String => UTF8String.fromString(s)
+              case other => other
+            }
+            r.getString(0) -> v
+          }.toMap
+        case None => Map.empty[String, Any]
       }
-    // first pass registers the joins; ordinals resolve after the
-    // final schema is known
-    val siteSeedKeys = sites.zip(siteRes).map { case (s, (ke, _, _)) =>
-      seedColFor(metricIdx(s.metric), ke)
-      (metricIdx(s.metric), ke.toString)
-    }
-    val readSeedKeys = reads.zip(readRes).map { case (r, ke) =>
-      seedColFor(metricIdx(r.metric), ke)
-      (metricIdx(r.metric), ke.toString)
-    }
+    }.toArray
 
     // repartition(1), NOT coalesce(1): coalesce is a narrow dependency
     // that would collapse the whole upstream stage — including the
@@ -167,8 +157,6 @@ private[plan] object SeqCycleEval {
     val sorted = inputDf.repartition(1).sortWithinPartitions(col("__sq_ord"))
     val inSchema = sorted.schema
     val ordType = inSchema("__sq_ord").dataType
-    def seedOrdOf(k: (Int, String)): Int =
-      seedCols.get(k).map(inSchema.fieldIndex).getOrElse(-1)
 
     // ---- bind residual expressions against (input ++ state) ----
     val stateFields = reads.map(r =>
@@ -183,17 +171,50 @@ private[plan] object SeqCycleEval {
         case "set" => OpSet
         case "concat" => OpConcat
       }, metricIdx(s.metric), bound(3 * i),
-        seedOrdOf(siteSeedKeys(i)), bound(3 * i + 1), bound(3 * i + 2))
+        bound(3 * i + 1), bound(3 * i + 2))
     }.sortBy(_.idx).toArray
     val nSite = 3 * sites.length
-    val rtReads = reads.zipWithIndex.map { case (r, i) =>
-      RtRead(r.siteIdx, metricIdx(r.metric), i, bound(nSite + i),
-        seedOrdOf(readSeedKeys(i)))
+    val rtReadsRaw = reads.zipWithIndex.map { case (r, i) =>
+      RtRead(r.siteIdx, metricIdx(r.metric), i, bound(nSite + i))
     }.toArray
+    // refresh ORDER within a position: a read whose KEY references
+    // another read's state slot (`slots[string(turn)]` — the key is
+    // itself cycle state) must refresh AFTER that read, or it keys by
+    // the previous row's value. Topological by bound state ordinals;
+    // genuine key-reference cycles keep registration order.
+    val nIn = inSchema.fields.length
+    def stateDeps(e: Expression): Seq[Int] = {
+      val s = mutable.ArrayBuffer[Int]()
+      e.foreach {
+        case b: BoundReference if b.ordinal >= nIn => s += b.ordinal - nIn
+        case _ =>
+      }
+      s.toSeq
+    }
+    val rtReads = {
+      val byOrd = rtReadsRaw.map(r => r.stateOrd -> r).toMap
+      val placed = mutable.LinkedHashSet[Int]()
+      def place(o: Int, stack: Set[Int]): Unit =
+        if (!placed(o) && !stack(o)) {
+          stateDeps(byOrd(o).key).filter(byOrd.contains)
+            .foreach(d => place(d, stack + o))
+          placed += o
+        }
+      rtReadsRaw.foreach(r => place(r.stateOrd, Set.empty))
+      placed.toArray.map(byOrd)
+    }
     val nMetrics = metrics.length
     val vts = metricVts
     val cap = textCap
 
+    if (sys.env.contains("SPARK_GRAFT_SEQ_TIMING"))
+      System.err.println("[seqdbg] metrics=" + metrics.map(_.name) +
+        "\n  reads=" + reads.zip(rtReads).map { case (r, rt) =>
+          s"${r.name}@${rt.pos} m=${r.metric} ord=${rt.stateOrd} key=${rt.key}"
+        }.mkString("\n    ") +
+        "\n  sites=" + rtSites.map(s =>
+          s"idx=${s.idx} op=${s.op} m=${metrics(s.metric).name} key=${s.key} cond=${s.cond} val=${s.value}")
+          .mkString("\n    "))
     // merged event walk positions: reads refresh BEFORE the same-idx
     // site applies (a read at site j sees writes from sites < j only)
     val positions = (rtSites.map(_.idx) ++ rtReads.map(_.pos))
@@ -244,13 +265,11 @@ private[plan] object SeqCycleEval {
         case s: UTF8String => s.clone()
         case x => x
       }
+      def touch(m: Int, key: String): Any =
+        state(m).getOrElseUpdate(key,
+          seedMaps(m).get(key).map(copyOf).getOrElse(zeroOf(m)))
       iter.map { row =>
         joined(row, stateRow)
-        def touch(m: Int, key: String, seedOrd: Int): Any =
-          state(m).getOrElseUpdate(key,
-            if (seedOrd >= 0 && !row.isNullAt(seedOrd))
-              copyOf(row.get(seedOrd, vts(m)))
-            else zeroOf(m))
         var p = 0
         while (p < positions.length) {
           val pos = positions(p)
@@ -267,7 +286,7 @@ private[plan] object SeqCycleEval {
                 }
               stateRow.update(rd.stateOrd,
                 if (k == null) null
-                else touch(rd.metric, k, rd.seedOrd))
+                else touch(rd.metric, k))
             }
             r += 1
           }
@@ -291,7 +310,7 @@ private[plan] object SeqCycleEval {
                   site.op match {
                     case OpInc =>
                       state(m)(k) =
-                        (touch(m, k, site.seedOrd), v) match {
+                        (touch(m, k), v) match {
                           case (a: java.lang.Long, b: java.lang.Long) =>
                             a + b
                           case (a: java.lang.Double,
@@ -312,7 +331,7 @@ private[plan] object SeqCycleEval {
                         else math.min(math.max(cap - prior, 0L), len)
                       appended(m)(k) = prior + len
                       if (take > 0) {
-                        val cur = touch(m, k, site.seedOrd)
+                        val cur = touch(m, k)
                           .asInstanceOf[UTF8String]
                         val part =
                           if (take == len) sv

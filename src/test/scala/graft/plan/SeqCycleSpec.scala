@@ -223,6 +223,48 @@ class SeqCycleSpec extends SparkSpec {
     }
   }
 
+  test("STATE-DEPENDENT key expression: a cyclic metric keyed by " +
+      "another cycle read is exact, seeded across any batch split") {
+    // slots[k] where k itself is a cyclic read: the per-key seed-join
+    // form could not pre-join this shape (the key is only known
+    // mid-walk); the collected-map seeding makes it exact. turn
+    // alternates 0/1 via self-reference; slots counts per turn value
+    // with a saturation guard that makes slots itself cyclic.
+    val src =
+      """hidden gauge turn
+        |counter slots by t
+        |/^t$/ {
+        |  slots[string(turn)] < 2 { slots[string(turn)]++ }
+        |  turn == 0 {
+        |    turn = 1
+        |  }
+        |  otherwise {
+        |    turn = 0
+        |  }
+        |}
+        |""".stripMargin
+    // t1: slots[0]=1 turn=1; t2: slots[1]=1 turn=0; t3: slots[0]=2
+    // turn=1; t4: slots[1]=2 turn=0; t5: slots[0] at cap (2), no inc,
+    // turn=1; t6: slots[1] at cap — slots = {0: 2, 1: 2}
+    val lines = Seq.fill(6)("t")
+    val spread = run(src, lines, bucket)
+    assert(spread(("slots", Map("t" -> "0"))) == VInt(2), spread)
+    assert(spread(("slots", Map("t" -> "1"))) == VInt(2), spread)
+    assert(run(src, lines, 1L) == spread)
+    val prog = Frontend.parse(src, "seqcyc.dynkey")
+    for (cut <- 1 until lines.length) {
+      val runner = new StreamRunner(prog, spark, 0)
+      runner.processBatch(lines.take(cut).toDF("line"), 0)
+      runner.processBatch(lines.drop(cut).toDF("line"), 1)
+      val split = runner.store.snapshot()
+        .map(c => (c.name, c.labels) -> c.value).toMap
+      assert(split(("slots", Map("t" -> "0"))) == VInt(2),
+        s"cut=$cut: $split")
+      assert(split(("slots", Map("t" -> "1"))) == VInt(2),
+        s"cut=$cut: $split")
+    }
+  }
+
   test("downstream reads of the cyclic metric flow through the " +
       "normal as-of machinery and see the exact values") {
     val src =

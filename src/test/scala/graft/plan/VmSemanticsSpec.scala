@@ -554,10 +554,10 @@ class VmSemanticsSpec extends SparkSpec {
     // a(reset,c=1) b(h=1) a(reset,c=2). Pre-r16 the one-level-unroll
     // bottom froze the reset's cond at pass-1 visibility and yielded
     // c = 1; that approximation now survives only for shapes the
-    // automaton declines — a cycle whose KEY expression itself reads
-    // cycle state, or residual inputs stuck behind other unresolved
-    // machinery (documented fallback). One-shot ≡ batch-split is
-    // enforced by the equivalence fuzz, whose pool carries this shape.
+    // automaton declines — residual inputs stuck behind other
+    // unresolved machinery (documented fallback). One-shot ≡
+    // batch-split is enforced by the equivalence fuzz, whose pool
+    // carries this shape.
     val cells = run(
       """hidden gauge h
         |counter c

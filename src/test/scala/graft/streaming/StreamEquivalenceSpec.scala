@@ -136,6 +136,10 @@ class StreamEquivalenceSpec extends SparkSpec {
       // sequential bottom must not, under any batch cut
       "hidc < 3 { hidc++ }",
       "hidc1[$s] < 2 { hidc1[$s]++ }",
+      // STATE-DEPENDENT key on a cyclic metric: the key expression
+      // itself reads cycle state — exact since the collected-map
+      // seeding (the per-key seed join could not express this shape)
+      "hidc1[string(hidc % 2)] < 2 { hidc1[string(hidc % 2)]++ }",
       // keyed absorbing arm/reset across DIFFERENT patterns (the
       // per-session partial idiom) — crashed at plan build pre-r16
       "hid1[$s][\"7\"] = 1",
