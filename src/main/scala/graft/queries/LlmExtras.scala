@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, Dedup, Multimodal, Pipeline}
+import graft.operators.{Ann, Dedup, Multimodal, Pipeline, Scrub}
 
 /** Training-data pipeline operators (dedup / similarity / multimodal) as
   * driver-checkable queries. SQL-expressible ones carry DuckDB oracles;
@@ -207,7 +207,26 @@ object LlmExtras {
         "too_short" -> (col("n_chars") < 100),
         "lang_filter" -> !col("lang").isin("en", "de", "fr", "es"),
         "too_few_tokens" ->
-          (size(split(col("text"), " ")) < 15))))
+          (size(split(col("text"), " ")) < 15)))),
+
+    // PII/secret scrub report. The synthetic corpus carries no PII, so
+    // the query plants a deterministic payload per document — an email
+    // and an IPv4 on every doc, a 32-hex token on every third — with
+    // the SAME concat expression the oracle builds, then audits the
+    // scrub per source. The operator itself is general; the injection
+    // is the fixture.
+    "pipeline_pii_scrub" -> ((s, dir) => {
+      val injected = docs(s, dir).withColumn("pii_text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0.1"),
+          when(col("doc_id") % 3 === 0,
+            lit(" token 0123456789abcdef0123456789abcdef"))
+            .otherwise(lit(""))))
+      Scrub.report(injected, "pii_text", "source")
+        .orderBy("source")
+    })
   )
 
   /** shared gram/size/common CTEs (trigram shingles, 1/2 threshold) —
@@ -731,6 +750,41 @@ object LlmExtras {
                THEN 'too_few_tokens'
              ELSE 'kept' END AS stage, n_chars
            FROM documents)
-         GROUP BY stage ORDER BY stage"""
+         GROUP BY stage ORDER BY stage""",
+
+    // sequential count-then-replace fold, one CTE per rule, patterns
+    // interpolated from the Scala constants so the two engines cannot
+    // diverge (all three stay in the RE2-compatible subset)
+    "pipeline_pii_scrub" ->
+      s"""WITH inj AS (SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+                  || CASE WHEN doc_id % 3 = 0
+                     THEN ' token 0123456789abcdef0123456789abcdef'
+                     ELSE '' END AS pii_text
+           FROM documents),
+         r1 AS (SELECT source, pii_text,
+             len(regexp_extract_all(pii_text, '${Scrub.EmailRe}'))
+               AS ne,
+             regexp_replace(pii_text, '${Scrub.EmailRe}', '<EMAIL>',
+               'g') AS t1
+           FROM inj),
+         r2 AS (SELECT source, pii_text, ne,
+             len(regexp_extract_all(t1, '${Scrub.Ipv4Re}')) AS ni,
+             regexp_replace(t1, '${Scrub.Ipv4Re}', '<IP>', 'g') AS t2
+           FROM r1),
+         r3 AS (SELECT source, pii_text, ne, ni,
+             len(regexp_extract_all(t2, '${Scrub.HexSecretRe}')) AS nh,
+             regexp_replace(t2, '${Scrub.HexSecretRe}', '<SECRET>',
+               'g') AS t3
+           FROM r2)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(ne) AS BIGINT) AS emails_redacted,
+           CAST(sum(ni) AS BIGINT) AS ipv4s_redacted,
+           CAST(sum(nh) AS BIGINT) AS hex_secrets_redacted,
+           CAST(sum(length(pii_text) - length(t3)) AS BIGINT)
+             AS chars_removed
+         FROM r3 GROUP BY source ORDER BY source"""
   )
 }
