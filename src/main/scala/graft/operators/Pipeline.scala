@@ -118,6 +118,45 @@ object Pipeline {
           / lit(budget)))
   }
 
+  /** Sliding-window document chunking: split each document's token
+    * stream into windows of `chunkTokens` advancing by `stride`
+    * (overlap = chunkTokens − stride) — the preparation stage for
+    * embedding indexes and fixed-context training windows. A document
+    * with n tokens yields `1 + ceil((n − chunkTokens) / stride)`
+    * chunks (one when n ≤ chunkTokens); the final window simply runs
+    * shorter rather than padding or dropping the tail.
+    *
+    * 100 TB shape: entirely per-document — tokenize once, `explode` a
+    * chunk-index `sequence`, slice the token array per index. A narrow
+    * map/generate with no shuffle at all; downstream consumers
+    * aggregate or embed the chunk rows. Chunk counts stay integer-exact
+    * (the ceil runs on longs), so external engines reproduce the
+    * chunking bit-for-bit.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride ($stride) <= chunkTokens ($chunkTokens)")
+    val toks = split(col(textCol), "\\s+")
+    val n = size(toks).cast("long")
+    // integer ceil: 1 + floor((n - chunk + stride - 1) / stride);
+    // floor over doubles is exact here (token counts << 2^52)
+    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+      floor((n - chunkTokens + (stride - 1)) / lit(stride)) + 1L)
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), nChunks - 1L)))
+      .select(col(idCol) +: keepCols.map(col) ++: Seq(col("chunk_id"),
+        array_join(slice(col("__toks"),
+          (col("chunk_id") * stride + 1L).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          size(col("__toks")).cast("long") - col("chunk_id") * stride)
+          .as("chunk_tokens")): _*)
+  }
+
   /** Quality-filter funnel: per-document FIRST failing rule (ordered
     * CASE — a document dropped for length is not also counted under
     * language), survivors labelled `kept`. Rules are (name, predicate)

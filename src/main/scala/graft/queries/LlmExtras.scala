@@ -226,7 +226,22 @@ object LlmExtras {
             .otherwise(lit(""))))
       Scrub.report(injected, "pii_text", "source")
         .orderBy("source")
-    })
+    }),
+
+    // sliding-window chunking (64-token windows, stride 48 → 16-token
+    // overlap) — the embedding-index / fixed-context prep stage. The
+    // report hashes the chunking decisions themselves: chunk counts,
+    // distinct chunk texts, token and char sums all shift if any
+    // window boundary is off by one.
+    "pipeline_chunk_documents" -> ((s, dir) =>
+      Pipeline.chunkDocuments(docs(s, dir), "doc_id", "text", 64, 48,
+          keepCols = Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_text")).as("distinct_chunks"),
+          sum(col("chunk_tokens")).as("sum_chunk_tokens"),
+          sum(length(col("chunk_text"))).as("sum_chunk_chars"))
+        .orderBy("source"))
   )
 
   /** shared gram/size/common CTEs (trigram shingles, 1/2 threshold) —
@@ -785,6 +800,27 @@ object LlmExtras {
            CAST(sum(nh) AS BIGINT) AS hex_secrets_redacted,
            CAST(sum(length(pii_text) - length(t3)) AS BIGINT)
              AS chars_removed
-         FROM r3 GROUP BY source ORDER BY source"""
+         FROM r3 GROUP BY source ORDER BY source""",
+
+    // same 64/48 window arithmetic on integer math; DuckDB list
+    // slicing is 1-based inclusive-inclusive, so window i is
+    // ws[1+i*48 : i*48+64] (clamped at the end like Spark's slice)
+    "pipeline_chunk_documents" ->
+      """WITH w AS (SELECT doc_id, source,
+             string_split_regex(text, '\s+') AS ws FROM documents),
+         n AS (SELECT source, ws, len(ws) AS n,
+             CASE WHEN len(ws) <= 64 THEN 1
+                  ELSE 1 + (len(ws) - 64 + 47) // 48 END AS nc
+           FROM w),
+         c AS (SELECT source,
+             array_to_string(ws[1 + i*48 : i*48 + 64], ' ')
+               AS chunk_text,
+             least(64, n - i*48) AS chunk_tokens
+           FROM n, UNNEST(range(nc)) AS t(i))
+         SELECT source, count(*) AS n_chunks,
+           count(DISTINCT chunk_text) AS distinct_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+           CAST(sum(length(chunk_text)) AS BIGINT) AS sum_chunk_chars
+         FROM c GROUP BY source ORDER BY source"""
   )
 }

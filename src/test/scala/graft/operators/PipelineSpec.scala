@@ -41,4 +41,47 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  private def chunksOf(text: String, chunk: Int, stride: Int) =
+    Pipeline.chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", chunk, stride)
+      .orderBy("chunk_id")
+      .select($"chunk_text", $"chunk_tokens")
+      .as[(String, Long)].collect().toSeq
+
+  test("chunkDocuments slides windows; the tail runs short") {
+    // 12 tokens, chunk 5, stride 3 → starts 0,3,6,9 (ceil((12-5)/3)=3)
+    val text = (1 to 12).map(i => s"t$i").mkString(" ")
+    assert(chunksOf(text, 5, 3) == Seq(
+      ("t1 t2 t3 t4 t5", 5L), ("t4 t5 t6 t7 t8", 5L),
+      ("t7 t8 t9 t10 t11", 5L), ("t10 t11 t12", 3L)))
+  }
+
+  test("chunkDocuments emits exactly one window for short docs") {
+    assert(chunksOf("a b c", 5, 3) == Seq(("a b c", 3L)))
+    assert(chunksOf("a b c d e", 5, 3) == Seq(("a b c d e", 5L)))
+    // one token past the window → a second, stride-offset window
+    assert(chunksOf("a b c d e f", 5, 3) ==
+      Seq(("a b c d e", 5L), ("d e f", 3L)))
+  }
+
+  test("chunkDocuments with stride == chunk is disjoint partitioning") {
+    val text = (1 to 7).map(i => s"w$i").mkString(" ")
+    val got = chunksOf(text, 3, 3)
+    assert(got == Seq(("w1 w2 w3", 3L), ("w4 w5 w6", 3L), ("w7", 1L)))
+  }
+
+  test("chunkDocuments keeps pass-through columns and stays " +
+      "shuffle-free") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val out = Pipeline.chunkDocuments(docs, "doc_id", "text", 64, 48,
+      keepCols = Seq("source"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "source", "chunk_id", "chunk_text", "chunk_tokens"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    // every document yields ≥ 1 chunk
+    assert(out.select(countDistinct($"doc_id")).head().getLong(0) ==
+      docs.count())
+  }
 }
