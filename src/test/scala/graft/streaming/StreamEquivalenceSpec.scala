@@ -226,11 +226,15 @@ class StreamEquivalenceSpec extends SparkSpec {
   test("streaming over any batch split equals the one-shot run") {
     // default 25 keeps the suite fast; deep sweeps set the env var
     val iters = sys.env.getOrElse("SPARK_GRAFT_FUZZ_ITERS", "25").toInt
+    // default base keeps the pinned regression seeds; deep sweeps move
+    // it to explore fresh seeds without re-running known-green ones
+    val base = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED_BASE", "4200")
+      .toInt
     (1 to iters).foreach { i =>
       // soak progress lands on stderr so an interrupted long sweep
       // still shows how far it got (the suite only reports at the end)
       if (i % 50 == 0) System.err.println(s"[fuzz] iteration $i/$iters")
-      val rnd = new Random(4200 + i)
+      val rnd = new Random(base + i)
       val src = genProgram(rnd)
       try runOne(i, rnd, src)
       catch {
