@@ -356,6 +356,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     * names).
     */
   private val kpfxProvisional = mutable.Map[String, Column]()
+  /** read column name (`__mrd_*`) → metric it reads — lets the
+    * last-resort cycle detection map COMPILED cond refs (which include
+    * the conservative line-abort guard terms) back to metric-level
+    * edges (see [[lastResortSeqResolve]]).
+    */
+  private val readNameMetric = mutable.Map[String, String]()
 
   /** replace every reference to column `name` inside `c` with `repl`
     * (eager Catalyst tree transform — composite Columns convert
@@ -708,6 +714,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             if (!substituted && fenced.nonEmpty) substitutePass(Set.empty)
           }
           if (substituted) () // retry the flush loop with bottoms in
+          else if (lastResortSeqResolve(avail)) () // exact replay
           else
           throw new IllegalStateException("circular materialization: " +
             "unresolved refs " + (pendingAsofs.map { case (pn, sp) =>
@@ -836,6 +843,47 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     if (feasible) cyclic else Set.empty
   }
 
+  /** LAST RESORT before the circular-materialization crash: the
+    * provisional substitution can deadlock at the MACHINERY level —
+    * spliced pass-1 impls carry references to each other's
+    * asof/kpfx relations, and when those relations' own columns form
+    * a genuine loop there is no provisional to bottom them with
+    * (machinery names are not reads). The loop is real because the
+    * conservative line-abort guard terms make a site's COMPILED cond
+    * read metrics its IR never mentions, so [[seqCyclicMetrics]]'
+    * deliberately-IR-level graph misses the cycle (found by fuzz
+    * seed 5816: two keyed as-of relations mutually tangled through
+    * abort guards). Re-detect cycles on the compiled read graph —
+    * metric-level edges through every `__mrd` ref of every site
+    * cond, mapped back via [[readNameMetric]] — and replay that
+    * group exactly; if the tangle still stalls, escalate to replaying
+    * EVERY metric with a pending read, after which the orphan-GC in
+    * [[trySeqCycleResolve]] sweeps the deadlocked machinery. Only
+    * reachable when substitution made no progress, so acyclic plans
+    * never take this path; exactness is [[SeqCycleEval]]'s (VM
+    * per-line/per-site order), only parallelism is surrendered — and
+    * the alternative was a crash on a legal program.
+    */
+  private def lastResortSeqResolve(avail: Set[String]): Boolean = {
+    def deps(m: String): Set[String] =
+      allSites.filter(_.metric.name == m).flatMap(s =>
+        s.valueIr.toSeq.flatMap(irReadMetrics) ++
+          s.keys.flatMap(irReadMetrics) ++ s.condReads ++
+          refsOf(s.cond).flatMap(readNameMetric.get)).toSet
+    val all = seqReadInfo.values.map(_.metric).toSet
+    val cyclic = all.filter { m =>
+      val seen = mutable.Set[String]()
+      def go(x: String): Boolean = deps(x).exists(d =>
+        d == m || (seen.add(d) && go(d)))
+      go(m)
+    }
+    def feasible(g: Set[String]): Boolean = g.nonEmpty &&
+      seqReadInfo.forall { case (n, i) =>
+        !g(i.metric) || pending.contains(n) }
+    (feasible(cyclic) && trySeqCycleResolve(cyclic, avail)) ||
+      (cyclic != all && feasible(all) && trySeqCycleResolve(all, avail))
+  }
+
   /** EXACT resolution of a stalled self/mutual-reference cycle —
     * keyless OR keyed — via [[SeqCycleEval]]'s sequential state
     * machine over the [[seqCyclicMetrics]] group. Returns true if it
@@ -914,25 +962,29 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     def collectible(n: String): Boolean = gcable.exists(n.startsWith)
     readMemo.keys.filter(k => metrics(k._1)).toSeq
       .foreach(readMemo.remove)
-    var changed = true
-    while (changed) {
-      changed = false
-      val referenced: Set[String] =
-        (pending.values.flatMap(refsOf) ++
-          pendingAsofs.values.flatMap(sp =>
-            (sp.probeKeys ++ sp.writes.flatMap(w =>
-              w.keys ++ Seq(w.cond, w.value))).flatMap(refsOf)) ++
-          pendingJoins.values.flatMap { case (k, _) => refsOf(k) } ++
-          pendingLazyJoins.values.flatMap { case (k, needs, _) =>
-            refsOf(k) ++ needs }).toSet
-      (pending.keys ++ pendingAsofs.keys ++ pendingJoins.keys ++
-        pendingLazyJoins.keys).toSeq
-        .filter(n => collectible(n) && !referenced(n))
-        .foreach { n =>
-          pending.remove(n); pendingAsofs.remove(n)
-          pendingJoins.remove(n); pendingLazyJoins.remove(n)
-          changed = true
-        }
+    // REACHABILITY from the non-collectible roots, not reference
+    // counting: deadlocked machinery can reference ITSELF or a twin
+    // in a loop (the lastResortSeqResolve tangle), which keeps a
+    // refcount alive forever while nothing live needs it
+    def refsOfEntry(n: String): Set[String] =
+      pending.get(n).map(c => refsOf(c).toSet)
+        .orElse(pendingAsofs.get(n).map(sp =>
+          (sp.probeKeys ++ sp.writes.flatMap(w =>
+            w.keys ++ Seq(w.cond, w.value))).flatMap(refsOf).toSet))
+        .orElse(pendingJoins.get(n).map { case (k, _) =>
+          refsOf(k).toSet })
+        .orElse(pendingLazyJoins.get(n).map { case (k, needs, _) =>
+          refsOf(k).toSet ++ needs })
+        .getOrElse(Set.empty)
+    val names = (pending.keys ++ pendingAsofs.keys ++
+      pendingJoins.keys ++ pendingLazyJoins.keys).toSet
+    val live = mutable.Set[String]()
+    def mark(n: String): Unit =
+      if (names(n) && live.add(n)) refsOfEntry(n).foreach(mark)
+    names.filterNot(collectible).foreach(mark)
+    names.filter(n => collectible(n) && !live(n)).foreach { n =>
+      pending.remove(n); pendingAsofs.remove(n)
+      pendingJoins.remove(n); pendingLazyJoins.remove(n)
     }
     snapCur()
     true
@@ -1863,6 +1915,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       reading.toSeq.sorted.mkString(","))
     metricReadMemo.getOrElseUpdate(memoKey, {
       val name = stableName("__mrd", memoKey.toString)
+      readNameMetric(name) = metric
       val impl = metricReadColumnImpl(metric, keys, frames, tReg,
         siteIdx, reading, memoKey.toString)
       if (resolvedSites.isEmpty) { kpfxProvisional(name) = impl }

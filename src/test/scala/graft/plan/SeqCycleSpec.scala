@@ -285,4 +285,115 @@ class SeqCycleSpec extends SparkSpec {
     assert(spread(("trail", Map.empty)) == VStr("122"), spread)
     assert(run(src, data, 1L) == spread)
   }
+
+  test("machinery-level deadlock (fuzz seed 5816): as-of relations " +
+      "mutually tangled through abort-guard terms resolve via the " +
+      "last-resort exact replay instead of crashing") {
+    // The conservative line-abort guard conjoined into compiled site
+    // conds makes sites READ metrics their IR never mentions; with
+    // enough interleaved blocks the spliced pass-1 provisionals leave
+    // two keyed as-of relations referencing each other AND themselves
+    // — no provisional can bottom a machinery name, so pre-fix the
+    // flush loop threw "circular materialization" on this legal
+    // program. The pin: it plans, runs, and any batch split equals
+    // the one-shot store (the exact-replay path is batch-seeded).
+    val src =
+      """counter c0
+        |counter c1 by a
+        |gauge g0
+        |gauge g1 by a, b
+        |text t0
+        |histogram h0 buckets 1, 4, 16
+        |hidden gauge hid1 by p, q
+        |hidden counter hidc
+        |hidden counter hidc1 by a
+        |text t1 by a
+        |/(?P<s>[a-z]+): (?P<x>\d+)/ {
+        |/(?P<x>\d+) (?P<s>\w+)/ {
+        |$x % 2 == 0 {
+        |hidc1[$s]++
+        |t0 += $s
+        |hidc1[string(hidc % 2)] < 2 { hidc1[string(hidc % 2)]++ }
+        |}
+        |}
+        |/val=(?P<x>\d+) tag=(?P<s>\w+).*/ {
+        |t0 = tolower($s)
+        |} else {
+        |c0++
+        |}
+        |/val=(?P<x>\d+) tag=(?P<s>\w+).*/ {
+        |hidc++
+        |t1[$s] += $s
+        |}
+        |} else {
+        |c0++
+        |}
+        |/(?P<x>\d+) (?P<s>\w+)/ {
+        |/val=(?P<x>\d+) tag=(?P<s>\w+).*/ {
+        |hidc1[$s] < 2 { hidc1[$s]++ }
+        |g1[$s][$x] = hidc1[$s] + 1
+        |}
+        |/val=(?P<x>\d+) tag=(?P<s>\w+).*/ {
+        |$x % 2 == 0 {
+        |c1[$s]++
+        |c1[$s] = $x
+        |}
+        |otherwise {
+        |c0++
+        |}
+        |}
+        |/(?P<x>\d+) (?P<s>\w+)/ {
+        |hidc1[$s] = $x
+        |hidc1[$s] = $x
+        |} else {
+        |c0++
+        |}
+        |}
+        |/(?P<x>\d+) (?P<s>\w+)/ {
+        |/(?P<s>[a-z]+): (?P<x>\d+)/ {
+        |$x > 3 {
+        |h0 = $x
+        |t0 = "v=" + $x / 2.0
+        |g0 = len(t1[$s])
+        |}
+        |otherwise {
+        |c0++
+        |}
+        |}
+        |/(?P<s>[a-z]+): (?P<x>\d+)/ {
+        |g0 = float($x)
+        |hidc > 2 { c0++ }
+        |}
+        |} else {
+        |c0++
+        |}
+        |/(?P<s>[a-z]+): (?P<x>\d+)/ {
+        |$s =~ /a/ {
+        |/^reset$/ {
+        |del c1["alpha"]
+        |del g1["beta"]["7"]
+        |}
+        |/val=(?P<x>\d+) tag=(?P<s>\w+).*/ {
+        |stop
+        |hid1[$s]["7"] = 1
+        |}
+        |}
+        |}
+        |""".stripMargin
+    val lines = Seq("12 alpha", "val=14 tag=beta", "beta: 16",
+      "18 gamma", "val=21 tag=alpha")
+    val prog = Frontend.parse(src, "tangle.mtail")
+    val oneShot = Snapshot.collect(new PlanBuilder(prog,
+      LogLines.fromLines(lines.toDF("line"), "line"), 2020)
+      .snapshot()).map(c => (c.name, c.labels) -> c.value).toMap
+    assert(oneShot.nonEmpty)
+    val runner = new StreamRunner(prog, spark, 2020)
+    runner.processBatch(lines.take(2).toDF("line"), 0)
+    runner.processBatch(lines.drop(2).toDF("line"), 1)
+    val streamed = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(streamed == oneShot,
+      s"one-shot only: ${oneShot.toSet -- streamed.toSet}\n" +
+        s"streamed only: ${streamed.toSet -- oneShot.toSet}")
+  }
 }
