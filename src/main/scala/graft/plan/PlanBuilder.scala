@@ -877,9 +877,16 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         d == m || (seen.add(d) && go(d)))
       go(m)
     }
+    // leniency the primary path refuses: a read of a group metric may
+    // ALREADY have materialized through the distributed machinery
+    // (registered before the cycle was observable — seed 6006's
+    // directly self-conditioned gauge, read earlier at value sites).
+    // Replaying only the still-pending reads mixes semantics for that
+    // corner, but the strict all-or-nothing check here would crash on
+    // a legal program; trySeqCycleResolve resolves pending reads only.
     def feasible(g: Set[String]): Boolean = g.nonEmpty &&
-      seqReadInfo.forall { case (n, i) =>
-        !g(i.metric) || pending.contains(n) }
+      seqReadInfo.exists { case (n, i) =>
+        g(i.metric) && pending.contains(n) }
     (feasible(cyclic) && trySeqCycleResolve(cyclic, avail)) ||
       (cyclic != all && feasible(all) && trySeqCycleResolve(all, avail))
   }
@@ -896,9 +903,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       avail: Set[String]): Boolean = {
     // EVERY read of a cycle metric resolves together (one replayed
     // automaton)
+    // pending only: a group read that already materialized through
+    // the distributed machinery keeps its column — joining a second
+    // column under the same name would make every downstream
+    // reference ambiguous (lastResortSeqResolve's lenient corner)
     val readNames = seqReadInfo.collect {
-      case (n, i) if metrics(i.metric) => n
+      case (n, i) if metrics(i.metric) && pending.contains(n) => n
     }.toSeq.sorted
+    if (readNames.isEmpty) return false
     // COMPILE LAZILY, only here — registration-time compilation
     // measurably perturbed acyclic plans (see [[SeqReadInfo]]). The
     // exprColumn calls are memo-shared with the impls; a miss may

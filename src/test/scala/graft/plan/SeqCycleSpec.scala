@@ -396,4 +396,110 @@ class SeqCycleSpec extends SparkSpec {
       s"one-shot only: ${oneShot.toSet -- streamed.toSet}\n" +
         s"streamed only: ${streamed.toSet -- oneShot.toSet}")
   }
+
+  test("directly self-conditioned KEYED gauge whose other reads " +
+      "already materialized (fuzz seed 6006): the lenient last " +
+      "resort replays only the still-pending reads instead of " +
+      "crashing") {
+    // hid1's write cond reads hid1 (`hid1[$s]["7"] == 1 { ... = 0 }`)
+    // but hid1 is ALSO read at earlier value sites that resolve
+    // through the distributed machinery before the cycle stalls — the
+    // strict every-read-pending feasibility then refused the automaton
+    // on BOTH paths and the self-referencing as-of threw `circular
+    // materialization`. The pin: plans, runs, batch-split ≡ one-shot.
+    val src =
+      """        |counter c0
+        |counter c1 by a
+        |gauge g0
+        |gauge g1 by a, b
+        |histogram h0 buckets 1, 4, 16
+        |hidden gauge hid0
+        |hidden gauge hid1 by p, q
+        |hidden counter hidc
+        |hidden counter hidc1 by a
+        |/(?P<x>\d+) (?P<s>\w+)/ {
+        |/(?P<s>[a-z]+): (?P<x>\d+)/ {
+        |hid1[$s][$x] = $x
+        |settime($x)
+        |c0++
+        |h0 = $x
+        |}
+        |/^reset$/ {
+        |del c1["alpha"]
+        |del g1["beta"]["7"]
+        |}
+        |}
+        |/(?P<s>[a-z]+): (?P<x>\d+)/ {
+        |/(?P<s>[a-z]+): (?P<x>\d+)/ {
+        |$x % 2 == 0 {
+        |hidc1[string(hidc % 2)] < 2 { hidc1[string(hidc % 2)]++ }
+        |g1[$s][$x] = hid1[$s][$x] + 1
+        |}
+        |}
+        |/val=(?P<x>\d+) tag=(?P<s>\w+).*/ {
+        |g1[$s][$x] = hid1[$s][$x] + 1
+        |hidc++
+        |}
+        |/val=(?P<x>\d+) tag=(?P<s>\w+).*/ {
+        |stop
+        |g0++
+        |stop
+        |} else {
+        |c0++
+        |}
+        |}
+        |/(?P<s>[a-z]+): (?P<x>\d+)/ {
+        |$x > 3 {
+        |/(?P<x>\d+) (?P<s>\w+)/ {
+        |hidc % 2 == 0 { g1[$s][$x] = hidc }
+        |} else {
+        |c0++
+        |}
+        |/(?P<x>\d+) (?P<s>\w+)/ {
+        |$x % 2 == 0 {
+        |hid0 = $x
+        |del c1[$s]
+        |}
+        |otherwise {
+        |c0++
+        |}
+        |}
+        |}
+        |otherwise {
+        |c0++
+        |}
+        |}
+        |/val=(?P<x>\d+) tag=(?P<s>\w+).*/ {
+        |/val=(?P<x>\d+) tag=(?P<s>\w+).*/ {
+        |hidc > 2 { c0++ }
+        |h0 = $x
+        |} else {
+        |c0++
+        |}
+        |/(?P<s>[a-z]+): (?P<x>\d+)/ {
+        |hid1[$s]["7"] == 1 {
+        |hid1[$s]["7"] = 0
+        |c0++
+        |}
+        |}
+        |} else {
+        |c0++
+        |}
+        |""".stripMargin
+    val lines = Seq("12 alpha", "val=14 tag=beta", "beta: 16",
+      "18 gamma", "val=21 tag=alpha")
+    val prog = Frontend.parse(src, "selfcond.mtail")
+    val oneShot = Snapshot.collect(new PlanBuilder(prog,
+      LogLines.fromLines(lines.toDF("line"), "line"), 2020)
+      .snapshot()).map(c => (c.name, c.labels) -> c.value).toMap
+    assert(oneShot.nonEmpty)
+    val runner = new StreamRunner(prog, spark, 2020)
+    runner.processBatch(lines.take(3).toDF("line"), 0)
+    runner.processBatch(lines.drop(3).toDF("line"), 1)
+    val streamed = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(streamed == oneShot,
+      s"one-shot only: ${oneShot.toSet -- streamed.toSet}\n" +
+        s"streamed only: ${streamed.toSet -- oneShot.toSet}")
+  }
 }
