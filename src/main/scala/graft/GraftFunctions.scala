@@ -110,6 +110,11 @@ object GraftFunctions {
       "go_float_string(x) - Go %g shortest-round-trip float rendering",
       exprs => { arity("go_float_string", exprs, 1)
         GoFloatString(exprs.head) }),
+    ("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC canonical composition " +
+        "(returns the input object unchanged when already normalized)",
+      exprs => { arity("nfc_normalize", exprs, 1)
+        NfcNormalize(exprs.head) }),
     ("regex_extract",
       "regex_extract(line, re2_pattern) - struct<matched, g1, ...> " +
         "typed capture groups; one compiled match per row",

@@ -494,4 +494,41 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
   }
+
+  /** Paragraph-level exact deduplication — the sub-document pass the
+    * big web corpora run (boilerplate headers, navigation blocks, and
+    * license stanzas repeat across MILLIONS of pages that are not
+    * themselves duplicates, so document-level dedup never sees them).
+    * Splits each document's `textCol` on `sepRe`, keeps the FIRST
+    * global occurrence of each distinct paragraph (first = smallest
+    * (`idCol`, position) — deterministic, engine-reproducible), and
+    * returns one row per occurrence:
+    * (id, para_idx, para, is_kept) plus `keepCols`, so callers can
+    * both rebuild deduplicated documents (filter + re-concat in
+    * position order) and audit removal rates per source.
+    *
+    * 100 TB shape: explode is narrow; the winner decision is ONE hash
+    * exchange on the paragraph text (short rows — the paragraph is the
+    * key, no pair join, no quadratic term) with a per-key sort only
+    * WITHIN each paragraph's occurrence group (`row_number` over a
+    * partitioned window, never a global sort). Duplicate-heavy keys
+    * skew no worse than the aggregation itself: a paragraph repeated
+    * k times holds k rows in one task's group — at web scale the most
+    * repeated boilerplate line fits an executor by orders of
+    * magnitude. Attribution stays with each occurrence, so the
+    * per-source report aggregates map-side after the one exchange.
+    */
+  def paragraphOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, sepRe: String = "\\n+",
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("para").orderBy(col("id"), col("para_idx"))
+    docs
+      .select(col(idCol).as("id") +: keepCols.map(col) :+
+        posexplode(split(col(textCol), sepRe))
+          .as(Seq("para_idx", "para")): _*)
+      .filter(length(col("para")) > 0)
+      .withColumn("is_kept",
+        row_number().over(w) === 1)
+  }
 }

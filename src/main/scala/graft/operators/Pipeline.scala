@@ -157,6 +157,62 @@ object Pipeline {
           .as("chunk_tokens")): _*)
   }
 
+  /** Unicode text normalization — the canonicalization pass a corpus
+    * runs BEFORE hashing, deduplicating, or tokenizing: NFC canonical
+    * composition (web text arrives in both composed and decomposed
+    * forms; un-normalized corpora under-deduplicate), control/format
+    * characters (`\p{Cc}\p{Cf}`) replaced with spaces, whitespace runs
+    * collapsed, ends trimmed. Returns the input frame with
+    * `<textCol>_norm` added.
+    *
+    * 100 TB shape: pure map-side — one codegen'd [[graft.functions.NfcNormalize]]
+    * node (already-NFC rows return the input buffer uncopied) and two
+    * fused `regexp_replace`s inside whole-stage codegen; no shuffle, no
+    * UDF. The regexes stay in the RE2 ∩ java.util.regex subset, so
+    * external engines (DuckDB `nfc_normalize` + `regexp_replace`)
+    * reproduce the normalization byte-for-byte — which is what lets a
+    * mixed-engine pipeline share dedup hashes.
+    */
+  def normalizeText(docs: DataFrame, textCol: String): DataFrame = {
+    val nfc = graft.functions.NfcNormalize(col(textCol))
+    // controls/format chars → space FIRST, so the collapse pass only
+    // ever sees plain spaces (java \s and RE2 \s differ on \x0B, which
+    // is Cc and therefore already gone by then)
+    val deCtrl = regexp_replace(nfc, "[\\p{Cc}\\p{Cf}]", " ")
+    docs.withColumn(s"${textCol}_norm",
+      trim(regexp_replace(deCtrl, "\\s+", " ")))
+  }
+
+  /** Token-bigram vocabulary: the corpus's `topK` most frequent
+    * adjacent token pairs — the first merge-candidate table of a BPE
+    * tokenizer build, and the probe corpus linters use for boilerplate
+    * phrases. Ties break on the bigram string so the result is a total
+    * order (reproducible across engines and partitionings).
+    *
+    * 100 TB shape: bigrams are generated per-document by a narrow
+    * `transform(sequence)` over the token array (no self-join), the
+    * count is a two-phase hash aggregate (map-side partials over ~8-byte
+    * keys), and the top-K compiles to TakeOrderedAndProject — parallel
+    * per-partition heaps, never a global sort. The only exchange is the
+    * partial-aggregate shuffle on the bigram key.
+    */
+  def bigramVocab(docs: DataFrame, textCol: String, topK: Int)
+      : DataFrame = {
+    require(topK > 0, s"topK $topK must be positive")
+    val ws = split(col(textCol), "\\s+")
+    val bigrams = transform(
+      sequence(lit(0), greatest(size(ws) - 2, lit(-1))),
+      i => concat(element_at(ws, i + 1), lit(" "),
+        element_at(ws, i + 2)))
+    docs
+      .select(explode(
+        when(size(ws) >= 2, bigrams).otherwise(array())).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Quality-filter funnel: per-document FIRST failing rule (ordered
     * CASE — a document dropped for length is not also counted under
     * language), survivors labelled `kept`. Rules are (name, predicate)

@@ -241,8 +241,72 @@ object LlmExtras {
           countDistinct(col("chunk_text")).as("distinct_chunks"),
           sum(col("chunk_tokens")).as("sum_chunk_tokens"),
           sum(length(col("chunk_text"))).as("sum_chunk_chars"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // paragraph-level exact dedup (the sub-document pass: boilerplate
+    // repeats across pages that are NOT document-level duplicates).
+    // The corpus is single-line, so the fixture first rebuilds each
+    // document as 8-word paragraphs joined by \n with integer-exact
+    // arithmetic both engines reproduce; the operator then keeps the
+    // first global occurrence of each paragraph and the report audits
+    // removal per source.
+    "dedup_paragraph" -> ((s, dir) => {
+      val ws = split(col("text"), "\\s+")
+      val np = floor((size(ws) + 7) / lit(8.0)).cast("long")
+      val paraDoc = array_join(
+        transform(sequence(lit(0L), np - 1L),
+          i => array_join(
+            slice(ws, (i * 8 + 1).cast("int"), lit(8)), " ")), "\n")
+      Dedup.paragraphOccurrences(
+          docs(s, dir).withColumn("para_doc", paraDoc),
+          "doc_id", "para_doc", "\\n", keepCols = Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("paras_total"),
+          sum(col("is_kept").cast("long")).as("paras_kept"),
+          sum((!col("is_kept")).cast("long")).as("paras_removed"),
+          sum(when(!col("is_kept"), length(col("para")))
+            .otherwise(0L)).as("chars_removed"))
+        .orderBy("source")
+    }),
+
+    // Unicode normalization audit: NFC + control strip + whitespace
+    // collapse. The synthetic corpus is pure ASCII, so the fixture
+    // appends a deterministic payload per doc_id%3 — decomposed
+    // combining marks + a double space, a tab + a decomposed mark, and
+    // an already-NFC clean tail — with the SAME literals the oracle
+    // interpolates, then audits the normalization per source.
+    "text_normalize" -> ((s, dir) => {
+      val payload = element_at(
+        array(normPayloads.map(lit): _*),
+        (col("doc_id") % 3).cast("int") + 1)
+      val injected = docs(s, dir)
+        .withColumn("raw", concat(col("text"), payload))
+      Pipeline.normalizeText(injected, "raw")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("raw_norm") =!= col("raw")).cast("long"))
+            .as("docs_changed"),
+          sum(length(col("raw"))).as("chars_before"),
+          sum(length(col("raw_norm"))).as("chars_after"))
+        .orderBy("source")
+    }),
+
+    // token-bigram vocabulary: corpus-wide top-50 adjacent token pairs
+    // (the first merge-candidate table of a BPE tokenizer build); ties
+    // break on the bigram string so the top-K is a total order
+    "text_bigram_vocab" -> ((s, dir) =>
+      Pipeline.bigramVocab(docs(s, dir), "text", 50))
   )
+
+  /** normalization-fixture payloads, index = doc_id % 3: decomposed
+    * e+COMBINING ACUTE / i+COMBINING DIAERESIS with a double space; a
+    * tab plus a decomposed mark; an already-NFC clean tail. Shared
+    * literally with the oracle SQL so the two engines cannot diverge.
+    */
+  private[queries] val normPayloads = Seq(
+    " cafe\u0301  nai\u0308ve",
+    " caf\u00e9\tnai\u0308ve",
+    " caf\u00e9 na\u00efve")
 
   /** shared gram/size/common CTEs (trigram shingles, 1/2 threshold) —
     * ONE definition feeding both the pair oracle and the clustering
@@ -821,6 +885,65 @@ object LlmExtras {
            count(DISTINCT chunk_text) AS distinct_chunks,
            CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
            CAST(sum(length(chunk_text)) AS BIGINT) AS sum_chunk_chars
-         FROM c GROUP BY source ORDER BY source"""
+         FROM c GROUP BY source ORDER BY source""",
+
+    // same 8-word paragraph rebuild (DuckDB list slicing is 1-based
+    // inclusive-inclusive), then first-global-occurrence by
+    // (doc_id, paragraph position) via a partitioned row_number —
+    // the exact winner rule of Dedup.paragraphOccurrences
+    "dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id, source,
+             string_split_regex(text, '\s+') AS ws FROM documents),
+         n AS (SELECT doc_id, source, ws,
+             (len(ws) + 7) // 8 AS np FROM w),
+         p AS (SELECT doc_id, source, i AS para_idx,
+             array_to_string(ws[1 + i*8 : i*8 + 8], ' ') AS para
+           FROM n, UNNEST(range(np)) AS t(i)),
+         r AS (SELECT source, para,
+             row_number() OVER (PARTITION BY para
+               ORDER BY doc_id, para_idx) AS rn
+           FROM p WHERE length(para) > 0)
+         SELECT source, count(*) AS paras_total,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS paras_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS paras_removed,
+           CAST(sum(CASE WHEN rn > 1 THEN length(para) ELSE 0 END)
+             AS BIGINT) AS chars_removed
+         FROM r GROUP BY source ORDER BY source""",
+
+    // identical payload injection (literals interpolated from
+    // normPayloads so the engines cannot diverge), then the same
+    // three normalization stages: NFC, controls→space, collapse+trim
+    "text_normalize" ->
+      s"""WITH inj AS (SELECT source,
+             text || CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN '${normPayloads(0)}'
+               WHEN 1 THEN '${normPayloads(1)}'
+               ELSE '${normPayloads(2)}' END AS raw
+           FROM documents),
+         n1 AS (SELECT source, raw,
+             regexp_replace(nfc_normalize(raw),
+               '[\\p{Cc}\\p{Cf}]', ' ', 'g') AS t1
+           FROM inj),
+         n2 AS (SELECT source, raw,
+             trim(regexp_replace(t1, '\\s+', ' ', 'g')) AS norm
+           FROM n1)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_changed,
+           CAST(sum(length(raw)) AS BIGINT) AS chars_before,
+           CAST(sum(length(norm)) AS BIGINT) AS chars_after
+         FROM n2 GROUP BY source ORDER BY source""",
+
+    // zip-unnest adjacent pairs, two-phase count, deterministic
+    // (count DESC, bigram) top-50
+    "text_bigram_vocab" ->
+      """WITH w AS (SELECT string_split_regex(text, '\s+') AS ws
+             FROM documents),
+         b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram
+           FROM w, UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i))
+         SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+         ORDER BY n DESC, bigram LIMIT 50"""
   )
 }

@@ -276,4 +276,48 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size >= exact.size * 8 / 10,
       s"recall too low: ${lsh.size}/${exact.size}")
   }
+
+  test("paragraphOccurrences keeps the first global occurrence by " +
+      "(id, position) and drops empty paragraphs") {
+    val docs = Seq(
+      (3L, "s0", "dup para\nunique one"),
+      (1L, "s1", "first para\ndup para\n\ndup para"),
+      (2L, "s2", "dup para")).toDF("doc_id", "source", "text")
+    val out = Dedup.paragraphOccurrences(docs, "doc_id", "text",
+        keepCols = Seq("source"))
+      .select($"id", $"para_idx", $"para", $"is_kept")
+      .as[(Long, Int, String, Boolean)].collect().toSet
+    assert(out == Set(
+      // doc 1: both its paragraphs win ("dup para" first occurrence is
+      // (1, 1) — the empty split between \n\n never appears)
+      (1L, 0, "first para", true), (1L, 1, "dup para", true),
+      (1L, 2, "dup para", false),
+      (2L, 0, "dup para", false),
+      (3L, 0, "dup para", false), (3L, 1, "unique one", true)))
+  }
+
+  test("paragraphOccurrences rebuilds deduplicated documents in " +
+      "position order") {
+    val docs = Seq(
+      (1L, "a\nb"), (2L, "b\nc\na")).toDF("doc_id", "text")
+    val rebuilt = Dedup.paragraphOccurrences(docs, "doc_id", "text")
+      .filter($"is_kept")
+      .groupBy($"id")
+      .agg(concat_ws("\n", sort_array(
+        collect_list(struct($"para_idx", $"para"))).getField("para"))
+        .as("text"))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt == Map(1L -> "a\nb", 2L -> "c"))
+  }
+
+  test("paragraph winner decision is ONE hash exchange on the " +
+      "paragraph, window partitioned by it (never a global sort)") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val p = Dedup.paragraphOccurrences(
+        docs.withColumn("t2", concat_ws("\n", $"text", $"text")),
+        "doc_id", "t2", keepCols = Seq("source"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(para"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }

@@ -84,4 +84,43 @@ class PipelineSpec extends SparkSpec {
     assert(out.select(countDistinct($"doc_id")).head().getLong(0) ==
       docs.count())
   }
+
+  private def normOne(s: String): String =
+    Pipeline.normalizeText(Seq(Tuple1(s)).toDF("text"), "text")
+      .select($"text_norm").head().getString(0)
+
+  test("normalizeText composes NFC, strips controls, collapses runs") {
+    assert(normOne("a\u0301  b\tc\r\nd") == "\u00e1 b c d")
+    assert(normOne("  already clean  ") == "already clean")
+    assert(normOne("") == "")
+    // format chars (Cf: zero-width space joiner family) become spaces
+    assert(normOne("a\u200db") == "a b")
+  }
+
+  test("normalizeText is map-side: no exchange, no UDF") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val p = Pipeline.normalizeText(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("bigramVocab counts adjacent pairs with deterministic ties") {
+    val docs = Seq("x y x y z", "x y", "q", "").toDF("text")
+    val got = Pipeline.bigramVocab(docs, "text", 10)
+      .as[(String, Long)].collect().toSeq
+    // "x y" appears 3 times (twice in doc 1, once in doc 2)
+    assert(got == Seq(("x y", 3L), ("y x", 1L), ("y z", 1L)))
+    // ties ("y x" vs "y z") break on the bigram string
+  }
+
+  test("bigramVocab top-K compiles to a partial-agg + TakeOrdered " +
+      "plan: one exchange, no global sort") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val q = Pipeline.bigramVocab(docs, "text", 50)
+    val p = q.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
 }
