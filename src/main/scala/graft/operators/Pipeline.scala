@@ -213,6 +213,63 @@ object Pipeline {
       .limit(topK)
   }
 
+  /** CCNet-style unigram language-model quality report: score every
+    * document by its tokens' log-probability under the corpus's own
+    * top-`topV` unigram LM, flag documents whose per-token score falls
+    * below `flagMlnPerToken` (fixed-point milli-micro-nats, 1e6 units
+    * per nat — e.g. -3_900_000 ≈ -3.9 nats/token), and report per
+    * `byCol` group: docs, tokens, summed score, flagged count. The
+    * standard "looks nothing like the reference corpus" filter big
+    * pipelines run next to the Gopher rules.
+    *
+    * The LM is QUANTIZED to integer milli-micro-nats at build time
+    * ([[graft.functions.UnigramLogProb.mln]]), so scores and flags are
+    * integer-exact: no float-summation-order divergence across
+    * executors, partitionings, or engines. OOV tokens score ln(1) = 0
+    * (the count-1 floor).
+    *
+    * 100 TB shape: pass 1 is a token-count aggregate (two-phase,
+    * vocab-sized keys) from which the driver collects only the
+    * `topV`-row vocabulary + one total — the same bounded collect the
+    * ANN codebooks use; pass 2 scores map-side through ONE compiled
+    * [[graft.functions.UnigramLogProb]] scan (the vocabulary rides
+    * along as a plan reference object, i.e. a broadcast-sized
+    * hashmap), and the report is a small per-group aggregate. No
+    * token-level shuffle ever reaches pass 2.
+    */
+  def unigramLogProbReport(docs: DataFrame, textCol: String,
+      byCol: String, topV: Int, flagMlnPerToken: Long): DataFrame = {
+    import graft.functions.UnigramLogProb
+    require(topV > 0, s"topV $topV must be positive")
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    counts.persist()
+    try {
+      val total = counts.agg(sum(col("c"))).head().getLong(0)
+      val vocab = counts.orderBy(col("c").desc, col("tok"))
+        .limit(topV).collect()
+        .map(r => r.getString(0) -> UnigramLogProb.mln(r.getLong(1)))
+        .toMap
+      val mlnTotal = UnigramLogProb.mln(total)
+      val st = UnigramLogProb(col(textCol), vocab)
+      val score = st.getField("mln_sum") -
+        st.getField("words") * lit(mlnTotal)
+      docs
+        .withColumn("words", st.getField("words"))
+        .withColumn("score_mln", score)
+        .groupBy(byCol)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("tokens"),
+          sum(col("score_mln")).as("sum_score_mln"),
+          sum((col("score_mln") <
+            lit(flagMlnPerToken) * col("words")).cast("long"))
+            .as("flagged"))
+        .orderBy(byCol)
+    } finally counts.unpersist()
+  }
+
   /** Quality-filter funnel: per-document FIRST failing rule (ordered
     * CASE — a document dropped for length is not also counted under
     * language), survivors labelled `kept`. Rules are (name, predicate)

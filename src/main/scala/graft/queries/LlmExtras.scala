@@ -295,7 +295,18 @@ object LlmExtras {
     // (the first merge-candidate table of a BPE tokenizer build); ties
     // break on the bigram string so the top-K is a total order
     "text_bigram_vocab" -> ((s, dir) =>
-      Pipeline.bigramVocab(docs(s, dir), "text", 50))
+      Pipeline.bigramVocab(docs(s, dir), "text", 50)),
+
+    // CCNet-style unigram-LM quality report: per-source doc/token
+    // counts, integer-exact summed log-prob score (quantized
+    // milli-micro-nats), and the count flagged below -3.42 nats/token
+    // (the 5th-percentile tail of this corpus, so both sides of the
+    // cut stay populated at every SF).
+    // The oracle recomputes the quantized LM from the same counts, so
+    // the scoring itself is hash-verified, not just the flags.
+    "text_quality_logprob" -> ((s, dir) =>
+      Pipeline.unigramLogProbReport(docs(s, dir), "text", "source",
+        topV = 1024, flagMlnPerToken = -3420000L))
   )
 
   /** normalization-fixture payloads, index = doc_id % 3: decomposed
@@ -944,6 +955,40 @@ object LlmExtras {
          b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram
            FROM w, UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i))
          SELECT bigram, count(*) AS n FROM b GROUP BY bigram
-         ORDER BY n DESC, bigram LIMIT 50"""
+         ORDER BY n DESC, bigram LIMIT 50""",
+
+    // recompute the quantized unigram LM from the same token counts
+    // (round(ln(c)*1e6) as BIGINT; ln parity with the JVM is the same
+    // contract text_tfidf_top_terms already pins), join each token
+    // occurrence against it (OOV -> 0 = ln(1)), and rebuild the
+    // integer score: mln_sum - words * mln(total); -3.42 nats/token
+    // = -3420000 per-token flag threshold, integer compare
+    "text_quality_logprob" ->
+      """WITH w AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+         t AS (SELECT unnest(ws) AS tok FROM w),
+         vc AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+         tot AS (SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000)
+             AS BIGINT) AS mln_total FROM vc),
+         vocab AS (SELECT tok,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+               AS mln
+           FROM (SELECT tok, c FROM vc ORDER BY c DESC, tok
+                 LIMIT 1024)),
+         dtok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+         dsum AS (SELECT doc_id,
+             CAST(sum(coalesce(v.mln, 0)) AS BIGINT) AS mln_sum
+           FROM dtok LEFT JOIN vocab v USING (tok) GROUP BY doc_id),
+         ds AS (SELECT w.source, len(w.ws) AS words,
+             coalesce(d.mln_sum, 0)
+               - len(w.ws) * (SELECT mln_total FROM tot) AS score
+           FROM w LEFT JOIN dsum d USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS tokens,
+           CAST(sum(score) AS BIGINT) AS sum_score_mln,
+           CAST(sum(CASE WHEN score < -3420000 * words THEN 1 ELSE 0
+             END) AS BIGINT) AS flagged
+         FROM ds GROUP BY source ORDER BY source"""
   )
 }
