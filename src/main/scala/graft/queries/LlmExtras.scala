@@ -297,6 +297,34 @@ object LlmExtras {
     "text_bigram_vocab" -> ((s, dir) =>
       Pipeline.bigramVocab(docs(s, dir), "text", 50)),
 
+    // normalize -> dedup composition: the reason the NFC stage exists.
+    // The corpus has no exact-duplicate texts, so the fixture builds
+    // them: every doc with a composed suffix, PLUS a decomposed-suffix
+    // replica of every 10th doc (an encoding-variant duplicate — raw
+    // dedup misses it, normalized dedup catches it) and an exact
+    // composed replica of every 20th (a true byte duplicate both
+    // catch). Both variants' dup-group stats are oracle-compared.
+    "dedup_exact_normalized" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def withSuffix(df: DataFrame, suffix: String) =
+        df.select(concat(col("text"), lit(suffix)).as("raw"))
+      val injected = withSuffix(d, normSuffixComposed)
+        .unionAll(withSuffix(d.filter(col("doc_id") % 10 === 0),
+          normSuffixDecomposed))
+        .unionAll(withSuffix(d.filter(col("doc_id") % 20 === 0),
+          normSuffixComposed))
+      val norm = Pipeline.normalizeText(injected, "raw")
+      def stats(c: String, label: String) = norm
+        .groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(count(lit(1)).as("dup_groups"),
+          coalesce(sum(col("n")), lit(0L)).as("dup_docs"))
+        .select(lit(label).as("variant"),
+          col("dup_groups"), col("dup_docs"))
+      stats("raw", "raw").unionAll(stats("raw_norm", "normalized"))
+        .orderBy("variant")
+    }),
+
     // CCNet-style unigram-LM quality report: per-source doc/token
     // counts, integer-exact summed log-prob score (quantized
     // milli-micro-nats), and the count flagged below -3.42 nats/token
@@ -318,6 +346,13 @@ object LlmExtras {
     " cafe\u0301  nai\u0308ve",
     " caf\u00e9\tnai\u0308ve",
     " caf\u00e9 na\u00efve")
+
+  /** the same suffix in NFC and NFD form \u2014 equal only after
+    * normalization; shared literally with the dedup_exact_normalized
+    * oracle.
+    */
+  private[queries] val normSuffixComposed = " caf\u00e9 na\u00efve"
+  private[queries] val normSuffixDecomposed = " cafe\u0301 nai\u0308ve"
 
   /** shared gram/size/common CTEs (trigram shingles, 1/2 threshold) —
     * ONE definition feeding both the pair oracle and the clustering
@@ -956,6 +991,35 @@ object LlmExtras {
            FROM w, UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i))
          SELECT bigram, count(*) AS n FROM b GROUP BY bigram
          ORDER BY n DESC, bigram LIMIT 50""",
+
+    // same replica construction (NFD copy of every 10th doc, byte
+    // copy of every 20th), same three-stage normalization, then
+    // duplicate-group stats on raw vs normalized
+    "dedup_exact_normalized" ->
+      s"""WITH inj AS (
+             SELECT text || '$normSuffixComposed' AS raw
+               FROM documents
+             UNION ALL
+             SELECT text || '$normSuffixDecomposed' AS raw
+               FROM documents WHERE doc_id % 10 = 0
+             UNION ALL
+             SELECT text || '$normSuffixComposed' AS raw
+               FROM documents WHERE doc_id % 20 = 0),
+         n AS (SELECT raw,
+             trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+               '[\\p{Cc}\\p{Cf}]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+           FROM inj),
+         r AS (SELECT 'raw' AS variant,
+             CAST(count(*) AS BIGINT) AS dup_groups,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS dup_docs
+           FROM (SELECT count(*) AS n FROM n GROUP BY raw
+                 HAVING count(*) > 1)),
+         m AS (SELECT 'normalized' AS variant,
+             CAST(count(*) AS BIGINT) AS dup_groups,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS dup_docs
+           FROM (SELECT count(*) AS n FROM n GROUP BY norm
+                 HAVING count(*) > 1))
+         SELECT * FROM m UNION ALL SELECT * FROM r ORDER BY variant""",
 
     // recompute the quantized unigram LM from the same token counts
     // (round(ln(c)*1e6) as BIGINT; ln parity with the JVM is the same

@@ -72,6 +72,21 @@ object TrainExtras {
         "stopword" -> (stopwordHits < 2)))
     }),
 
+    // longest consecutive identical-token run per document — the
+    // stutter signal repetition filters cut on (distinct from the
+    // modal-token share: "buy buy buy buy" fires here even when the
+    // token is rare corpus-wide); one compiled scan, no arrays
+    "text_max_token_run" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          graft.functions.MaxTokenRun(col("text")).as("mr"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          max(col("mr")).as("longest_run"),
+          sum(col("mr")).as("sum_max_run"),
+          sum((col("mr") >= 3).cast("long")).as("stutter_docs"))
+        .orderBy("source")),
+
     // sequence-length histogram (16-token buckets): the planning input
     // for packing budgets — what fraction of the corpus fits a context
     // window without splitting
@@ -150,6 +165,36 @@ object TrainExtras {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // gaps-and-islands over per-doc token positions: break on token
+    // change, cumulative-sum the breaks into run groups, count runs,
+    // take each doc's max (left join back to the doc spine so a
+    // token-less doc scores 0 like the expression)
+    "text_max_token_run" ->
+      """WITH w AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+         t AS (SELECT doc_id, unnest(ws) AS tok,
+             unnest(range(len(ws))) AS i FROM w),
+         m AS (SELECT doc_id, i,
+             CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+               = tok THEN 0 ELSE 1 END AS brk
+           FROM t),
+         g AS (SELECT doc_id,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           FROM m),
+         r AS (SELECT doc_id, grp, count(*) AS run
+           FROM g GROUP BY doc_id, grp),
+         mr AS (SELECT doc_id, max(run) AS max_run
+           FROM r GROUP BY doc_id),
+         d AS (SELECT w.source, coalesce(mr.max_run, 0) AS max_run
+           FROM w LEFT JOIN mr USING (doc_id))
+         SELECT source, count(*) AS docs,
+           CAST(max(max_run) AS BIGINT) AS longest_run,
+           CAST(sum(max_run) AS BIGINT) AS sum_max_run,
+           CAST(sum(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS stutter_docs
+         FROM d GROUP BY source ORDER BY source""",
 
     "text_repetition_stats" ->
       s"""WITH w AS (SELECT source, $wSql AS w FROM documents),
