@@ -275,6 +275,40 @@ object Pipeline {
     } finally counts.unpersist()
   }
 
+  /** Corpus snapshot diff — the bookkeeping pass behind INCREMENTAL
+    * corpus rebuilds: compare two snapshots by document id and classify
+    * every id as `added` (only in `after`), `removed` (only in
+    * `before`), `changed` (both, text differs) or `unchanged`. Returns
+    * one row per id: (id, status, chars) where `chars` is the
+    * after-side length (before-side for removed docs), so callers audit
+    * both counts and volume per class.
+    *
+    * 100 TB shape: each side reduces map-side to (id, md5(text),
+    * length) — 32-byte digests shuffle, never text — then ONE
+    * full-outer sort-merge join on the id (co-partitioned/bucketed
+    * snapshots join without any shuffle at all). The digest, not the
+    * text, decides `changed`, so the comparison is engine-reproducible
+    * (DuckDB computes the identical md5) and the shuffle width is
+    * independent of document size.
+    */
+  def corpusDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def digest(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"),
+        md5(col(textCol)).as(s"${side}_h"),
+        length(col(textCol)).cast("long").as(s"${side}_chars"))
+    val old = digest(before, "old")
+    val neu = digest(after, "new")
+    val status = when(col("old_id").isNull, "added")
+      .when(col("new_id").isNull, "removed")
+      .when(col("old_h") =!= col("new_h"), "changed")
+      .otherwise("unchanged")
+    old.join(neu, col("old_id") === col("new_id"), "full_outer")
+      .select(coalesce(col("new_id"), col("old_id")).as("id"),
+        status.as("status"),
+        coalesce(col("new_chars"), col("old_chars")).as("chars"))
+  }
+
   /** Quality-filter funnel: per-document FIRST failing rule (ordered
     * CASE — a document dropped for length is not also counted under
     * language), survivors labelled `kept`. Rules are (name, predicate)

@@ -325,6 +325,30 @@ object LlmExtras {
         .orderBy("variant")
     }),
 
+    // corpus snapshot diff (the incremental-rebuild bookkeeping): the
+    // fixture derives snapshot B from the corpus deterministically —
+    // every 17th doc removed, every remaining 13th mutated, a clone of
+    // every 19th re-added under a disjoint id range — then classifies
+    // ids per status. The md5 digests, join, and classification are
+    // all oracle-replayed.
+    "pipeline_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val after = d
+        .filter(col("doc_id") % 17 =!= 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 13 === 0 &&
+            col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2"))
+            .as("text")))
+        .unionAll(d.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + (1L << 42)).as("doc_id"),
+            col("text")))
+      Pipeline.corpusDiff(d, after, "doc_id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("docs"), sum(col("chars")).as("chars"))
+        .orderBy("status")
+    }),
+
     // CCNet-style unigram-LM quality report: per-source doc/token
     // counts, integer-exact summed log-prob score (quantized
     // milli-micro-nats), and the count flagged below -3.42 nats/token
@@ -1020,6 +1044,33 @@ object LlmExtras {
            FROM (SELECT count(*) AS n FROM n GROUP BY norm
                  HAVING count(*) > 1))
          SELECT * FROM m UNION ALL SELECT * FROM r ORDER BY variant""",
+
+    // same snapshot-B construction, same md5-digest full outer join
+    // and classification
+    "pipeline_corpus_diff" ->
+      """WITH b AS (
+             SELECT doc_id, text FROM documents
+               WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+             UNION ALL
+             SELECT doc_id, text || ' v2' FROM documents
+               WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0
+             UNION ALL
+             SELECT doc_id + (1::BIGINT << 42), text FROM documents
+               WHERE doc_id % 19 = 0),
+         oldd AS (SELECT doc_id AS old_id, md5(text) AS old_h,
+             length(text) AS old_chars FROM documents),
+         newd AS (SELECT doc_id AS new_id, md5(text) AS new_h,
+             length(text) AS new_chars FROM b),
+         j AS (SELECT CASE
+               WHEN old_id IS NULL THEN 'added'
+               WHEN new_id IS NULL THEN 'removed'
+               WHEN old_h <> new_h THEN 'changed'
+               ELSE 'unchanged' END AS status,
+             coalesce(new_chars, old_chars) AS chars
+           FROM oldd FULL OUTER JOIN newd ON old_id = new_id)
+         SELECT status, count(*) AS docs,
+           CAST(sum(chars) AS BIGINT) AS chars
+         FROM j GROUP BY status ORDER BY status""",
 
     // recompute the quantized unigram LM from the same token counts
     // (round(ln(c)*1e6) as BIGINT; ln parity with the JVM is the same

@@ -33,6 +33,30 @@ class MaxTokenRunSpec extends SparkSpec {
     assert(run("") == 0L)
   }
 
+  test("matches a naive reference on 500 random token sequences") {
+    val rnd = new scala.util.Random(20260815L)
+    def naive(s: String): Long = {
+      val toks = s.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) 0L
+      else {
+        var best = 1; var run = 1
+        for (i <- 1 until toks.length) {
+          run = if (toks(i) == toks(i - 1)) run + 1 else 1
+          if (run > best) best = run
+        }
+        best.toLong
+      }
+    }
+    val texts = Seq.fill(500) {
+      val n = rnd.nextInt(30)
+      Seq.fill(n)(s"t${rnd.nextInt(3)}").mkString(" ")
+    }
+    val got = texts.zipWithIndex.toDF("t", "i")
+      .select(col("i"), MaxTokenRun(col("t")).as("r"))
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(got == texts.map(naive))
+  }
+
   test("null propagates; codegen path with fallback disabled") {
     assert(Seq(Tuple1(null: String)).toDF("t")
       .select(MaxTokenRun(col("t"))).head().isNullAt(0))

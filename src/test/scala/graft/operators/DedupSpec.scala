@@ -310,6 +310,34 @@ class DedupSpec extends SparkSpec {
     assert(rebuilt == Map(1L -> "a\nb", 2L -> "c"))
   }
 
+  test("paragraphOccurrences matches a naive reference on 300 random " +
+      "documents") {
+    val rnd = new scala.util.Random(160815L)
+    val paraPool = Vector("alpha beta", "gamma", "delta epsilon zeta",
+      "eta", "theta iota")
+    val docs = (1L to 300L).map { id =>
+      val n = 1 + rnd.nextInt(4)
+      (id, Seq.fill(n)(paraPool(rnd.nextInt(paraPool.size)))
+        .mkString("\n"))
+    }
+    // naive winner rule: first (id, idx) per distinct paragraph —
+    // iterating id-sorted docs in paragraph order, the first insert
+    // into the map IS the minimum
+    val expected = {
+      val m = scala.collection.mutable.Map[String, (Long, Int)]()
+      for ((id, text) <- docs.sortBy(_._1);
+           (p, i) <- text.split("\n").zipWithIndex)
+        if (!m.contains(p)) m(p) = (id, i)
+      for ((id, text) <- docs; (p, i) <- text.split("\n").zipWithIndex)
+        yield (id, i, p, m(p) == (id, i))
+    }.toSet
+    val got = Dedup.paragraphOccurrences(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select($"id", $"para_idx", $"para", $"is_kept")
+      .as[(Long, Int, String, Boolean)].collect().toSet
+    assert(got == expected)
+  }
+
   test("paragraph winner decision is ONE hash exchange on the " +
       "paragraph, window partitioned by it (never a global sort)") {
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")

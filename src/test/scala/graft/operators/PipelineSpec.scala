@@ -114,6 +114,29 @@ class PipelineSpec extends SparkSpec {
     // ties ("y x" vs "y z") break on the bigram string
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged by id " +
+      "with after-side chars") {
+    val before = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "aa"), (2L, "bbb"), (4L, "dddd"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.corpusDiff(before, after, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "unchanged", 2L), (2L, "changed", 3L),
+      (3L, "removed", 2L), (4L, "added", 4L)))
+  }
+
+  test("corpusDiff shuffles digests, not text: the join input " +
+      "projects id/md5/length only") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val plan = Pipeline.corpusDiff(docs, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("FullOuter"), plan)
+    assert(plan.contains("md5"), plan)
+  }
+
   test("bigramVocab top-K compiles to a partial-agg + TakeOrdered " +
       "plan: one exchange, no global sort") {
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")
