@@ -38,6 +38,31 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
 
+  /** Windowed PII-scrub monitor: tumbling event-time windows of
+    * per-source redaction volume — the live alarm feed of
+    * [[Scrub.report]]'s batch audit (a redaction-rate spike on one
+    * source is the operational signal that an upstream feed started
+    * leaking raw user data). The scrub itself is [[Scrub.scrub]]'s
+    * stateless map-side fold, so the ONLY streaming state is the
+    * windowed aggregate: bounded by sources × open windows, expired by
+    * the watermark, append-mode finalized per window.
+    */
+  def streamingScrubMonitor(docs: DataFrame, tsCol: String,
+      sourceCol: String, textCol: String, windowLen: String,
+      horizon: String,
+      rules: Seq[Scrub.Rule] = Scrub.defaultRules): DataFrame = {
+    val redactions = rules.map(r => col(s"n_${r.name}"))
+      .reduceLeft[Column](_ + _)
+    Scrub.scrub(docs, textCol, rules)
+      .withWatermark(tsCol, horizon)
+      .groupBy(window(col(tsCol), windowLen), col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(redactions.cast("long")).as("redactions"),
+        sum((redactions > 0).cast("long")).as("docs_with_pii"))
+      .select(col("window.start").as("window_start"), col(sourceCol),
+        col("docs"), col("redactions"), col("docs_with_pii"))
+  }
+
   /** Windowed per-source quality funnel: tumbling event-time windows
     * of arrival counts and keep-counts under a quality predicate —
     * the live dashboard feed of [[Pipeline.qualityFunnel]]'s batch

@@ -101,6 +101,41 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got == batch, s"streaming=$got batch=$batch")
   }
 
+  test("streaming scrub monitor ≡ the same scrub aggregation run in " +
+      "batch, for every window the watermark closed") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // every 5th doc leaks an email, every 7th an IP; sources rotate
+    val rows = (0 until 60).map { i =>
+      val pii = (if (i % 5 == 0) s" leak$i@example.com" else "") +
+        (if (i % 7 == 0) " from 10.0.0.1" else "")
+      (ts(i), s"src_${i % 3}", s"doc $i body$pii")
+    }
+    val ms = MemoryStream[(Timestamp, String, String)]
+    val q = StreamingPipeline.streamingScrubMonitor(
+      ms.toDF().toDF("ts", "source", "text"), "ts", "source", "text",
+      "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("sscrub_eq")
+      .outputMode("append").start()
+    val got =
+      try {
+        ms.addData(rows: _*)
+        q.processAllAvailable()
+        ms.addData((ts(3600), "src_0", "sentinel"))
+        q.processAllAvailable()
+        spark.sql("SELECT * FROM sscrub_eq")
+          .as[(Timestamp, String, Long, Long, Long)].collect().toSet
+      } finally q.stop()
+    val batch = StreamingPipeline.streamingScrubMonitor(
+      rows.toDF("ts", "source", "text"), "ts", "source", "text",
+      "10 seconds", "5 seconds")
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSet
+    assert(got == batch, s"streaming=$got batch=$batch")
+    // the fixture actually exercises redactions
+    assert(got.exists(_._4 > 0))
+    assert(got.map(_._5).sum < got.map(_._3).sum) // not every doc leaks
+  }
+
   test("windowed quality counts finalize per tumbling window in " +
       "append mode") {
     implicit val sql = spark.sqlContext
