@@ -521,6 +521,11 @@ object Dedup {
   def paragraphOccurrences(docs: DataFrame, idCol: String,
       textCol: String, sepRe: String = "\\n+",
       keepCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("id", "para", "para_idx", "is_kept")
+    val clash = (keepCols :+ idCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"paragraphOccurrences output reserves ${reserved.mkString(", ")}" +
+        s"; rename or drop the colliding column(s): ${clash.mkString(", ")}")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("para").orderBy(col("id"), col("para_idx"))
     docs

@@ -202,14 +202,17 @@ object Pipeline {
     // tokenize ONCE in a projection below the Generate: expressions
     // referenced several times inside explode() re-evaluate per
     // reference (no CSE across a Generate), and the regex split is the
-    // expensive term — measured 8x on the x100 corpus
+    // expensive term — measured 8x on the x100 corpus. array_remove
+    // drops the empty tokens split() keeps at the text's edges
+    // (leading whitespace would otherwise fabricate an ""+word bigram,
+    // violating the engine-wide empties-dropped token contract).
     val ws = col("__ws")
     val bigrams = transform(
       sequence(lit(0), greatest(size(ws) - 2, lit(-1))),
       i => concat(element_at(ws, i + 1), lit(" "),
         element_at(ws, i + 2)))
     docs
-      .select(split(col(textCol), "\\s+").as("__ws"))
+      .select(array_remove(split(col(textCol), "\\s+"), "").as("__ws"))
       .select(explode(
         when(size(ws) >= 2, bigrams).otherwise(array())).as("bigram"))
       .groupBy("bigram")
@@ -252,22 +255,32 @@ object Pipeline {
       .groupBy("tok").agg(count(lit(1)).as("c"))
     counts.persist()
     try {
-      val total = counts.agg(sum(col("c"))).head().getLong(0)
+      // sum over ZERO rows is NULL (empty/token-less corpus): treat as
+      // an empty LM — every token is OOV, every score 0 — instead of
+      // NPEing at plan-build
+      val totalRow = counts.agg(sum(col("c"))).head()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
       val vocab = counts.orderBy(col("c").desc, col("tok"))
         .limit(topV).collect()
         .map(r => r.getString(0) -> UnigramLogProb.mln(r.getLong(1)))
         .toMap
-      val mlnTotal = UnigramLogProb.mln(total)
+      val mlnTotal = if (total == 0L) 0L else UnigramLogProb.mln(total)
       val st = UnigramLogProb(col(textCol), vocab)
       val score = st.getField("mln_sum") -
         st.getField("words") * lit(mlnTotal)
+      // the per-group score sum runs in DECIMAL(38,0): per-token
+      // magnitude reaches ~3e7 milli-micro-nats, so a group beyond
+      // ~3e11 tokens (squarely inside the 100 TB regime) would wrap a
+      // silent Long sum while the oracle's HUGEINT stays exact
       docs
         .withColumn("words", st.getField("words"))
         .withColumn("score_mln", score)
         .groupBy(byCol)
         .agg(count(lit(1)).as("n_docs"),
           sum(col("words")).as("tokens"),
-          sum(col("score_mln")).as("sum_score_mln"),
+          sum(col("score_mln").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sum_score_mln"),
           sum((col("score_mln") <
             lit(flagMlnPerToken) * col("words")).cast("long"))
             .as("flagged"))
@@ -299,10 +312,13 @@ object Pipeline {
         length(col(textCol)).cast("long").as(s"${side}_chars"))
     val old = digest(before, "old")
     val neu = digest(after, "new")
+    // null-SAFE digest compare (<=>): a text changing to or from NULL
+    // must classify as changed, not fall through a NULL =!= to
+    // 'unchanged' and silently skip reprocessing
     val status = when(col("old_id").isNull, "added")
       .when(col("new_id").isNull, "removed")
-      .when(col("old_h") =!= col("new_h"), "changed")
-      .otherwise("unchanged")
+      .when(col("old_h") <=> col("new_h"), "unchanged")
+      .otherwise("changed")
     old.join(neu, col("old_id") === col("new_id"), "full_outer")
       .select(coalesce(col("new_id"), col("old_id")).as("id"),
         status.as("status"),

@@ -1006,10 +1006,11 @@ object LlmExtras {
            CAST(sum(length(norm)) AS BIGINT) AS chars_after
          FROM n2 GROUP BY source ORDER BY source""",
 
-    // zip-unnest adjacent pairs, two-phase count, deterministic
-    // (count DESC, bigram) top-50
+    // zip-unnest adjacent pairs (empties dropped like the operator),
+    // two-phase count, deterministic (count DESC, bigram) top-50
     "text_bigram_vocab" ->
-      """WITH w AS (SELECT string_split_regex(text, '\s+') AS ws
+      """WITH w AS (SELECT list_filter(
+               string_split_regex(text, '\s+'), x -> x <> '') AS ws
              FROM documents),
          b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram
            FROM w, UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i))

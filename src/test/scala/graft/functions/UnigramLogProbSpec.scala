@@ -81,9 +81,11 @@ class UnigramLogProbSpec extends SparkSpec {
     val thresh = (s1 + s2) / 20L // between the two per-token scores
     val out = graft.operators.Pipeline.unigramLogProbReport(
       docs, "text", "source", topV = 10, flagMlnPerToken = thresh)
-    val rows = out.collect()
+    // sum_score_mln is DECIMAL(38,0) (overflow-proof at corpus scale)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getDecimal(3).longValueExact(), r.getLong(4)))
     assert(rows.toSeq == Seq(
-      Row("s0", 1L, 10L, s1, 0L), Row("s1", 1L, 10L, s2, 1L)))
+      ("s0", 1L, 10L, s1, 0L), ("s1", 1L, 10L, s2, 1L)))
     assert(perTok1 > thresh)
   }
 }

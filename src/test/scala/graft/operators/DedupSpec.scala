@@ -338,6 +338,16 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("paragraphOccurrences rejects keepCols that collide with its " +
+      "reserved output names") {
+    val docs = Seq((1L, "a", "x")).toDF("doc_id", "text", "para")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.paragraphOccurrences(docs, "doc_id", "text",
+        keepCols = Seq("para"))
+    }
+    assert(e.getMessage.contains("para"))
+  }
+
   test("paragraph winner decision is ONE hash exchange on the " +
       "paragraph, window partitioned by it (never a global sort)") {
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")

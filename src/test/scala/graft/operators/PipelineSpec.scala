@@ -114,6 +114,36 @@ class PipelineSpec extends SparkSpec {
     // ties ("y x" vs "y z") break on the bigram string
   }
 
+  test("bigramVocab drops the empty edge tokens split() keeps: no " +
+      "phantom bigrams from leading/trailing whitespace") {
+    val docs = Seq(" hello world", "hello world ", "  ").toDF("text")
+    val got = Pipeline.bigramVocab(docs, "text", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hello world", 2L)))
+  }
+
+  test("corpusDiff classifies text changing to or from NULL as " +
+      "changed (null-safe digest compare)") {
+    val before = Seq((1L, "aa"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, null: String), (2L, "bb"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val got = Pipeline.corpusDiff(before, after, "doc_id", "text")
+      .select($"id", $"status").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "changed"), (2L, "changed"),
+      (3L, "unchanged")))
+  }
+
+  test("unigramLogProbReport survives an empty or token-less corpus") {
+    val empty = Seq.empty[(String, String)].toDF("source", "text")
+    assert(Pipeline.unigramLogProbReport(empty, "text", "source",
+      topV = 8, flagMlnPerToken = -1L).collect().isEmpty)
+    val blank = Seq(("s0", ""), ("s0", "  ")).toDF("source", "text")
+    val rows = Pipeline.unigramLogProbReport(blank, "text", "source",
+      topV = 8, flagMlnPerToken = -1L).collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 2L) // n_docs
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged by id " +
       "with after-side chars") {
     val before = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"))
