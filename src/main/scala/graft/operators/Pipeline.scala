@@ -325,6 +325,69 @@ object Pipeline {
         coalesce(col("new_chars"), col("old_chars")).as("chars"))
   }
 
+  /** Bigram conditional-LM quality report — the KenLM-shaped upgrade
+    * of [[unigramLogProbReport]]: score every document by
+    * Σ ln P(w2|w1) = Σ (ln c(w1 w2) − ln c(w1·)) under the corpus's
+    * own top-`topV` bigram LM, both vocabularies QUANTIZED to integer
+    * milli-micro-nats so scores and flags stay integer-exact across
+    * engines and partitionings. OOV terms score ln(1) = 0
+    * independently on each side (the count-1 floor). Flags documents
+    * whose per-PAIR score falls below `flagMlnPerPair`.
+    *
+    * 100 TB shape: ONE corpus scan aggregates pair counts (two-phase,
+    * pair-string keys); the left-token marginals derive from that
+    * vocab-squared-bounded aggregate WITHOUT a second corpus pass
+    * (`c(w1·) = Σ_pairs c(w1 w2)` grouped on the pair's left word).
+    * The driver collects only the two `topV`-row vocabularies; pass 2
+    * scores map-side through one compiled
+    * [[graft.functions.BigramLogProb]] scan.
+    */
+  def bigramLogProbReport(docs: DataFrame, textCol: String,
+      byCol: String, topV: Int, flagMlnPerPair: Long): DataFrame = {
+    import graft.functions.{BigramLogProb, UnigramLogProb}
+    require(topV > 0, s"topV $topV must be positive")
+    // tokenization contract of the scoring expression: single ASCII
+    // spaces, empties dropped
+    val ws = col("__ws")
+    val pairCol = transform(
+      sequence(lit(0), greatest(size(ws) - 2, lit(-1))),
+      i => concat(element_at(ws, i + 1), lit(" "),
+        element_at(ws, i + 2)))
+    val pairCounts = docs
+      .select(array_remove(split(col(textCol), " "), "").as("__ws"))
+      .select(explode(
+        when(size(ws) >= 2, pairCol).otherwise(array())).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c"))
+    pairCounts.persist()
+    try {
+      val pairVocab = pairCounts.orderBy(col("c").desc, col("pair"))
+        .limit(topV).collect()
+        .map(r => r.getString(0) -> UnigramLogProb.mln(r.getLong(1)))
+        .toMap
+      val leftVocab = pairCounts
+        .groupBy(substring_index(col("pair"), " ", 1).as("left"))
+        .agg(sum(col("c")).as("c"))
+        .orderBy(col("c").desc, col("left"))
+        .limit(topV).collect()
+        .map(r => r.getString(0) -> UnigramLogProb.mln(r.getLong(1)))
+        .toMap
+      val st = BigramLogProb(col(textCol), pairVocab, leftVocab)
+      docs
+        .withColumn("pairs", st.getField("pairs"))
+        .withColumn("score_mln", st.getField("mln_sum"))
+        .groupBy(byCol)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pairs")).as("pairs"),
+          sum(col("score_mln").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sum_score_mln"),
+          sum((col("score_mln") <
+            lit(flagMlnPerPair) * col("pairs")).cast("long"))
+            .as("flagged"))
+        .orderBy(byCol)
+    } finally pairCounts.unpersist()
+  }
+
   /** Quality-filter funnel: per-document FIRST failing rule (ordered
     * CASE — a document dropped for length is not also counted under
     * language), survivors labelled `kept`. Rules are (name, predicate)

@@ -291,6 +291,18 @@ object LlmExtras {
         .orderBy("source")
     }),
 
+    // bigram conditional-LM quality report (the KenLM-shaped upgrade
+    // of the unigram filter): per-source pair counts, integer-exact
+    // summed ln P(w2|w1) score over quantized pair/left vocabularies,
+    // and the count flagged below -3.44 nats/pair (this corpus's
+    // ~5th-percentile tail). The oracle rebuilds both quantized
+    // vocabularies from the same pair counts — including the
+    // left-marginal derivation — so the conditional scoring itself is
+    // hash-verified.
+    "text_quality_bigram_logprob" -> ((s, dir) =>
+      Pipeline.bigramLogProbReport(docs(s, dir), "text", "source",
+        topV = 4096, flagMlnPerPair = -3440000L)),
+
     // token-bigram vocabulary: corpus-wide top-50 adjacent token pairs
     // (the first merge-candidate table of a BPE tokenizer build); ties
     // break on the bigram string so the top-K is a total order
@@ -1072,6 +1084,46 @@ object LlmExtras {
          SELECT status, count(*) AS docs,
            CAST(sum(chars) AS BIGINT) AS chars
          FROM j GROUP BY status ORDER BY status""",
+
+    // rebuild both quantized vocabularies from the same pair counts
+    // (left marginals = sum of pair counts grouped on the pair's left
+    // word, the operator's own derivation), join each adjacent pair,
+    // and rebuild the integer conditional score
+    "text_quality_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+         bp AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS pair,
+             ws[i+1] AS left_tok
+           FROM w, UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i)),
+         vc AS (SELECT pair, count(*) AS c FROM bp GROUP BY pair),
+         pv AS (SELECT pair,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+               AS mp
+           FROM (SELECT pair, c FROM vc ORDER BY c DESC, pair
+                 LIMIT 4096)),
+         lc AS (SELECT string_split(pair, ' ')[1] AS left_tok,
+             sum(c) AS c FROM vc GROUP BY 1),
+         lv AS (SELECT left_tok,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+               AS ml
+           FROM (SELECT left_tok, c FROM lc ORDER BY c DESC, left_tok
+                 LIMIT 4096)),
+         ds AS (SELECT bp.doc_id, count(*) AS pairs,
+             CAST(sum(coalesce(pv.mp, 0) - coalesce(lv.ml, 0))
+               AS BIGINT) AS score
+           FROM bp LEFT JOIN pv USING (pair)
+                   LEFT JOIN lv ON bp.left_tok = lv.left_tok
+           GROUP BY bp.doc_id),
+         dd AS (SELECT w.source, coalesce(d.pairs, 0) AS pairs,
+             coalesce(d.score, 0) AS score
+           FROM w LEFT JOIN ds d USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(pairs) AS BIGINT) AS pairs,
+           CAST(sum(score) AS BIGINT) AS sum_score_mln,
+           CAST(sum(CASE WHEN score < -3440000 * pairs THEN 1 ELSE 0
+             END) AS BIGINT) AS flagged
+         FROM dd GROUP BY source ORDER BY source""",
 
     // recompute the quantized unigram LM from the same token counts
     // (round(ln(c)*1e6) as BIGINT; ln parity with the JVM is the same
