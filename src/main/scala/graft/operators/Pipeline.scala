@@ -288,6 +288,48 @@ object Pipeline {
     } finally counts.unpersist()
   }
 
+  /** Deterministic training-shard assignment: permute the corpus into
+    * a reproducible pseudo-random order (rank of `md5(salt || id)`)
+    * and cut it into fixed-size shards — the final stage before a
+    * training run, where data ORDER matters (curriculum effects,
+    * resume points) and must be byte-reproducible across reruns,
+    * engines, and cluster sizes. Returns one row per document:
+    * (id, shard, pos_in_shard). Salting re-deals the permutation per
+    * epoch without touching the data.
+    *
+    * 100 TB shape: a RANGE repartition on the hash plus
+    * within-partition sorts (what every training-shard writer pays),
+    * then the dense global rank via `zipWithIndex` — per-partition
+    * counts prefix-summed over ONE RDD instance, so the range
+    * boundaries the offsets were computed against are exactly the
+    * boundaries the rank job reads (a cached-DataFrame variant can
+    * silently re-sample different range bounds between the two jobs).
+    * NO unpartitioned window: a naive `row_number() OVER (ORDER BY
+    * hash)` funnels the corpus through one task — the exact
+    * single-partition anti-pattern the `limit N` eviction path was
+    * once flagged for. This is the repo's one deliberate RDD use
+    * beside the multimodal codec init: a dense cross-partition index
+    * is genuinely per-partition imperative logic.
+    */
+  def shuffleShards(docs: DataFrame, idCol: String, salt: String,
+      shardSize: Long): DataFrame = {
+    require(shardSize > 0, s"shardSize $shardSize must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(col(idCol).cast("long").as("id"),
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+          .as("__k"))
+      .repartitionByRange(col("__k"), col("id"))
+      .sortWithinPartitions("__k", "id")
+    sorted.select(col("id")).as[Long].rdd
+      .zipWithIndex()
+      .toDF("id", "__rank")
+      .select(col("id"),
+        floor(col("__rank") / shardSize).cast("long").as("shard"),
+        (col("__rank") % shardSize).as("pos_in_shard"))
+  }
+
   /** Corpus snapshot diff — the bookkeeping pass behind INCREMENTAL
     * corpus rebuilds: compare two snapshots by document id and classify
     * every id as `added` (only in `after`), `removed` (only in

@@ -337,6 +337,18 @@ object LlmExtras {
         .orderBy("variant")
     }),
 
+    // deterministic training-shard assignment: permute the corpus by
+    // rank of md5(salt:id) and cut into 128-doc shards. The report
+    // hashes the shard memberships themselves (sum of ids per shard
+    // shifts if ANY document lands in a different shard), so the
+    // global permutation order is oracle-verified end to end.
+    "pipeline_shuffle_shards" -> ((s, dir) =>
+      Pipeline.shuffleShards(docs(s, dir), "doc_id", "epoch0", 128L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("docs"), sum(col("id")).as("sum_id"),
+          max(col("pos_in_shard")).as("max_pos"))
+        .orderBy("shard")),
+
     // corpus snapshot diff (the incremental-rebuild bookkeeping): the
     // fixture derives snapshot B from the corpus deterministically —
     // every 17th doc removed, every remaining 13th mutated, a clone of
@@ -1057,6 +1069,19 @@ object LlmExtras {
            FROM (SELECT count(*) AS n FROM n GROUP BY norm
                  HAVING count(*) > 1))
          SELECT * FROM m UNION ALL SELECT * FROM r ORDER BY variant""",
+
+    // same permutation: rank of md5('epoch0:' || id) with id
+    // tie-break, same 128-doc shard arithmetic
+    "pipeline_shuffle_shards" ->
+      """WITH r AS (SELECT doc_id AS id,
+             row_number() OVER (ORDER BY
+               md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS rnk
+           FROM documents)
+         SELECT rnk // 128 AS shard, count(*) AS docs,
+           CAST(sum(id) AS BIGINT) AS sum_id,
+           CAST(max(rnk % 128) AS BIGINT) AS max_pos
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     // same snapshot-B construction, same md5-digest full outer join
     // and classification

@@ -144,6 +144,35 @@ class PipelineSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getLong(1) == 2L) // n_docs
   }
 
+  test("shuffleShards deals a deterministic bijective permutation " +
+      "into fixed-size shards") {
+    val docs = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run() = Pipeline.shuffleShards(docs, "doc_id", "epoch0", 16L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run()
+    // reruns deal identical shards (pure function of salt + id)
+    assert(a == run())
+    // bijection: every doc exactly once, ranks dense
+    assert(a.map(_._1).toSet == (1L to 100L).toSet)
+    val ranks = a.map(r => r._2 * 16 + r._3).sorted
+    assert(ranks == (0L until 100L))
+    // fixed shard sizes, short tail
+    val sizes = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map(0L -> 16, 1L -> 16, 2L -> 16, 3L -> 16,
+      4L -> 16, 5L -> 16, 6L -> 4))
+    // matches the naive reference permutation: rank of md5(salt:id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md.digest(s"epoch0:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = (1L to 100L).sortBy(i => (h(i), i)).zipWithIndex
+      .map { case (id, r) => (id, r / 16L, r % 16L) }.sortBy(_._1)
+    assert(a == expect)
+    // a different salt re-deals
+    val b = Pipeline.shuffleShards(docs, "doc_id", "epoch1", 16L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a != b)
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged by id " +
       "with after-side chars") {
     val before = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"))
