@@ -521,11 +521,13 @@ object Dedup {
   def paragraphOccurrences(docs: DataFrame, idCol: String,
       textCol: String, sepRe: String = "\\n+",
       keepCols: Seq[String] = Nil): DataFrame = {
+    // only keepCols can collide: idCol is renamed to "id" up front,
+    // so any source name (even "para") is fine there
     val reserved = Set("id", "para", "para_idx", "is_kept")
-    val clash = (keepCols :+ idCol).filter(reserved.contains)
+    val clash = keepCols.filter(reserved.contains)
     require(clash.isEmpty,
       s"paragraphOccurrences output reserves ${reserved.mkString(", ")}" +
-        s"; rename or drop the colliding column(s): ${clash.mkString(", ")}")
+        s"; rename or drop the colliding keepCols: ${clash.mkString(", ")}")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("para").orderBy(col("id"), col("para_idx"))
     docs

@@ -196,25 +196,35 @@ object Pipeline {
     * per-partition heaps, never a global sort. The only exchange is the
     * partial-aggregate shuffle on the bigram key.
     */
-  def bigramVocab(docs: DataFrame, textCol: String, topK: Int)
-      : DataFrame = {
-    require(topK > 0, s"topK $topK must be positive")
-    // tokenize ONCE in a projection below the Generate: expressions
-    // referenced several times inside explode() re-evaluate per
-    // reference (no CSE across a Generate), and the regex split is the
-    // expensive term — measured 8x on the x100 corpus. array_remove
-    // drops the empty tokens split() keeps at the text's edges
-    // (leading whitespace would otherwise fabricate an ""+word bigram,
-    // violating the engine-wide empties-dropped token contract).
+  /** one row per adjacent token pair ("w1 w2"), shared by
+    * [[bigramVocab]] and [[bigramLogProbReport]] so the two cannot
+    * silently diverge on tokenization. Tokenizes ONCE in a projection
+    * below the Generate: expressions referenced several times inside
+    * explode() re-evaluate per reference (no CSE across a Generate),
+    * and the split is the expensive term — measured 8x on the x100
+    * corpus. array_remove drops the empty tokens split() keeps at the
+    * text's edges (leading whitespace would otherwise fabricate an
+    * ""+word pair, violating the engine-wide empties-dropped token
+    * contract).
+    */
+  private def adjacentPairs(docs: DataFrame, textCol: String,
+      splitRe: String): DataFrame = {
     val ws = col("__ws")
-    val bigrams = transform(
+    val pairs = transform(
       sequence(lit(0), greatest(size(ws) - 2, lit(-1))),
       i => concat(element_at(ws, i + 1), lit(" "),
         element_at(ws, i + 2)))
     docs
-      .select(array_remove(split(col(textCol), "\\s+"), "").as("__ws"))
+      .select(array_remove(split(col(textCol), splitRe), "").as("__ws"))
       .select(explode(
-        when(size(ws) >= 2, bigrams).otherwise(array())).as("bigram"))
+        when(size(ws) >= 2, pairs).otherwise(array())).as("pair"))
+  }
+
+  def bigramVocab(docs: DataFrame, textCol: String, topK: Int)
+      : DataFrame = {
+    require(topK > 0, s"topK $topK must be positive")
+    adjacentPairs(docs, textCol, "\\s+")
+      .select(col("pair").as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -315,19 +325,26 @@ object Pipeline {
       shardSize: Long): DataFrame = {
     require(shardSize > 0, s"shardSize $shardSize must be positive")
     val spark = docs.sparkSession
-    import spark.implicits._
+    // the id keeps its ORIGINAL type (UUID strings are the common
+    // corpus key; a silent long cast would NULL them out and collide
+    // numeric strings like "01" and "1")
     val sorted = docs
-      .select(col(idCol).cast("long").as("id"),
+      .select(col(idCol).as("id"),
         md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
           .as("__k"))
       .repartitionByRange(col("__k"), col("id"))
       .sortWithinPartitions("__k", "id")
-    sorted.select(col("id")).as[Long].rdd
-      .zipWithIndex()
-      .toDF("id", "__rank")
-      .select(col("id"),
-        floor(col("__rank") / shardSize).cast("long").as("shard"),
-        (col("__rank") % shardSize).as("pos_in_shard"))
+      .select(col("id"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    ranked.select(col("id"),
+      floor(col("__rank") / shardSize).cast("long").as("shard"),
+      (col("__rank") % shardSize).as("pos_in_shard"))
   }
 
   /** Corpus snapshot diff — the bookkeeping pass behind INCREMENTAL
@@ -389,16 +406,8 @@ object Pipeline {
     import graft.functions.{BigramLogProb, UnigramLogProb}
     require(topV > 0, s"topV $topV must be positive")
     // tokenization contract of the scoring expression: single ASCII
-    // spaces, empties dropped
-    val ws = col("__ws")
-    val pairCol = transform(
-      sequence(lit(0), greatest(size(ws) - 2, lit(-1))),
-      i => concat(element_at(ws, i + 1), lit(" "),
-        element_at(ws, i + 2)))
-    val pairCounts = docs
-      .select(array_remove(split(col(textCol), " "), "").as("__ws"))
-      .select(explode(
-        when(size(ws) >= 2, pairCol).otherwise(array())).as("pair"))
+    // spaces, empties dropped (" " is a literal single-space regex)
+    val pairCounts = adjacentPairs(docs, textCol, " ")
       .groupBy("pair").agg(count(lit(1)).as("c"))
     pairCounts.persist()
     try {
@@ -406,13 +415,28 @@ object Pipeline {
         .limit(topV).collect()
         .map(r => r.getString(0) -> UnigramLogProb.mln(r.getLong(1)))
         .toMap
-      val leftVocab = pairCounts
+      val leftCounts = pairCounts
         .groupBy(substring_index(col("pair"), " ", 1).as("left"))
         .agg(sum(col("c")).as("c"))
+      val topLefts = leftCounts
         .orderBy(col("c").desc, col("left"))
         .limit(topV).collect()
         .map(r => r.getString(0) -> UnigramLogProb.mln(r.getLong(1)))
         .toMap
+      // leftVocab must COVER every in-vocab pair's left word: a pair
+      // scoring mln(c_pair) against a truncated-away marginal would
+      // yield ln P > 0 (an impossible probability that REWARDS the
+      // document). Both collects stay bounded by topV.
+      val missingLefts = pairVocab.keySet
+        .map(_.split(" ", 2)(0)) -- topLefts.keySet
+      val extraLefts =
+        if (missingLefts.isEmpty) Map.empty[String, Long]
+        else leftCounts
+          .filter(col("left").isin(missingLefts.toSeq: _*))
+          .collect()
+          .map(r => r.getString(0) -> UnigramLogProb.mln(r.getLong(1)))
+          .toMap
+      val leftVocab = topLefts ++ extraLefts
       val st = BigramLogProb(col(textCol), pairVocab, leftVocab)
       docs
         .withColumn("pairs", st.getField("pairs"))

@@ -51,6 +51,7 @@ object StreamingPipeline {
       sourceCol: String, textCol: String, windowLen: String,
       horizon: String,
       rules: Seq[Scrub.Rule] = Scrub.defaultRules): DataFrame = {
+    require(rules.nonEmpty, "streamingScrubMonitor needs >= 1 rule")
     val redactions = rules.map(r => col(s"n_${r.name}"))
       .reduceLeft[Column](_ + _)
     Scrub.scrub(docs, textCol, rules)

@@ -1132,8 +1132,12 @@ object LlmExtras {
          lv AS (SELECT left_tok,
              CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
                AS ml
-           FROM (SELECT left_tok, c FROM lc ORDER BY c DESC, left_tok
-                 LIMIT 4096)),
+           FROM lc
+           WHERE left_tok IN (SELECT left_tok FROM
+                 (SELECT left_tok FROM lc ORDER BY c DESC, left_tok
+                  LIMIT 4096))
+              OR left_tok IN (SELECT string_split(pair, ' ')[1]
+                  FROM pv)),
          ds AS (SELECT bp.doc_id, count(*) AS pairs,
              CAST(sum(coalesce(pv.mp, 0) - coalesce(lv.ml, 0))
                AS BIGINT) AS score
