@@ -84,17 +84,12 @@ object BigramLogProb {
     new GenericInternalRow(Array[Any](pairs, sum))
   }
 
-  private def toJava(m: Map[String, Long]) = {
-    val hm = new java.util.HashMap[String, java.lang.Long](m.size * 2)
-    m.foreach { case (k, v) => hm.put(k, java.lang.Long.valueOf(v)) }
-    hm
-  }
-
   /** Column-level API: vocabs map token(s) → quantized ln(count). */
   def apply(text: Column, pairVocab: Map[String, Long],
       leftVocab: Map[String, Long]): Column =
     org.apache.spark.sql.GraftBridge.column(
       BigramLogProb(
         org.apache.spark.sql.GraftBridge.expression(text),
-        toJava(pairVocab), toJava(leftVocab)))
+        UnigramLogProb.toJava(pairVocab),
+        UnigramLogProb.toJava(leftVocab)))
 }

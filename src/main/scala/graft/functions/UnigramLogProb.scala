@@ -83,13 +83,18 @@ object UnigramLogProb {
     new GenericInternalRow(Array[Any](words, sum))
   }
 
+  /** Map → pre-sized boxed HashMap, shared with [[BigramLogProb]]. */
+  private[functions] def toJava(m: Map[String, Long])
+      : java.util.HashMap[String, java.lang.Long] = {
+    val hm = new java.util.HashMap[String, java.lang.Long](m.size * 2)
+    m.foreach { case (k, v) => hm.put(k, java.lang.Long.valueOf(v)) }
+    hm
+  }
+
   /** Column-level API: `vocab` maps token → quantized ln(count). */
-  def apply(text: Column, vocab: Map[String, Long]): Column = {
-    val hm = new java.util.HashMap[String, java.lang.Long](
-      vocab.size * 2)
-    vocab.foreach { case (k, v) => hm.put(k, java.lang.Long.valueOf(v)) }
+  def apply(text: Column, vocab: Map[String, Long]): Column =
     org.apache.spark.sql.GraftBridge.column(
       UnigramLogProb(
-        org.apache.spark.sql.GraftBridge.expression(text), hm))
-  }
+        org.apache.spark.sql.GraftBridge.expression(text),
+        toJava(vocab)))
 }

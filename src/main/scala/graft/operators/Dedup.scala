@@ -528,8 +528,13 @@ object Dedup {
     require(clash.isEmpty,
       s"paragraphOccurrences output reserves ${reserved.mkString(", ")}" +
         s"; rename or drop the colliding keepCols: ${clash.mkString(", ")}")
+    // keepCols join the tie-break so the winner is deterministic even
+    // under duplicate (id, position) pairs from a dirty corpus (fully
+    // identical rows remain symmetric: either choice yields the same
+    // output multiset)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("para").orderBy(col("id"), col("para_idx"))
+      .partitionBy("para")
+      .orderBy(col("id") +: col("para_idx") +: keepCols.map(col): _*)
     docs
       .select(col(idCol).as("id") +: keepCols.map(col) :+
         posexplode(split(col(textCol), sepRe))

@@ -198,7 +198,9 @@ object Pipeline {
     */
   /** one row per adjacent token pair ("w1 w2"), shared by
     * [[bigramVocab]] and [[bigramLogProbReport]] so the two cannot
-    * silently diverge on tokenization. Tokenizes ONCE in a projection
+    * silently diverge on tokenization — BOTH use the engine-wide
+    * WordStats contract (single ASCII spaces, empties dropped), so a
+    * vocabulary built by one is valid input to the other's scorer. Tokenizes ONCE in a projection
     * below the Generate: expressions referenced several times inside
     * explode() re-evaluate per reference (no CSE across a Generate),
     * and the split is the expensive term — measured 8x on the x100
@@ -207,15 +209,15 @@ object Pipeline {
     * ""+word pair, violating the engine-wide empties-dropped token
     * contract).
     */
-  private def adjacentPairs(docs: DataFrame, textCol: String,
-      splitRe: String): DataFrame = {
+  private def adjacentPairs(docs: DataFrame, textCol: String)
+      : DataFrame = {
     val ws = col("__ws")
     val pairs = transform(
       sequence(lit(0), greatest(size(ws) - 2, lit(-1))),
       i => concat(element_at(ws, i + 1), lit(" "),
         element_at(ws, i + 2)))
     docs
-      .select(array_remove(split(col(textCol), splitRe), "").as("__ws"))
+      .select(array_remove(split(col(textCol), " "), "").as("__ws"))
       .select(explode(
         when(size(ws) >= 2, pairs).otherwise(array())).as("pair"))
   }
@@ -223,7 +225,7 @@ object Pipeline {
   def bigramVocab(docs: DataFrame, textCol: String, topK: Int)
       : DataFrame = {
     require(topK > 0, s"topK $topK must be positive")
-    adjacentPairs(docs, textCol, "\\s+")
+    adjacentPairs(docs, textCol)
       .select(col("pair").as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
@@ -259,6 +261,9 @@ object Pipeline {
       byCol: String, topV: Int, flagMlnPerToken: Long): DataFrame = {
     import graft.functions.UnigramLogProb
     require(topV > 0, s"topV $topV must be positive")
+    require(!Set("words", "score_mln").contains(byCol) &&
+      !Set("words", "score_mln").contains(textCol),
+      "unigramLogProbReport reserves columns words, score_mln")
     val counts = docs
       .select(explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -328,18 +333,29 @@ object Pipeline {
     // the id keeps its ORIGINAL type (UUID strings are the common
     // corpus key; a silent long cast would NULL them out and collide
     // numeric strings like "01" and "1")
+    // NULLS LAST on both sort legs: a NULL id (null-propagated md5)
+    // must land where the oracle's default ORDER BY puts it, or every
+    // rank shifts between engines
     val sorted = docs
       .select(col(idCol).as("id"),
         md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
           .as("__k"))
-      .repartitionByRange(col("__k"), col("id"))
-      .sortWithinPartitions("__k", "id")
+      .repartitionByRange(col("__k").asc_nulls_last,
+        col("id").asc_nulls_last)
+      .sortWithinPartitions(col("__k").asc_nulls_last,
+        col("id").asc_nulls_last)
       .select(col("id"))
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         "__rank", org.apache.spark.sql.types.LongType, nullable = false))
+    // persist across zipWithIndex's TWO jobs (its partition-count job
+    // plus the main read) so the corpus-wide sort is paid once; the
+    // ContextCleaner unpersists when the lineage is collected
+    val sortedRdd = sorted.rdd
+    sortedRdd.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
     val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
+      sortedRdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
       schema)
     ranked.select(col("id"),
@@ -405,9 +421,10 @@ object Pipeline {
       byCol: String, topV: Int, flagMlnPerPair: Long): DataFrame = {
     import graft.functions.{BigramLogProb, UnigramLogProb}
     require(topV > 0, s"topV $topV must be positive")
-    // tokenization contract of the scoring expression: single ASCII
-    // spaces, empties dropped (" " is a literal single-space regex)
-    val pairCounts = adjacentPairs(docs, textCol, " ")
+    require(!Set("pairs", "score_mln").contains(byCol) &&
+      !Set("pairs", "score_mln").contains(textCol),
+      "bigramLogProbReport reserves columns pairs, score_mln")
+    val pairCounts = adjacentPairs(docs, textCol)
       .groupBy("pair").agg(count(lit(1)).as("c"))
     pairCounts.persist()
     try {

@@ -1030,11 +1030,12 @@ object LlmExtras {
            CAST(sum(length(norm)) AS BIGINT) AS chars_after
          FROM n2 GROUP BY source ORDER BY source""",
 
-    // zip-unnest adjacent pairs (empties dropped like the operator),
-    // two-phase count, deterministic (count DESC, bigram) top-50
+    // zip-unnest adjacent pairs (single-space WordStats tokenization,
+    // empties dropped like the operator), two-phase count,
+    // deterministic (count DESC, bigram) top-50
     "text_bigram_vocab" ->
       """WITH w AS (SELECT list_filter(
-               string_split_regex(text, '\s+'), x -> x <> '') AS ws
+               string_split(text, ' '), x -> x <> '') AS ws
              FROM documents),
          b AS (SELECT ws[i+1] || ' ' || ws[i+2] AS bigram
            FROM w, UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i))
@@ -1166,8 +1167,9 @@ object LlmExtras {
            FROM documents),
          t AS (SELECT unnest(ws) AS tok FROM w),
          vc AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
-         tot AS (SELECT CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000)
-             AS BIGINT) AS mln_total FROM vc),
+         tot AS (SELECT coalesce(
+             CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000)
+               AS BIGINT), 0) AS mln_total FROM vc),
          vocab AS (SELECT tok,
              CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
                AS mln
