@@ -532,9 +532,15 @@ object Dedup {
     // under duplicate (id, position) pairs from a dirty corpus (fully
     // identical rows remain symmetric: either choice yields the same
     // output multiset)
+    // NULLS LAST on every tie-break leg (Spark defaults ASC = NULLS
+    // FIRST, DuckDB's ORDER BY defaults NULLS LAST): a NULL doc id or
+    // keep column must elect the same winner in both engines, the same
+    // cross-engine contract shuffleShards pins
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("para")
-      .orderBy(col("id") +: col("para_idx") +: keepCols.map(col): _*)
+      .orderBy(col("id").asc_nulls_last +:
+        col("para_idx").asc_nulls_last +:
+        keepCols.map(c => col(c).asc_nulls_last): _*)
     docs
       .select(col(idCol).as("id") +: keepCols.map(col) :+
         posexplode(split(col(textCol), sepRe))

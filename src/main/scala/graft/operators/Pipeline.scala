@@ -261,9 +261,14 @@ object Pipeline {
       byCol: String, topV: Int, flagMlnPerToken: Long): DataFrame = {
     import graft.functions.UnigramLogProb
     require(topV > 0, s"topV $topV must be positive")
-    require(!Set("words", "score_mln").contains(byCol) &&
-      !Set("words", "score_mln").contains(textCol),
-      "unigramLogProbReport reserves columns words, score_mln")
+    // intermediates live under __-prefixed names, so a pre-existing
+    // words/score_mln document column is never silently overwritten;
+    // the remaining hazard is byCol colliding with an OUTPUT column
+    // (duplicate names in the report) — reject it loudly
+    val uniReserved = Set("__words", "__score_mln",
+      "n_docs", "tokens", "sum_score_mln", "flagged")
+    require(!uniReserved.contains(byCol) && !uniReserved.contains(textCol),
+      s"unigramLogProbReport reserves columns ${uniReserved.mkString(", ")}")
     val counts = docs
       .select(explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -288,16 +293,16 @@ object Pipeline {
       // ~3e11 tokens (squarely inside the 100 TB regime) would wrap a
       // silent Long sum while the oracle's HUGEINT stays exact
       docs
-        .withColumn("words", st.getField("words"))
-        .withColumn("score_mln", score)
+        .withColumn("__words", st.getField("words"))
+        .withColumn("__score_mln", score)
         .groupBy(byCol)
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("words")).as("tokens"),
-          sum(col("score_mln").cast(
+          sum(col("__words")).as("tokens"),
+          sum(col("__score_mln").cast(
             org.apache.spark.sql.types.DecimalType(38, 0)))
             .as("sum_score_mln"),
-          sum((col("score_mln") <
-            lit(flagMlnPerToken) * col("words")).cast("long"))
+          sum((col("__score_mln") <
+            lit(flagMlnPerToken) * col("__words")).cast("long"))
             .as("flagged"))
         .orderBy(byCol)
     } finally counts.unpersist()
@@ -327,7 +332,21 @@ object Pipeline {
     * is genuinely per-partition imperative logic.
     */
   def shuffleShards(docs: DataFrame, idCol: String, salt: String,
-      shardSize: Long): DataFrame = {
+      shardSize: Long): DataFrame =
+    shuffleShardsWithCleanup(docs, idCol, salt, shardSize)._1
+
+  /** [[shuffleShards]] plus an explicit cache-release handle. The
+    * assignment caches the fully sorted corpus (MEMORY_AND_DISK)
+    * across `zipWithIndex`'s two jobs; `shuffleShards` leaves the
+    * release to the ContextCleaner (freed when the result DataFrame's
+    * lineage is collected), which is fine for a read-once epoch but
+    * lets a multi-epoch caller that HOLDS results accumulate
+    * full-corpus cached copies. Call `release()` as soon as the shard
+    * assignment has been written/consumed; any later action on the
+    * returned DataFrame recomputes the sort.
+    */
+  def shuffleShardsWithCleanup(docs: DataFrame, idCol: String,
+      salt: String, shardSize: Long): (DataFrame, () => Unit) = {
     require(shardSize > 0, s"shardSize $shardSize must be positive")
     val spark = docs.sparkSession
     // the id keeps its ORIGINAL type (UUID strings are the common
@@ -358,9 +377,10 @@ object Pipeline {
       sortedRdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
       schema)
-    ranked.select(col("id"),
+    val out = ranked.select(col("id"),
       floor(col("__rank") / shardSize).cast("long").as("shard"),
       (col("__rank") % shardSize).as("pos_in_shard"))
+    (out, () => { sortedRdd.unpersist(blocking = false); () })
   }
 
   /** Corpus snapshot diff — the bookkeeping pass behind INCREMENTAL
@@ -378,6 +398,13 @@ object Pipeline {
     * text, decides `changed`, so the comparison is engine-reproducible
     * (DuckDB computes the identical md5) and the shuffle width is
     * independent of document size.
+    *
+    * PRECONDITION: `idCol` is unique within each snapshot — the id is
+    * the join key, so a duplicated id fans out through the full-outer
+    * join and double-counts docs/chars for its status. Snapshots are
+    * the OUTPUT of a dedup stage in every intended pipeline position;
+    * run [[exact dedup|graft.queries.AnalyticsExtras]] first if the
+    * input may be dirty.
     */
   def corpusDiff(before: DataFrame, after: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -421,9 +448,13 @@ object Pipeline {
       byCol: String, topV: Int, flagMlnPerPair: Long): DataFrame = {
     import graft.functions.{BigramLogProb, UnigramLogProb}
     require(topV > 0, s"topV $topV must be positive")
-    require(!Set("pairs", "score_mln").contains(byCol) &&
-      !Set("pairs", "score_mln").contains(textCol),
-      "bigramLogProbReport reserves columns pairs, score_mln")
+    // same collision contract as unigramLogProbReport: __-prefixed
+    // intermediates never clobber document columns, and byCol may not
+    // shadow an output column of the report itself
+    val biReserved = Set("__pairs", "__score_mln",
+      "n_docs", "pairs", "sum_score_mln", "flagged")
+    require(!biReserved.contains(byCol) && !biReserved.contains(textCol),
+      s"bigramLogProbReport reserves columns ${biReserved.mkString(", ")}")
     val pairCounts = adjacentPairs(docs, textCol)
       .groupBy("pair").agg(count(lit(1)).as("c"))
     pairCounts.persist()
@@ -456,16 +487,16 @@ object Pipeline {
       val leftVocab = topLefts ++ extraLefts
       val st = BigramLogProb(col(textCol), pairVocab, leftVocab)
       docs
-        .withColumn("pairs", st.getField("pairs"))
-        .withColumn("score_mln", st.getField("mln_sum"))
+        .withColumn("__pairs", st.getField("pairs"))
+        .withColumn("__score_mln", st.getField("mln_sum"))
         .groupBy(byCol)
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("pairs")).as("pairs"),
-          sum(col("score_mln").cast(
+          sum(col("__pairs")).as("pairs"),
+          sum(col("__score_mln").cast(
             org.apache.spark.sql.types.DecimalType(38, 0)))
             .as("sum_score_mln"),
-          sum((col("score_mln") <
-            lit(flagMlnPerPair) * col("pairs")).cast("long"))
+          sum((col("__score_mln") <
+            lit(flagMlnPerPair) * col("__pairs")).cast("long"))
             .as("flagged"))
         .orderBy(byCol)
     } finally pairCounts.unpersist()

@@ -348,6 +348,20 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("para"))
   }
 
+  test("paragraphOccurrences elects a non-null id as winner over a " +
+      "NULL id (NULLS LAST, the DuckDB default ordering)") {
+    // java boxing keeps the null id; doc 7 must win even though NULL
+    // sorts FIRST under Spark's default asc
+    val docs = Seq(
+      (java.lang.Long.valueOf(7L), "dup para"),
+      (null.asInstanceOf[java.lang.Long], "dup para"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.paragraphOccurrences(docs, "doc_id", "text")
+      .filter($"is_kept").select($"id")
+      .as[Option[Long]].collect().toSeq
+    assert(kept == Seq(Some(7L)))
+  }
+
   test("paragraph winner decision is ONE hash exchange on the " +
       "paragraph, window partitioned by it (never a global sort)") {
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")

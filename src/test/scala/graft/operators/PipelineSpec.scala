@@ -205,4 +205,55 @@ class PipelineSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("partial_count") || p.contains("partial"), p)
   }
+
+  test("LM reports never clobber document columns named words/" +
+      "score_mln/pairs, and reject a byCol shadowing an output") {
+    // a corpus that ALREADY carries a "words" and a "pairs" column —
+    // the report's intermediates live under __-prefixed names, so the
+    // scores must be identical to the same corpus without them
+    val docs = Seq(("s0", "a a b", 99L), ("s1", "a b b b", -1L))
+      .toDF("source", "text", "words").withColumn("pairs", lit(7L))
+    val clean = docs.select($"source", $"text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.unigramLogProbReport(df, "text", "source",
+        topV = 8, flagMlnPerToken = -10_000_000L).collect().toSeq
+    assert(rows(docs).toString == rows(clean).toString)
+    def brows(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.bigramLogProbReport(df, "text", "source",
+        topV = 8, flagMlnPerPair = -10_000_000L).collect().toSeq
+    assert(brows(docs).toString == brows(clean).toString)
+    // byCol colliding with an output column is a loud error, not a
+    // duplicate-named report
+    for (bad <- Seq("n_docs", "tokens", "flagged")) {
+      val d2 = clean.withColumn(bad, lit(1L))
+      intercept[IllegalArgumentException] {
+        Pipeline.unigramLogProbReport(d2, "text", bad, 8, -1L)
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.bigramLogProbReport(
+        clean.withColumn("pairs", lit(1L)), "text", "pairs", 8, -1L)
+    }
+  }
+
+  test("shuffleShardsWithCleanup frees the sorted-corpus cache on " +
+      "release()") {
+    val docs = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val (out, release) = Pipeline.shuffleShardsWithCleanup(
+      docs, "doc_id", "epoch0", 16L)
+    // the assignment itself matches the plain entry point
+    val got = out.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val plain = Pipeline.shuffleShards(docs, "doc_id", "epoch0", 16L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == plain)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    release()
+    // unpersist is async (blocking=false) — poll briefly
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.size >= persistedBefore
+        && persistedBefore > 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size < persistedBefore
+      || persistedBefore == 0)
+  }
 }
