@@ -551,7 +551,60 @@ object Main {
     if (errs.isEmpty) 0 else 1
   }
 
+  /** `graft fmt` — the reference's mfmt (cmd/mfmt/main.go:1-59):
+    * parse + check (Frontend.parse runs both, like mfmt's
+    * parser.Parse → checker.Check), pretty-print via [[mtail.Fmt]].
+    * `-write` rewrites each file in place (mfmt's -write), otherwise
+    * the formatted text prints to stdout. Files arrive as `-prog
+    * <file>` (the reference flag) or bare operands; exit 2 on usage
+    * errors, 1 if any file fails to parse, 0 on success.
+    */
+  private[graft] def fmtRun(args: Seq[String],
+      out: String => Unit = print): Int = {
+    var write = false
+    var files = Vector.empty[String]
+    var i = 0
+    var usageErr: Option[String] = None
+    while (i < args.length && usageErr.isEmpty) {
+      args(i) match {
+        case "-write" | "--write" => write = true
+        case "-prog" | "--prog" =>
+          if (i + 1 >= args.length)
+            usageErr = Some("graft fmt: -prog needs a value")
+          else { files :+= args(i + 1); i += 1 }
+        case f if !f.startsWith("-") => files :+= f
+        case other => usageErr = Some(s"graft fmt: unknown flag $other")
+      }
+      i += 1
+    }
+    usageErr.orElse(
+      if (files.isEmpty) Some("graft fmt: no program file given " +
+        "(use -prog <file> or a bare operand)") else None) match {
+      case Some(msg) => System.err.println(msg); 2
+      case None =>
+        var rc = 0
+        files.foreach { f =>
+          try {
+            val p = Paths.get(f)
+            val src = new String(Files.readAllBytes(p),
+              StandardCharsets.UTF_8)
+            val formatted = mtail.Fmt.formatSource(src,
+              p.getFileName.toString)
+            if (write) {
+              val _ = Files.write(p,
+                formatted.getBytes(StandardCharsets.UTF_8))
+            } else out(formatted)
+          } catch { case e: Exception =>
+            System.err.println(s"graft fmt: $f: ${e.getMessage}")
+            rc = 1
+          }
+        }
+        rc
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("fmt")) sys.exit(fmtRun(args.toSeq.tail))
     parseArgs(args.toSeq) match {
       case Left(err) =>
         System.err.println(err)

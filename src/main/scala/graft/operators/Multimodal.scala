@@ -146,7 +146,12 @@ object Multimodal {
             if (v == 1 && e2 - s2 >= 32)
               (u32be(p, o2 + 20), u64be(p, o2 + 24))
             else (u32be(p, o2 + 12), u32be(p, o2 + 16))
-          if (ts > 0) durMs = d * 1000L / ts
+          // adversarial headers: a v1 duration with bit 63 set reads
+          // as a negative Long, and anything above Long.Max/1000
+          // would overflow the ms scaling into garbage — treat both
+          // as unparsed (duration stays 0) rather than fabricate
+          if (ts > 0 && d >= 0 && d <= Long.MaxValue / 1000L)
+            durMs = d * 1000L / ts
         } else if (t2 == "trak") boxes(s2, e2, { (t3, s3, e3) =>
           if (t3 == "tkhd") {
             val v = p(s3.toInt) & 0xff
@@ -167,7 +172,8 @@ object Multimodal {
       durMs))
   }
 
-  private def decodeOne(id: Long, payload: Array[Byte]): MediaMeta =
+  private[operators] def decodeOne(id: Long,
+      payload: Array[Byte]): MediaMeta =
     try {
       decodeImage(id, payload)
         .orElse(decodeWav(id, payload))
