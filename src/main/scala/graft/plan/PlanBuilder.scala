@@ -356,6 +356,28 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     * names).
     */
   private val kpfxProvisional = mutable.Map[String, Column]()
+
+  /** Audit trail of every place this plan surrendered VM-exactness
+    * (a one-level-unroll provisional spliced along a genuine cycle
+    * edge) or mixed resolution semantics ([[lastResortSeqResolve]]'s
+    * lenient corner: some reads of a cyclic group already
+    * materialized through the distributed machinery while the rest
+    * replay sequentially). Empty for every program the exact
+    * machinery covers — the golden corpus and the directed cycle
+    * specs assert it stays empty. Each entry is ALSO logged to
+    * stderr at plan build, so a deviation is never silent (round-17
+    * contract — the r16 verdict's one remaining silent-deviation
+    * finding). The branch-divergence substitution (a kpfx name pass 2
+    * never registered — the read took a different branch than
+    * pass 1) is recorded under its own label: it is believed
+    * value-exact for the shapes that reach it, and the VM-differential
+    * fuzz ([[graft.streaming.VmDifferentialSpec]]) holds it to that.
+    */
+  val approxNotes = mutable.Buffer[String]()
+  private def noteApprox(msg: String): Unit = {
+    approxNotes += msg
+    System.err.println(s"[graft] APPROXIMATION ${program.name}: $msg")
+  }
   /** read column name (`__mrd_*`) → metric it reads — lets the
     * last-resort cycle detection map COMPILED cond refs (which include
     * the conservative line-abort guard terms) back to metric-level
@@ -650,11 +672,25 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           // `avail` and its registration is gone — the provisional
           // would wrongly splice in); the flush loop retries with the
           // updated relation instead
+          // every splice is audited: a genuine cycle edge bottomed
+          // with the one-level unroll is the surviving non-VM shape
+          // (loud via approxNotes), a branch-divergence splice is the
+          // believed-exact one (distinct label; VmDifferentialSpec
+          // holds it to that)
+          def noteSplice(entry: String, miss: Set[String]): Unit =
+            miss.toSeq.sorted.foreach { r =>
+              noteApprox(s"one-level-unroll provisional spliced for " +
+                s"read '$r' into '$entry' (" +
+                (if (!registered(r)) "pass-1/pass-2 branch divergence"
+                 else "genuine cycle edge — one-level unroll, non-VM " +
+                   "for non-absorbing history") + ")")
+            }
           def substitutePass(skip: Set[String]): Unit = {
           pending.toSeq.foreach { case (pn, c) =>
             val miss = if (skip(pn)) Set.empty[String]
               else unresolvedKpfx(pn, Seq(c))
             if (miss.nonEmpty) {
+              noteSplice(pn, miss)
               pending(pn) = miss.foldLeft(c)((acc, r) =>
                 substituteRef(acc, r, kpfxProvisional(r)))
               substituted = true
@@ -666,6 +702,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             val miss = if (skip(pn)) Set.empty[String]
               else unresolvedKpfx(pn, cols)
             if (miss.nonEmpty) {
+              noteSplice(pn, miss)
               def sub(c: Column): Column = miss.foldLeft(c)((acc, r) =>
                 substituteRef(acc, r, kpfxProvisional(r)))
               pendingAsofs(pn) = sp.copy(
@@ -688,6 +725,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
                 .filter(r => !avail(r) && kpfxProvisional.contains(r) &&
                   (!registered(r) || reaches(r, n)))
             if (miss.nonEmpty) {
+              noteSplice(n, miss)
               val missSeq = miss.toSeq
               val newNeeds = needs -- miss ++
                 miss.flatMap(r => refsOf(kpfxProvisional(r)))
@@ -711,7 +749,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             // own fenced machinery makes no progress — surrender
             // exactness (the pre-r16 one-level unroll, deterministic
             // and batch-split-consistent) rather than deadlock
-            if (!substituted && fenced.nonEmpty) substitutePass(Set.empty)
+            if (!substituted && fenced.nonEmpty) {
+              noteApprox("cyclic group stalled behind its own fenced " +
+                "machinery; surrendering exactness to the one-level " +
+                "unroll for reads " +
+                fenced.filter(seqReadInfo.contains).toSeq.sorted
+                  .mkString(","))
+              substitutePass(Set.empty)
+            }
           }
           if (substituted) () // retry the flush loop with bottoms in
           else if (lastResortSeqResolve(avail)) () // exact replay
@@ -745,7 +790,17 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           pendingLazyJoins.remove(n)
           snapCur()
         }
-        readyAsofs.foreach { case (n, sp) =>
+        // r17: same-key merged materialization — KEYED specs sharing
+        // one source snapshot, probe-key expression and value type
+        // fold through ONE exploded union, ONE exchange+sort and one
+        // (or two, for fold mode) Window operator instead of one
+        // exchange+sort per relation. Relations never interact: each
+        // window function masks to its own rows (`__r`). Opt-out knob
+        // for A/B: spark.graft.asof.mergeSameKey.
+        val mergeSameKey = lines.sparkSession.conf
+          .get("spark.graft.asof.mergeSameKey", "true").toBoolean
+        val asofWithSrc = readyAsofs.toSeq.sortBy(_._1).map {
+          case (n, sp) =>
           // the probe leg builds from the EARLIEST snapshot holding
           // every column it references (see `snaps`), not from the
           // up-to-date curDf
@@ -754,6 +809,31 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             .flatMap(refsOf).toSet + "ord"
           val src = snaps.find(s => need.subsetOf(s.columns.toSet))
             .getOrElse(curDf)
+          (n, sp, src)
+        }
+        val mergedGroups: Seq[Seq[(String, AsofSpec, DataFrame)]] =
+          if (!mergeSameKey) Nil
+          else asofWithSrc
+            .filter { case (_, sp, _) =>
+              // keyed non-concat folds only: the keyless path is a
+              // different (bucketed) machine, and concat's capped-inc
+              // helper columns are single-relation by construction
+              sp.probeKeys.nonEmpty && sp.mode != "concat" &&
+                !sp.writes.forall(_.keys.isEmpty)
+            }
+            .groupBy { case (_, sp, src) =>
+              (System.identityHashCode(src),
+                PlanBuilder.joinKeys(sp.probeKeys).toString,
+                sp.vt.sql)
+            }
+            .values.filter(_.size >= 2)
+            .map(_.sortBy(_._1)).toSeq.sortBy(_.head._1)
+        val mergedNames = mergedGroups.flatten.map(_._1).toSet
+        mergedGroups.foreach { group =>
+          mergedKeyedAsofs(group.head._3, group.map(g => (g._1, g._2)))
+        }
+        asofWithSrc.filterNot(t => mergedNames(t._1)).foreach {
+          case (n, sp, src) =>
           // materialize each leg's key/value on the base FIRST, as a
           // plain projection: frozen pass-1 inline reads can carry
           // window expressions, which the analyzer extracts from a
@@ -887,8 +967,27 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     def feasible(g: Set[String]): Boolean = g.nonEmpty &&
       seqReadInfo.exists { case (n, i) =>
         g(i.metric) && pending.contains(n) }
-    (feasible(cyclic) && trySeqCycleResolve(cyclic, avail)) ||
-      (cyclic != all && feasible(all) && trySeqCycleResolve(all, avail))
+    // audited attempt: the replay itself is SeqCycleEval-exact, but
+    // the lenient corner (a group read that ALREADY materialized
+    // through the distributed machinery keeps its column while the
+    // pending reads replay) mixes semantics — record it, and record
+    // the escalation to replaying every read-bearing metric
+    def attempt(g: Set[String], label: String): Boolean = {
+      if (!feasible(g)) return false
+      val premixed = seqReadInfo.collect {
+        case (n, i) if g(i.metric) && !pending.contains(n) => n
+      }.toSeq.sorted
+      val ok = trySeqCycleResolve(g, avail)
+      if (ok && premixed.nonEmpty)
+        noteApprox(s"$label replay of group " +
+          s"${g.toSeq.sorted.mkString(",")}: reads " +
+          s"${premixed.mkString(",")} had already materialized " +
+          "distributed; only still-pending reads replayed exactly " +
+          "(mixed-semantics corner)")
+      ok
+    }
+    attempt(cyclic, "last-resort") ||
+      (cyclic != all && attempt(all, "last-resort-all-metrics"))
   }
 
   /** EXACT resolution of a stalled self/mutual-reference cycle —
@@ -1003,6 +1102,85 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   }
 
   /** the keyed as-of leg: window partitioned by the metric key. */
+  /** Merged materialization of ≥2 KEYED as-of relations sharing one
+    * source snapshot, probe-key expression and value type (r17, the
+    * r16 verdict's condgate audit): every relation's legs explode
+    * into ONE (k, __o, __i, __w, __r, __v, __s) union, so the
+    * per-key window pays one exchange+sort for the whole group
+    * instead of one per relation — at cluster scale, one shuffle
+    * stage instead of N over the same probe rows. Window functions
+    * mask to their own relation (`__r`), so folds never see another
+    * relation's rows; identical WindowSpecs collapse into one Window
+    * operator. Probe extraction and the ord-join back stay
+    * per-relation (each read observes the fold at ITS OWN site
+    * position — same-line visibility differs between reads, so probe
+    * rows cannot be shared).
+    */
+  private def mergedKeyedAsofs(src: DataFrame,
+      group: Seq[(String, AsofSpec)]): Unit = {
+    val base = src.select(col("*") +:
+      group.flatMap { case (n, sp) =>
+        sp.writes.zipWithIndex.flatMap { case (wr, i) =>
+          Seq(PlanBuilder.joinKeys(wr.keys).as(s"${n}_wk$i"),
+            when(wr.cond, wr.value).cast(sp.vt).as(s"${n}_wv$i"))
+        } :+ PlanBuilder.joinKeys(sp.probeKeys).as(s"${n}_pk")
+      }: _*)
+    val legs = group.zipWithIndex.flatMap { case ((n, sp), r) =>
+      sp.writes.zipWithIndex.map { case (wr, i) =>
+        struct(col(s"${n}_wk$i").as("k"), lit(wr.idx).as("__i"),
+          lit(1).as("__w"), lit(r).as("__r"),
+          col(s"${n}_wv$i").as("__v"), lit(wr.isSet).as("__s"))
+      } :+ struct(col(s"${n}_pk").as("k"), lit(sp.probeIdx).as("__i"),
+        lit(0).as("__w"), lit(r).as("__r"),
+        lit(null).cast(sp.vt).as("__v"), lit(false).as("__s"))
+    }
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("__o"), col("__i"), col("__w"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var u = base
+      .select(col("ord").as("__o"),
+        explode(array(legs: _*)).as("__leg"))
+      .select(col("__leg.k").as("k"), col("__o"),
+        col("__leg.__i").as("__i"), col("__leg.__w").as("__w"),
+        col("__leg.__r").as("__r"), col("__leg.__v").as("__v"),
+        col("__leg.__s").as("__s"))
+    group.zipWithIndex.foreach { case ((n, sp), r) =>
+      val mine = col("__r") === lit(r)
+      sp.mode match {
+        case "sum" =>
+          u = u.withColumn(n, sum(when(mine, col("__v"))).over(w))
+        case "last" =>
+          u = u.withColumn(n,
+            last(when(mine, col("__v")), ignoreNulls = true).over(w))
+        case _ => // fold: last set + increments after it (see
+          // keyedAsofProbes — identical computation, relation-masked)
+          val setV = when(mine && col("__s"), col("__v"))
+          val incV = when(mine && !col("__s"),
+            coalesce(col("__v"), lit(0L).cast(sp.vt)))
+          u = u.withColumn(s"__incB_$r",
+            coalesce(sum(incV).over(w), lit(0L).cast(sp.vt)))
+          u = u.withColumn(n, struct(
+            last(setV, ignoreNulls = true).over(w).as("set"),
+            (col(s"__incB_$r") -
+              when(last(setV, ignoreNulls = true).over(w).isNotNull,
+                coalesce(last(when(mine && col("__s")
+                  .and(col("__v").isNotNull), col(s"__incB_$r")),
+                  ignoreNulls = true).over(w),
+                  lit(0L).cast(sp.vt)))
+                .otherwise(lit(0L).cast(sp.vt))).as("inc")))
+      }
+    }
+    group.zipWithIndex.foreach { case ((n, sp), r) =>
+      val probes = u
+        .filter(col("__w") === 0 && col("__r") === lit(r))
+        .select(col("__o").as(s"${n}_o"), col(n))
+      curDf = curDf.join(probes, col("ord") === col(s"${n}_o"), "left")
+        .drop(s"${n}_o")
+      pendingAsofs.remove(n)
+      snapCur()
+    }
+  }
+
   private def keyedAsofProbes(base: DataFrame, n: String, sp: AsofSpec,
       legs: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(col("k"))

@@ -1,0 +1,474 @@
+package graft.mtail
+
+import scala.collection.mutable
+
+import graft.mtail.Ir._
+
+/** Test-only sequential reference interpreter: executes an
+  * [[Ir.Program]] line by line with the reference VM's semantics
+  * (vm.go:962-989 per-line fetch-execute, same-line statement order,
+  * imperative per-datum folds) and exports [[Snapshot.Cell]]s shaped
+  * exactly like `PlanBuilder.snapshot()`. It is the INDEPENDENT
+  * oracle of [[graft.streaming.VmDifferentialSpec]]: the engine's
+  * distributed plans must agree with this interpreter on every fuzz
+  * program, or declare the approximation loudly
+  * (`PlanBuilder.approxNotes`).
+  *
+  * Coverage is the fuzz pool plus the directed-spec corpus — the
+  * constructs of [[graft.streaming.FuzzPool]] (conds, otherwise/else,
+  * stop, settime, del, ++/+=/=/histogram-observe, len/tolower/string/
+  * float/int, regex caprefs with charclass typing, Go %g
+  * stringification). Anything outside that set throws
+  * UnsupportedOperationException — a pool extension that silently
+  * fell back would shrink the net.
+  *
+  * Semantics cross-checked against the engine's own documented VM
+  * parity points (PlanBuilder scaladocs citing vm.go / codegen.go):
+  * Iset replaces and Inc adds regardless of declared kind; label keys
+  * and string-unified `+` render floats via Go shortest %g
+  * (vm.go:889-896); text `=` of a float renders uppercase-G
+  * (vm.go:171-186); int `/`/`%` stay integral; scalar counters
+  * zero-init at 0 @ epoch-0 (codegen.go:109-126); hidden metrics
+  * never export.
+  */
+object MiniVm {
+
+  private final class StopLine extends RuntimeException
+  private final class AbortLine extends RuntimeException
+
+  sealed private trait V
+  private final case class VI(v: Long) extends V
+  private final case class VF(v: Double) extends V
+  private final case class VS(v: String) extends V
+
+  private final class Hist(val buckets: Seq[Double]) {
+    val counts: Array[Long] = Array.fill(buckets.size + 1)(0L)
+    var sum = 0.0
+    var n = 0L
+    def observe(x: Double): Unit = {
+      val i = buckets.indexWhere(x <= _)
+      counts(if (i < 0) buckets.size else i) += 1
+      sum += x; n += 1
+    }
+  }
+
+  private final class Datum {
+    var value: V = VI(0)
+    var ts: Option[Long] = None
+    var hist: Hist = null
+  }
+
+  /** One matched regex frame: parsed pattern + captured group texts. */
+  private final case class Frame(parsed: Re2.Parsed,
+      groups: Map[Int, String])
+
+  def run(program: Program, lines: Seq[String]): Seq[Snapshot.Cell] =
+    new Run(program).exec(lines)
+
+  private final class Run(program: Program) {
+    // cell state: metric → label tuple → datum
+    private val state =
+      mutable.Map[String, mutable.LinkedHashMap[Seq[String], Datum]]()
+    private def cells(m: String) =
+      state.getOrElseUpdate(m, mutable.LinkedHashMap())
+
+    private val reMemo = mutable.Map[String, (Re2.Parsed,
+      java.util.regex.Pattern)]()
+    private def re(re2: String): (Re2.Parsed, java.util.regex.Pattern) =
+      reMemo.getOrElseUpdate(re2, {
+        val p = Re2.parse(re2)
+        (p, java.util.regex.Pattern.compile(p.java))
+      })
+
+    // ---- static metric value types (the engine's metricType
+    // fixpoint: Text→S, Histogram→F, else Int unless any write site's
+    // value expression types Float/String) ----
+    private val typeMemo = mutable.Map[String, Char]()
+    private lazy val writeTypes: Map[String, Seq[Char]] = {
+      val acc = mutable.Map[String, mutable.Buffer[(Expr,
+        List[Re2.Parsed])]]()
+      def walk(ss: Seq[Stmt], scope: List[Re2.Parsed]): Unit =
+        ss.foreach {
+          case CondBlock(c, b, e) =>
+            val s2 = c match {
+              case CondPattern(r, _) => re(r)._1 :: scope
+              case _ => scope
+            }
+            walk(b, s2); walk(e, scope)
+          case IncStmt(m, _, d, _) =>
+            acc.getOrElseUpdate(m, mutable.Buffer()) += ((d, scope))
+          case SetStmt(m, _, v) =>
+            acc.getOrElseUpdate(m, mutable.Buffer()) += ((v, scope))
+          case _ => ()
+        }
+      walk(program.stmts, Nil)
+      acc.view.mapValues(_.toSeq.map { case (e, sc) =>
+        staticType(e, sc) }).toMap
+    }
+    private def metricType(name: String): Char =
+      typeMemo.getOrElseUpdate(name, {
+        program.decl(name).kind match {
+          case Text => 'S'
+          case Histogram => 'F'
+          case _ =>
+            typeMemo(name) = 'I' // cycle guard, as the engine's
+            val ts = writeTypes.getOrElse(name, Nil)
+            if (ts.contains('S')) 'S'
+            else if (ts.contains('F')) 'F' else 'I'
+        }
+      })
+    private def caprefType(name: String,
+        scope: List[Re2.Parsed]): Char =
+      scope.view.flatMap { p =>
+        val idx = name.toIntOption match {
+          case Some(i) => p.groups.find(_.index == i).map(_.index)
+          case None => p.groups.find(_.name.contains(name)).map(_.index)
+        }
+        idx.map(i => Re2.inferCaprefType(p, i) match {
+          case Re2.CapInt => 'I'
+          case Re2.CapFloat => 'F'
+          case Re2.CapString => 'S'
+        })
+      }.headOption.getOrElse('S')
+    /** the engine's irType, on parsed-pattern scopes. */
+    private def staticType(e: Expr, scope: List[Re2.Parsed]): Char =
+      e match {
+        case StrLit(_) => 'S'
+        case IntLit(_) => 'I'
+        case FloatLit(_) => 'F'
+        case PatternLit(_) | LineMatch(_, _) => 'B'
+        case Capref(n) => caprefType(n, scope)
+        case MetricRead(m, _) => metricType(m)
+        case Binop(op, l, r) => op match {
+          case "<" | "<=" | ">" | ">=" | "==" | "!=" | "&&" | "||" |
+            "=~" | "!~" => 'B'
+          case "+" if staticType(l, scope) == 'S' ||
+            staticType(r, scope) == 'S' => 'S'
+          case _ =>
+            if (staticType(l, scope) == 'F' ||
+              staticType(r, scope) == 'F') 'F' else 'I'
+        }
+        case Unop("!", _) => 'B'
+        case Unop("~", _) => 'I'
+        case Unop(_, x) => staticType(x, scope)
+        case Call(fn, args) => fn match {
+          case "timestamp" | "strtol" | "len" | "int" => 'I'
+          case "float" => 'F'
+          case "tolower" | "subst" | "string" | "getfilename" => 'S'
+          case "bool" => 'B'
+          case _ => if (args.nonEmpty) staticType(args.head, scope)
+            else 'S'
+        }
+      }
+
+    // ---- per-line mutable registers ----
+    private var time: Option[Long] = None
+
+    def exec(lines: Seq[String]): Seq[Snapshot.Cell] = {
+      lines.foreach { line =>
+        time = None // the VM thread state is per line
+        try execBody(program.stmts, line, Nil)
+        catch {
+          case _: StopLine => ()
+          case _: AbortLine => () // prior same-line writes persist
+        }
+      }
+      export()
+    }
+
+    private def execBody(ss: Seq[Stmt], line: String,
+        frames: List[Frame]): Unit = {
+      // the VM's per-scope matched flag: `otherwise` fires iff no
+      // PRECEDING sibling cond of this scope matched on this line
+      var matchedAny = false
+      ss.foreach {
+        case CondBlock(cond, body, elseBody) => cond match {
+          case CondPattern(re2, negated) =>
+            val (parsed, pat) = re(re2)
+            val m = pat.matcher(line)
+            val hit = m.find()
+            if (hit != negated) {
+              matchedAny = true
+              val fr =
+                if (hit) Frame(parsed, parsed.groups.map(g =>
+                  g.index -> m.group(g.index)).toMap) :: frames
+                else frames
+              execBody(body, line, fr)
+            } else execBody(elseBody, line, frames)
+          case CondExpr(e) =>
+            if (truthy(eval(e, line, frames))) {
+              matchedAny = true
+              execBody(body, line, frames)
+            } else execBody(elseBody, line, frames)
+          case CondOtherwise =>
+            if (!matchedAny) execBody(body, line, frames)
+          case CondAlways =>
+            matchedAny = true
+            execBody(body, line, frames)
+        }
+        case IncStmt(m, keys, delta, addAssign) =>
+          val labels = keys.map(k => labelStr(k, line, frames))
+          val d = eval(delta, line, frames)
+          val dat = cells(m).getOrElseUpdate(labels, fresh(m))
+          program.decl(m).kind match {
+            case Text =>
+              if (!addAssign) throw new UnsupportedOperationException(
+                "++ on text metric")
+              dat.value = VS(asStr(dat.value) + strUnify(d))
+            case Histogram => throw new UnsupportedOperationException(
+              "+= on histogram")
+            case _ => metricType(m) match {
+              case 'F' => dat.value = VF(asF(dat.value) + asF(d))
+              case _ => dat.value = VI(asI(dat.value) + asI(d))
+            }
+          }
+          dat.ts = time
+        case SetStmt(m, keys, value) =>
+          val labels = keys.map(k => labelStr(k, line, frames))
+          val v = eval(value, line, frames)
+          val dat = cells(m).getOrElseUpdate(labels, fresh(m))
+          program.decl(m).kind match {
+            case Histogram => dat.hist.observe(asF(v))
+            case Text =>
+              // Sset of a float: runtime PopString coercion, UPPERCASE
+              // exponent (vm.go:171-186) — unlike the F2s paths
+              dat.value = VS(v match {
+                case VF(f) => GoFmt.g(f, upper = true)
+                case other => asStr(other)
+              })
+            case _ => metricType(m) match {
+              case 'F' => dat.value = VF(asF(v))
+              case 'S' => dat.value = VS(strUnify(v))
+              case _ => dat.value = VI(asI(v))
+            }
+          }
+          dat.ts = time
+        case DelStmt(m, keys, after) =>
+          if (after.nonEmpty) throw new UnsupportedOperationException(
+            "del … after")
+          val labels = keys.map(k => labelStr(k, line, frames))
+          cells(m).remove(labels)
+        case ExprStmt(e) =>
+          val _ = eval(e, line, frames)
+        case StopStmt => throw new StopLine
+        case NextStmt => throw new UnsupportedOperationException("next")
+      }
+    }
+
+    private def fresh(m: String): Datum = {
+      val d = new Datum
+      program.decl(m).kind match {
+        case Histogram => d.hist = new Hist(program.decl(m).buckets)
+        case Text => d.value = VS("")
+        case _ => d.value =
+          if (metricType(m) == 'F') VF(0.0) else VI(0L)
+      }
+      d
+    }
+
+    // ---- expression evaluation ----
+    private def truthy(v: V): Boolean = v match {
+      case VI(i) => i != 0
+      case VF(f) => f != 0.0
+      case VS(s) => s.nonEmpty
+    }
+    private def asI(v: V): Long = v match {
+      case VI(i) => i
+      case VF(f) => f.toLong
+      case VS(s) => s.toLongOption.getOrElse(throw new AbortLine)
+    }
+    private def asF(v: V): Double = v match {
+      case VI(i) => i.toDouble
+      case VF(f) => f
+      case VS(s) => s.toDoubleOption.getOrElse(throw new AbortLine)
+    }
+    private def asStr(v: V): String = v match {
+      case VS(s) => s
+      case VI(i) => i.toString
+      case VF(f) => GoFmt.g(f)
+    }
+    /** F2s/%g stringification — label keys, string(), string-unified
+      * `+` (vm.go:889-896, codegen.go:273-280,602). */
+    private def strUnify(v: V): String = asStr(v)
+
+    private def labelStr(k: Expr, line: String,
+        frames: List[Frame]): String =
+      strUnify(eval(k, line, frames))
+
+    private def readCell(m: String, labels: Seq[String]): V =
+      cells(m).get(labels).map(_.value).getOrElse(metricType(m) match {
+        case 'F' => VF(0.0)
+        case 'S' => VS("")
+        case _ => VI(0L)
+      })
+
+    private def eval(e: Expr, line: String, frames: List[Frame]): V =
+      e match {
+        case StrLit(s) => VS(s)
+        case IntLit(i) => VI(i)
+        case FloatLit(f) => VF(f)
+        case Capref(n) =>
+          val hit = frames.view.flatMap { fr =>
+            val idx = n.toIntOption match {
+              case Some(i) => fr.parsed.groups.find(_.index == i)
+                .map(_.index)
+              case None => fr.parsed.groups
+                .find(_.name.contains(n)).map(_.index)
+            }
+            idx.map(i => (fr, i))
+          }.headOption.getOrElse(
+            throw new UnsupportedOperationException(s"unbound capref $n"))
+          val (fr, i) = hit
+          val raw = Option(fr.groups.getOrElse(i, null)).getOrElse("")
+          Re2.inferCaprefType(fr.parsed, i) match {
+            case Re2.CapInt =>
+              VI(raw.toLongOption.getOrElse(throw new AbortLine))
+            case Re2.CapFloat =>
+              VF(raw.toDoubleOption.getOrElse(throw new AbortLine))
+            case Re2.CapString => VS(raw)
+          }
+        case MetricRead(m, keys) =>
+          readCell(m, keys.map(k => labelStr(k, line, frames)))
+        case PatternLit(_) =>
+          throw new UnsupportedOperationException("bare pattern value")
+        case LineMatch(re2, neg) =>
+          val hit = re(re2)._2.matcher(line).find()
+          VI(if (hit != neg) 1L else 0L)
+        case Unop("!", x) =>
+          VI(if (truthy(eval(x, line, frames))) 0L else 1L)
+        case Unop("~", x) => VI(~asI(eval(x, line, frames)))
+        case Unop("-", x) => eval(x, line, frames) match {
+          case VI(i) => VI(-i)
+          case VF(f) => VF(-f)
+          case VS(_) => throw new AbortLine
+        }
+        case Unop(op, _) =>
+          throw new UnsupportedOperationException(s"unop $op")
+        case Binop("&&", l, r) =>
+          VI(if (truthy(eval(l, line, frames)) &&
+            truthy(eval(r, line, frames))) 1L else 0L)
+        case Binop("||", l, r) =>
+          VI(if (truthy(eval(l, line, frames)) ||
+            truthy(eval(r, line, frames))) 1L else 0L)
+        case Binop(op @ ("=~" | "!~"), l, r) =>
+          val s = asStr(eval(l, line, frames))
+          val pat = r match {
+            case PatternLit(p) => p
+            case other => asStr(eval(other, line, frames))
+          }
+          val hit = re(pat)._2.matcher(s).find()
+          VI(if (hit != (op == "!~")) 1L else 0L)
+        case Binop(op @ ("<" | "<=" | ">" | ">=" | "==" | "!="), l, r) =>
+          val lv = eval(l, line, frames)
+          val rv = eval(r, line, frames)
+          val c = (lv, rv) match {
+            // dynamic compare: String LUB → lexicographic
+            case (VS(a), b) => a.compareTo(strUnify(b))
+            case (a, VS(b)) => strUnify(a).compareTo(b)
+            case (VI(a), VI(b)) => java.lang.Long.compare(a, b)
+            case (a, b) => java.lang.Double.compare(asF(a), asF(b))
+          }
+          VI(op match {
+            case "<" => if (c < 0) 1L else 0L
+            case "<=" => if (c <= 0) 1L else 0L
+            case ">" => if (c > 0) 1L else 0L
+            case ">=" => if (c >= 0) 1L else 0L
+            case "==" => if (c == 0) 1L else 0L
+            case "!=" => if (c != 0) 1L else 0L
+          })
+        case Binop("+", l, r) =>
+          val lv = eval(l, line, frames)
+          val rv = eval(r, line, frames)
+          (lv, rv) match {
+            case (VS(_), _) | (_, VS(_)) =>
+              VS(strUnify(lv) + strUnify(rv))
+            case (VI(a), VI(b)) => VI(a + b)
+            case (a, b) => VF(asF(a) + asF(b))
+          }
+        case Binop(op @ ("-" | "*"), l, r) =>
+          val lv = eval(l, line, frames)
+          val rv = eval(r, line, frames)
+          (lv, rv) match {
+            case (VI(a), VI(b)) =>
+              VI(if (op == "-") a - b else a * b)
+            case (a, b) =>
+              VF(if (op == "-") asF(a) - asF(b) else asF(a) * asF(b))
+          }
+        case Binop("/", l, r) =>
+          val lv = eval(l, line, frames)
+          val rv = eval(r, line, frames)
+          (lv, rv) match {
+            case (VI(a), VI(b)) =>
+              if (b == 0) throw new AbortLine else VI(a / b)
+            case (a, b) => VF(asF(a) / asF(b))
+          }
+        case Binop("%", l, r) =>
+          val lv = eval(l, line, frames)
+          val rv = eval(r, line, frames)
+          (lv, rv) match {
+            case (VI(a), VI(b)) =>
+              // the VM routes mod through math.Mod: %-by-0 is NaN,
+              // not an abort (VmSemanticsSpec pin)
+              if (b == 0) VF(Double.NaN) else VI(a % b)
+            case (a, b) => VF(asF(a) % asF(b))
+          }
+        case Binop(op, _, _) =>
+          throw new UnsupportedOperationException(s"binop $op")
+        case Call("len", Seq(a)) =>
+          VI(asStr(eval(a, line, frames))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .length.toLong)
+        case Call("tolower", Seq(a)) =>
+          VS(asStr(eval(a, line, frames)).toLowerCase)
+        case Call("string", Seq(a)) =>
+          VS(strUnify(eval(a, line, frames)))
+        case Call("float", Seq(a)) => VF(asF(eval(a, line, frames)))
+        case Call("int", Seq(a)) => VI(asI(eval(a, line, frames)))
+        case Call("settime", Seq(a)) =>
+          time = Some(asI(eval(a, line, frames)))
+          VI(0)
+        case Call("timestamp", Seq()) => VI(time.getOrElse(0L))
+        case Call(fn, _) =>
+          throw new UnsupportedOperationException(s"builtin $fn")
+      }
+
+    // ---- export, shaped like PlanBuilder.snapshot() ----
+    private def kindName(k: Kind): String = k match {
+      case Counter => "counter"
+      case Gauge => "gauge"
+      case Timer => "timer"
+      case Text => "text"
+      case Histogram => "histogram"
+    }
+    private def export(): Seq[Snapshot.Cell] =
+      program.decls.filterNot(_.hidden).flatMap { decl =>
+        val kind = kindName(decl.kind)
+        val m = cells(decl.name)
+        val rows = m.toSeq.map { case (labels, dat) =>
+          val labelMap = decl.keys.zip(labels).toMap
+          if (decl.kind == Histogram) {
+            val b = dat.hist
+            val buckets = b.buckets.zipWithIndex.map { case (ub, i) =>
+              GoFmt.g(ub) -> b.counts(i)
+            }.toMap ++ Map("+Inf" -> b.counts(b.buckets.size),
+              "count" -> b.n)
+            Snapshot.Cell(kind, decl.exportName, labelMap,
+              Snapshot.VFloat(b.sum), dat.ts, Some(buckets))
+          } else {
+            val v = dat.value match {
+              case VI(i) => Snapshot.VInt(i)
+              case VF(f) => Snapshot.VFloat(f)
+              case VS(s) => Snapshot.VStr(s)
+            }
+            Snapshot.Cell(kind, decl.exportName, labelMap, v, dat.ts)
+          }
+        }
+        // never-updated scalar counters export 0 @ epoch-0
+        // (codegen.go:109-126; golden/reader.go:107-119)
+        if (rows.isEmpty && decl.keys.isEmpty && decl.kind == Counter)
+          Seq(Snapshot.Cell(kind, decl.exportName, Map.empty,
+            Snapshot.VInt(0), Some(0L)))
+        else rows
+      }
+  }
+}

@@ -1,0 +1,195 @@
+package graft.streaming
+
+import scala.util.Random
+
+/** The shared random-program pool behind the differential fuzz
+  * harnesses: [[StreamEquivalenceSpec]] (one-shot ≡ any batch split)
+  * and [[VmDifferentialSpec]] (one-shot ≡ the sequential reference
+  * interpreter). One pool, two independent oracles — a generator
+  * tweak automatically widens both nets.
+  *
+  * Pool-design constraints are documented on StreamEquivalenceSpec's
+  * scaladoc (monotone numerics for settime, no `limit`/TTL, keyed-only
+  * del); VmDifferentialSpec additionally relies on every construct
+  * here being implemented by [[graft.mtail.MiniVm]] — extend BOTH when
+  * widening the pool.
+  */
+object FuzzPool {
+
+  val decls: String =
+    """counter c0
+      |counter c1 by a
+      |gauge g0
+      |gauge g1 by a, b
+      |text t0
+      |histogram h0 buckets 1, 4, 16
+      |hidden gauge hid0
+      |hidden gauge hid1 by p, q
+      |hidden counter hidc
+      |hidden counter hidc1 by a
+      |text t1 by a
+      |""".stripMargin
+
+  // every pattern binds x (digits → Int) and s (word → String)
+  val patterns: Seq[String] = Seq(
+    """(?P<x>\d+) (?P<s>\w+)""",
+    """val=(?P<x>\d+) tag=(?P<s>\w+).*""",
+    """(?P<s>[a-z]+): (?P<x>\d+)""")
+
+  def leaf(rnd: Random): String = {
+    val numExprs = Seq("$x", "$x + 1", "$x * 2", "$x % 5", "len($s)",
+      "$x / 2.0", "hid0 + $x", "float($x)")
+    val strExprs = Seq("$s", "tolower($s)", "$s + \"!\"",
+      "string($x)",
+      // float→string goes through the F2s/%g path (GoFloatString) —
+      // ×250000 pushes past 1e6 where the rendering turns scientific
+      "string($x / 2.0)", "\"v=\" + $x / 2.0",
+      "string(float($x) * 250000.0)")
+    val pool = Seq(
+      "c0++",
+      "c1[$s]++",
+      s"c1[$$s] += ${Seq("$x", "1", "$x % 7")(rnd.nextInt(3))}",
+      s"g0 = ${numExprs(rnd.nextInt(numExprs.length))}",
+      s"g1[$$s][$$x] = ${numExprs(rnd.nextInt(numExprs.length))}",
+      s"t0 = ${strExprs(rnd.nextInt(strExprs.length))}",
+      "h0 = $x", // int-valued: cross-batch double sums stay exact
+      s"hid0 = ${Seq("$x", "$x + 1", "hid0 + 1")(rnd.nextInt(3))}",
+      "hid1[$s][$x] = $x",
+      // text += is a running concat: per-batch local concats must
+      // APPEND at the store merge to equal the one-shot fold
+      "t0 += $s",
+      "t0 += string($x)",
+      // op-aware folds: set-writes on a counter / increments on a
+      // gauge, mixing freely with the pool's other writes to the same
+      // metrics — batch boundaries must fold like the one-shot run
+      "g0++",
+      "c1[$s] = $x",
+      // reads of an increment-built metric: running total must carry
+      // across batch boundaries (finalReadStateDfs sums, not last-write)
+      "hidc++",
+      "g0 = hidc + $x",
+      // mixing = and ++ on a READ hidden metric: the fold (last set +
+      // post-set increments) must carry across batch boundaries
+      "hid0++",
+      "g1[$s][$x] = hid1[$s][$x] + 1", // keyed carried-state read
+      // float label keys: the read side (metricReadColumn), write side
+      // (siteFrame) and carried state (finalReadStateDfs) must all
+      // render the key with the same %g formatting or the state join
+      // silently misses
+      "g1[$s][$x / 2.0] = $x",
+      "hid1[$s][$x / 2.0] = $x",
+      "g1[$s][$x / 2.0] = hid1[$s][$x / 2.0] + 1",
+      "del c1[$s]", // cross-batch delete of a keyed cell
+      // inc+del / set+inc+del folds on a READ metric (round 13 lifted
+      // the rejection): a del barriers the carried total — later
+      // increments restart from a fresh datum; a del with no later
+      // write DELETES the carried cell
+      "hidc1[$s]++",
+      "hidc1[$s] = $x",
+      "del hidc1[$s]",
+      "g1[$s][$x] = hidc1[$s] + 1",
+      "g0 = hidc1[\"alpha\"]",
+      // read of the EXPORTED counter, which the pool freely writes
+      // with ++/+=/=/del — the full mixed fold across batch cuts
+      "g0 = c1[\"beta\"]",
+      // `+=`-built text reads (concat as-of fold) and keyed text
+      // set/del mixing — mixedTextFrame's per-cell was_set must make
+      // the store merge replace-after-set and append otherwise
+      "g0 = len(t0)",
+      "t1[$s] += $s",
+      "t1[$s] = tolower($s)",
+      "del t1[$s]",
+      "g0 = len(t1[$s])",
+      // self-conditioned write: the write's own cond reads the metric
+      // being written (the mysql `partial == 1 { partial = 0 }` reset
+      // idiom) — resolved by the round-16 exact sequential automaton
+      // (SeqCycleEval), which must seed across batch boundaries
+      // exactly like the VM checkpointing its store
+      "hid0 = 1",
+      "hid0 == 1 {\nhid0 = 0\nc0++\n}",
+      // NON-absorbing self-reference: saturating counters whose cond
+      // reads their own full firing history — keyless and keyed; the
+      // one-level-unroll provisional deviated from the VM here, the
+      // sequential bottom must not, under any batch cut
+      "hidc < 3 { hidc++ }",
+      "hidc1[$s] < 2 { hidc1[$s]++ }",
+      // STATE-DEPENDENT key on a cyclic metric: the key expression
+      // itself reads cycle state — exact since the collected-map
+      // seeding (the per-key seed join could not express this shape)
+      "hidc1[string(hidc % 2)] < 2 { hidc1[string(hidc % 2)]++ }",
+      // keyed absorbing arm/reset across DIFFERENT patterns (the
+      // per-session partial idiom) — crashed at plan build pre-r16
+      "hid1[$s][\"7\"] = 1",
+      "hid1[$s][\"7\"] == 1 {\nhid1[$s][\"7\"] = 0\nc0++\n}",
+      // conds reading metrics through every fold family: a keyless
+      // counter (sum mode), a KEYED hidden gauge (per-key window /
+      // as-of), and a threshold read guarding a keyed write — the
+      // deferred __mrd binding must give each the same full-site
+      // resolution in one-shot and across any batch split
+      "hidc > 2 { c0++ }",
+      "hid1[$s][$x] == $x { c0++ }",
+      "hidc % 2 == 0 { g1[$s][$x] = hidc }",
+      // timestamp machinery: line numbers are MONOTONE (genLines), so
+      // the store's max-ts merge agrees with one-shot last-write and
+      // the settime exclusion in the scaladoc doesn't apply
+      "settime($x)\nc0++",
+      "stop")
+    pool(rnd.nextInt(pool.length))
+  }
+
+  def block(rnd: Random, depth: Int): String = {
+    val p = patterns(rnd.nextInt(patterns.length))
+    val n = 1 + rnd.nextInt(3)
+    val body = Seq.fill(n)(stmt(rnd, depth - 1)).mkString("\n")
+    rnd.nextInt(4) match {
+      case 0 => // expression sub-cond with optional otherwise
+        val c = Seq("$x > 3", "$x % 2 == 0", "$s =~ /a/",
+          "len($s) > 3 && $x < 50")(rnd.nextInt(4))
+        val o = if (rnd.nextBoolean()) "\notherwise {\nc0++\n}" else ""
+        s"/$p/ {\n$c {\n$body\n}$o\n}"
+      case 1 => // else branch (capref-free there)
+        s"/$p/ {\n$body\n} else {\nc0++\n}"
+      case 2 => // cross-batch del under a dedicated trigger line
+        // (keyed: keyless `del` is a compile error, checker.go:865-874)
+        "/^reset$/ {\ndel c1[\"alpha\"]\ndel g1[\"beta\"][\"7\"]\n}"
+      case _ => s"/$p/ {\n$body\n}"
+    }
+  }
+
+  def stmt(rnd: Random, depth: Int): String =
+    if (depth <= 0) leaf(rnd) else block(rnd, depth)
+
+  def genProgram(rnd: Random): String = {
+    val body = Seq.fill(1 + rnd.nextInt(4))(block(rnd, 2))
+      .mkString("\n")
+    // declare only the metrics the generated body references — an
+    // unused declaration is a compile error (checker.go:249-266), and
+    // a skipped-as-invalid program would silently shrink the fuzz
+    val usedDecls = decls.linesIterator.filter { d =>
+      val name = d.trim.split("\\s+|,").collectFirst {
+        case w if w.matches("[a-z_][a-z0-9_]*") &&
+          !Set("counter", "gauge", "timer", "text", "histogram",
+            "hidden").contains(w) => w
+      }.get
+      ("\\b" + name + "\\b").r.findFirstIn(body).isDefined
+    }.mkString("", "\n", "\n")
+    usedDecls + body + "\n"
+  }
+
+  def genLines(rnd: Random): Seq[String] = {
+    val words = Seq("alpha", "beta", "gamma", "ab", "a", "bc", "abc")
+    // numeric values are MONOTONE along the line sequence so that
+    // settime stamps never move backwards across a batch boundary
+    // (where the store's max-ts merge and one-shot's last-write-wins
+    // would legitimately differ — see the scaladoc exclusions)
+    var v = 0
+    def num(): Int = { v += 1 + rnd.nextInt(5); v }
+    Seq.fill(20 + rnd.nextInt(30))(rnd.nextInt(5) match {
+      case 0 => s"${num()} ${words(rnd.nextInt(words.length))}"
+      case 1 => s"val=${num()} tag=${words(rnd.nextInt(words.length))}"
+      case 2 => s"${words(rnd.nextInt(words.length))}: ${num()}"
+      case 3 => "reset"
+      case _ => "no match here !!"
+    })
+  }
+}
