@@ -310,6 +310,7 @@ object Main {
   /** one line per flag — printed for -help. */
   def usage: String =
     """Usage: graft.Main -progs <path> -logs <pattern>[,...] [flags]
+      |       graft.Main fmt [-write] [-prog] <file>...   format programs (mfmt)
       |  -progs path                 directory of *.mtail programs (or one file)
       |  -logs pattern               log glob / socket URL; repeatable or comma-separated
       |  -port n                     HTTP pull port (default 3903)
