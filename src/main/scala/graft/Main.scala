@@ -311,6 +311,7 @@ object Main {
   def usage: String =
     """Usage: graft.Main -progs <path> -logs <pattern>[,...] [flags]
       |       graft.Main fmt [-write] [-prog] <file>...   format programs (mfmt)
+      |       graft.Main dot [-http_port n] [-prog] <file> AST -> graphviz (mdot)
       |  -progs path                 directory of *.mtail programs (or one file)
       |  -logs pattern               log glob / socket URL; repeatable or comma-separated
       |  -port n                     HTTP pull port (default 3903)
@@ -604,8 +605,83 @@ object Main {
     }
   }
 
+  /** `graft dot` — the reference's mdot (cmd/mdot/main.go:1-206):
+    * parse + check, emit the AST as a graphviz digraph. Stdout by
+    * default; `-http_port n` serves it instead — through the system
+    * `dot -Tsvg` when graphviz is installed (the reference's
+    * behavior), falling back to the raw DOT text
+    * (text/vnd.graphviz) when it is not, so the endpoint works in
+    * containers without graphviz.
+    */
+  private[graft] def dotRun(args: Seq[String],
+      out: String => Unit = print): Int = {
+    var prog: Option[String] = None
+    var httpPort: Option[Int] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-prog" | "--prog" if i + 1 < args.length =>
+          prog = Some(args(i + 1)); i += 1
+        case "-http_port" | "--http_port" if i + 1 < args.length =>
+          httpPort = args(i + 1).toIntOption; i += 1
+        case f if !f.startsWith("-") && prog.isEmpty => prog = Some(f)
+        case other =>
+          System.err.println(s"graft dot: unknown flag $other")
+          return 2
+      }
+      i += 1
+    }
+    prog match {
+      case None =>
+        System.err.println("graft dot: no -prog given"); 2
+      case Some(f) =>
+        val dotText =
+          try {
+            val p = Paths.get(f)
+            val src = new String(Files.readAllBytes(p),
+              StandardCharsets.UTF_8)
+            mtail.Dot.dot(Frontend.parse(src, p.getFileName.toString))
+          } catch { case e: Exception =>
+            System.err.println(s"graft dot: $f: ${e.getMessage}")
+            return 1
+          }
+        httpPort match {
+          case None => out(dotText); 0
+          case Some(port) =>
+            val server = com.sun.net.httpserver.HttpServer.create(
+              new java.net.InetSocketAddress(port), 0)
+            server.createContext("/", exchange => {
+              val (body, ctype) =
+                try { // reference behavior when graphviz is present
+                  val pr = new ProcessBuilder("dot", "-Tsvg").start()
+                  pr.getOutputStream.write(
+                    dotText.getBytes(StandardCharsets.UTF_8))
+                  pr.getOutputStream.close()
+                  val svg = pr.getInputStream.readAllBytes()
+                  if (pr.waitFor() == 0 && svg.nonEmpty)
+                    (svg, "image/svg+xml")
+                  else (dotText.getBytes(StandardCharsets.UTF_8),
+                    "text/vnd.graphviz")
+                } catch { case _: Exception =>
+                  (dotText.getBytes(StandardCharsets.UTF_8),
+                    "text/vnd.graphviz")
+                }
+              exchange.getResponseHeaders.add("Content-Type", ctype)
+              exchange.sendResponseHeaders(200, body.length.toLong)
+              exchange.getResponseBody.write(body)
+              exchange.close()
+            })
+            server.start()
+            System.err.println(s"graft dot: serving on :$port")
+            Thread.currentThread().join() // until killed, like mdot
+            0
+        }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("fmt")) sys.exit(fmtRun(args.toSeq.tail))
+    if (args.headOption.contains("dot")) sys.exit(dotRun(args.toSeq.tail))
     parseArgs(args.toSeq) match {
       case Left(err) =>
         System.err.println(err)
