@@ -117,6 +117,7 @@ object Graft {
       () => runner.exportKeys, port,
       internal = Some(runner.internalStore),
       dump = () => irDump(runner.currentProgram),
+      dot = () => mtail.Dot.dot(runner.currentProgram),
       emitTimestamp = emitMetricTimestamp,
       omitProgLabel = !emitProgLabel)
     val boundPort = server.start()
@@ -207,7 +208,8 @@ object Graft {
       () => sorted.map { case (n, r) =>
         ExportServer.Source(n, r.store, r.exportKeys,
           dump = () => irDump(r.currentProgram),
-          error = () => reloader.programErrors.get(n).flatten) },
+          error = () => reloader.programErrors.get(n).flatten,
+          dot = () => mtail.Dot.dot(r.currentProgram)) },
       port,
       internals = () => sorted.map { case (n, r) =>
         n -> r.internalStore },

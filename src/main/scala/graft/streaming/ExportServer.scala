@@ -163,11 +163,16 @@ final class ExportServer private (
     val progQ = rawQuery.split("&").collectFirst {
       case kv if kv.startsWith("prog=") =>
         java.net.URLDecoder.decode(kv.drop(5), "UTF-8") }
+    val wantDot = rawQuery.split("&").contains("format=dot")
     val ss = sources()
     progQ match {
       case Some(name) =>
         ss.find(_.program == name) match {
           case None => (404, "text/plain", "No program found\n")
+          case Some(s) if wantDot =>
+            val g = s.dot()
+            if (g.isEmpty) (404, "text/plain", "No dot form\n")
+            else (200, "text/vnd.graphviz", g)
           case Some(s) => (200, "text/plain", s.dump() +
             s"\nLast load error:\n${s.error().getOrElse("")}\n")
         }
@@ -349,7 +354,12 @@ object ExportServer {
   final case class Source(program: String, store: MetricsStore,
       keys: Map[String, Seq[String]],
       dump: () => String = () => "",
-      error: () => Option[String] = () => None)
+      error: () => Option[String] = () => None,
+      /** `?prog=X&format=dot`: the AST as graphviz (the daemon-side
+        * face of `graft dot` — the reference serves the same graph
+        * from mdot's embedded HTTP mode). Empty = arm disabled.
+        */
+      dot: () => String = () => "")
 
   /** The single-program server `Graft.tail` uses. */
   def single(store: MetricsStore, program: String,
@@ -367,6 +377,8 @@ object ExportServer {
       /** /progz hooks: compiled-form dump + last load error. */
       dump: () => String = () => "",
       error: () => Option[String] = () => None,
+      /** /progz?format=dot hook (see [[Source.dot]]). */
+      dot: () => String = () => "",
       /** `-emit_prog_label=false`: drop `prog` from /metrics, /varz. */
       omitProgLabel: Boolean = false,
       /** `-address`: bind host/IP; empty = all interfaces. */
@@ -374,7 +386,7 @@ object ExportServer {
       debugEndpoints: Boolean = true,
       infoEndpoints: Boolean = true): ExportServer =
     new ExportServer(
-      () => Seq(Source(program, store, keys(), dump, error)),
+      () => Seq(Source(program, store, keys(), dump, error, dot)),
       port, hostname, () => internal.toSeq.map(program -> _),
       internalProgLabel = false, emitTimestamp = emitTimestamp,
       omitProgLabel = omitProgLabel, bindAddress = bindAddress,

@@ -127,6 +127,11 @@ class TailProgsSpec extends SparkSpec {
           val dump = get(t.port, "/progz?prog=gets.mtail")
           assert(dump.contains("program gets.mtail") &&
             dump.contains("gets"), dump)
+          // &format=dot serves the live program's AST as graphviz
+          // (the daemon-side face of `graft dot`)
+          val dotg = get(t.port, "/progz?prog=gets.mtail&format=dot")
+          assert(dotg.startsWith("digraph \"gets.mtail\" {") &&
+            dotg.contains("VarDecl"), dotg.take(120))
           write(progs, "all.mtail", badProg)
           val d3 = System.currentTimeMillis() + 10000
           while (!get(t.port, "/progz").contains("load error")
