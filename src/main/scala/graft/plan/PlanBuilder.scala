@@ -1712,17 +1712,32 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         // `text += e` is ADD_ASSIGN = `m = m + e` (codegen.go:359-363)
         // → an ordered running concatenation, not a numeric sum
         val op = if (metricType(m) == StringType) OpConcat else OpInc
+        // the statement's OWN write must be gated on its own abort
+        // condition, not just later statements': the VM's errorf
+        // fires during expression evaluation, BEFORE the store opcode
+        // runs, so the aborting statement never updates its datum.
+        // Pre-r17 only stopGuard (later statements) was gated and the
+        // leak hid behind last-write-wins whenever a later line
+        // overwrote the cell (found by the extended-pool VM
+        // differential, seed 20001: `1 << -1` leaked the
+        // masked-count shift value under a nested cond).
+        val incNull = typedCaprefNullCond(
+          keys.foldLeft(delta)((a, k) => Binop("+", a, k)), frames)
+        val incOwn = incNull.map(nc =>
+          !coalesce(nc, lit(false))).getOrElse(lit(true))
         sites += Site(nextSeq(), program.decl(m), op,
-          cond && stopGuard, keys, Some(delta), frames, timeReg, None,
-          condReads ++ stopGuardReads)
-        abortOn(cond, typedCaprefNullCond(
-          keys.foldLeft(delta)((a, k) => Binop("+", a, k)), frames))
+          cond && stopGuard && incOwn, keys, Some(delta), frames,
+          timeReg, None, condReads ++ stopGuardReads)
+        abortOn(cond, incNull)
       case SetStmt(m, keys, v) =>
+        val setNull = typedCaprefNullCond(
+          keys.foldLeft(v)((a, k) => Binop("+", a, k)), frames)
+        val setOwn = setNull.map(nc =>
+          !coalesce(nc, lit(false))).getOrElse(lit(true))
         sites += Site(nextSeq(), program.decl(m), OpSet,
-          cond && stopGuard, keys, Some(v), frames, timeReg, None,
-          condReads ++ stopGuardReads)
-        abortOn(cond, typedCaprefNullCond(
-          keys.foldLeft(v)((a, k) => Binop("+", a, k)), frames))
+          cond && stopGuard && setOwn, keys, Some(v), frames, timeReg,
+          None, condReads ++ stopGuardReads)
+        abortOn(cond, setNull)
       case DelStmt(m, keys, after) =>
         sites += Site(nextSeq(), program.decl(m), OpDel,
           cond && stopGuard, keys, None, frames, timeReg, after,

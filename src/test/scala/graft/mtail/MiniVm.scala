@@ -402,6 +402,38 @@ object MiniVm {
               if (b == 0) throw new AbortLine else VI(a / b)
             case (a, b) => VF(asF(a) / asF(b))
           }
+        case Binop("**", l, r) =>
+          val lv = eval(l, line, frames)
+          val rv = eval(r, line, frames)
+          (lv, rv) match {
+            case (VI(a), VI(b)) =>
+              // integer pow by repeated multiply (the VM's ipow)
+              if (b < 0) throw new AbortLine
+              var acc = 1L; var base = a; var e = b
+              while (e > 0) {
+                if ((e & 1) == 1) acc *= base
+                base *= base; e >>= 1
+              }
+              VI(acc)
+            case (a, b) => VF(math.pow(asF(a), asF(b)))
+          }
+        case Binop(op @ ("<<" | ">>"), l, r) =>
+          val a = asI(eval(l, line, frames))
+          val b = asI(eval(r, line, frames))
+          // Go shift semantics (vm.go:700-711): negative count =
+          // "shift int out of range" → line abort; counts ≥ 64 fill
+          // (<< → 0; >> → sign bit), never mask mod 64
+          if (b < 0) throw new AbortLine
+          VI(op match {
+            case "<<" => if (b >= 64) 0L else a << b
+            case _ => if (b >= 64) (if (a < 0) -1L else 0L) else a >> b
+          })
+        case Binop("&", l, r) =>
+          VI(asI(eval(l, line, frames)) & asI(eval(r, line, frames)))
+        case Binop("|", l, r) =>
+          VI(asI(eval(l, line, frames)) | asI(eval(r, line, frames)))
+        case Binop("^", l, r) =>
+          VI(asI(eval(l, line, frames)) ^ asI(eval(r, line, frames)))
         case Binop("%", l, r) =>
           val lv = eval(l, line, frames)
           val rv = eval(r, line, frames)
@@ -428,6 +460,22 @@ object MiniVm {
           time = Some(asI(eval(a, line, frames)))
           VI(0)
         case Call("timestamp", Seq()) => VI(time.getOrElse(0L))
+        case Call("subst", Seq(pat, repl, subj)) =>
+          val rs = asStr(eval(repl, line, frames))
+          val ss = asStr(eval(subj, line, frames))
+          pat match {
+            // regex form replaces every match with the LITERAL
+            // replacement (vm.go's subst uses ReplaceAllLiteralString)
+            case PatternLit(re2) => VS(re(re2)._2.matcher(ss)
+              .replaceAll(java.util.regex.Matcher.quoteReplacement(rs)))
+            case other =>
+              VS(ss.replace(asStr(eval(other, line, frames)), rs))
+          }
+        case Call("strtol", Seq(a, b)) =>
+          val s = asStr(eval(a, line, frames))
+          val base = asI(eval(b, line, frames)).toInt
+          try VI(java.lang.Long.parseLong(s, base))
+          catch { case _: NumberFormatException => throw new AbortLine }
         case Call(fn, _) =>
           throw new UnsupportedOperationException(s"builtin $fn")
       }

@@ -158,6 +158,36 @@ class VmSemanticsSpec extends SparkSpec {
     assert(aborted(("d", Map.empty)) == VInt(3))     // 3 << -0 == 3
   }
 
+  test("the ABORTING statement's own write never lands — even as " +
+      "the last write of the batch (r17 extended-pool fuzz find)") {
+    // same program, lines REVERSED: the aborting line comes last, so
+    // last-write-wins can no longer mask a leaked store — the VM's
+    // errorf fires during evaluation, before the store opcode
+    // (vm.go:700-711 then the Iset never runs). Pre-r17 the engine
+    // leaked the masked-count Java shift value (1 << -1 → Long.MIN
+    // via count & 63) into the cell.
+    val cells = run(
+      """counter total
+        |gauge d
+        |/^(?P<x>\d+) (?P<y>\d+)$/ {
+        |  d = $x << (0 - $y)
+        |  total++
+        |}
+        |""".stripMargin, Seq("3 0", "6 1"))
+    assert(cells(("total", Map.empty)) == VInt(1))
+    assert(cells(("d", Map.empty)) == VInt(3),
+      "the aborted line's own write leaked into the store")
+    // conversion-failure flavor of the same contract: int($s) on the
+    // LAST line errors; g must keep the earlier line's value
+    val conv = run(
+      """gauge g
+        |/^(?P<s>\S+)$/ {
+        |  g = int($s)
+        |}
+        |""".stripMargin, Seq("34", "12x"))
+    assert(conv(("g", Map.empty)) == VInt(34))
+  }
+
   test("int()/float()/strtol() parse failures are runtime errors: " +
       "line aborts like S2i/S2f (vm.go:97-129)") {
     val cells = run(

@@ -137,10 +137,57 @@ object FuzzPool {
     pool(rnd.nextInt(pool.length))
   }
 
-  def block(rnd: Random, depth: Int): String = {
+  /** Extended leaf set (round 17): the scalar-builtin surface the
+    * primary pool leaves out — pow, Go-semantics shifts (counts ≥ 64
+    * fill, NEGATIVE counts abort the line mid-statement), bitwise
+    * ops, subst (literal + regex), strtol (base-36 words always
+    * parse, base-8 words often abort), settime→timestamp — mixed
+    * with enough state ops that aborts interact with folds. Runs in
+    * its OWN seed space (VmDifferentialSpec/StreamEquivalenceSpec
+    * extended-pool tests): appending to the primary `leaf` list
+    * would shift every established seed→program mapping, including
+    * ApproxShapeSpec's nine pinned tangles.
+    */
+  def leafExt(rnd: Random): String = {
+    val pool = Seq(
+      "c0++",
+      "c1[$s] += $x % 7",
+      "hid0 = $x",
+      "g1[$s][$x] = hid0 + 1",
+      "del c1[$s]",
+      "hidc < 3 { hidc++ }",
+      "g0 = $x ** 2",
+      "g0 = $x ** 3",
+      // Go shift semantics: counts 0..69 — ≥64 must fill, not wrap
+      // the count mod 64 like a bare Java shift
+      "g0 = $x << ($x % 70)",
+      "g0 = $x >> ($x % 70)",
+      "g0 = (0 - $x) >> ($x % 70)",
+      // NEGATIVE count = "shift int out of range": the line aborts
+      // MID-STATEMENT — the c0++ before it persists (VM semantics),
+      // the write after it never runs
+      "c0++\ng0 = $x << (0 - ($x % 3))\nc1[$s]++",
+      "g0 = $x & 5",
+      "g0 = $x | 9",
+      "g0 = $x ^ 3",
+      "t0 = subst(\"a\", \"X\", $s)",
+      "t1[$s] = subst(/[0-9]+/, \"#\", $s + string($x))",
+      // [a-z]+ words are always valid base-36; base-8 digits often
+      // aren't — the abort leg of S2i (vm.go:97-129)
+      "g0 = strtol($s, 36)",
+      "c0++\ng0 = strtol($s, 8)",
+      "g0 = strtol(string($x), 10)",
+      "settime($x)\ng0 = timestamp()",
+      "h0 = $x % 17",
+      "stop")
+    pool(rnd.nextInt(pool.length))
+  }
+
+  def block(rnd: Random, depth: Int,
+      leafFn: Random => String = leaf): String = {
     val p = patterns(rnd.nextInt(patterns.length))
     val n = 1 + rnd.nextInt(3)
-    val body = Seq.fill(n)(stmt(rnd, depth - 1)).mkString("\n")
+    val body = Seq.fill(n)(stmt(rnd, depth - 1, leafFn)).mkString("\n")
     rnd.nextInt(4) match {
       case 0 => // expression sub-cond with optional otherwise
         val c = Seq("$x > 3", "$x % 2 == 0", "$s =~ /a/",
@@ -156,11 +203,13 @@ object FuzzPool {
     }
   }
 
-  def stmt(rnd: Random, depth: Int): String =
-    if (depth <= 0) leaf(rnd) else block(rnd, depth)
+  def stmt(rnd: Random, depth: Int,
+      leafFn: Random => String = leaf): String =
+    if (depth <= 0) leafFn(rnd) else block(rnd, depth, leafFn)
 
-  def genProgram(rnd: Random): String = {
-    val body = Seq.fill(1 + rnd.nextInt(4))(block(rnd, 2))
+  def genProgram(rnd: Random,
+      leafFn: Random => String = leaf): String = {
+    val body = Seq.fill(1 + rnd.nextInt(4))(block(rnd, 2, leafFn))
       .mkString("\n")
     // declare only the metrics the generated body references — an
     // unused declaration is a compile error (checker.go:249-266), and

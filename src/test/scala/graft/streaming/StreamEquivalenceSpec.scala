@@ -73,6 +73,27 @@ class StreamEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("EXTENDED pool over any batch split equals the one-shot run " +
+      "(pow/shifts/bitwise/subst/strtol, mid-line aborts)") {
+    val iters = sys.env.getOrElse("SPARK_GRAFT_FUZZ_EXT_ITERS", "25")
+      .toInt
+    val base = 20000 // leafExt's own seed space (see FuzzPool.leafExt)
+    (1 to iters).foreach { i =>
+      if (i % 50 == 0)
+        System.err.println(s"[fuzz-ext] iteration $i/$iters")
+      val rnd = new Random(base + i)
+      val src = FuzzPool.genProgram(rnd, FuzzPool.leafExt)
+      try runOne(i, rnd, src)
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(
+          s"ext iteration $i crashed: ${e.getMessage}\n--- program:\n$src",
+          e)
+      }
+    }
+  }
+
   private def runOne(i: Int, rnd: Random, src: String): Unit = {
       val prog = Frontend.parse(src, "eq.mtail")
       val lines = FuzzPool.genLines(rnd)

@@ -94,4 +94,38 @@ class VmDifferentialSpec extends SparkSpec {
       (if (notedExactSeeds.nonEmpty)
         s" (seeds ${notedExactSeeds.sorted.mkString(",")})" else ""))
   }
+
+  test("EXTENDED pool (pow/shifts/bitwise/subst/strtol/timestamp, " +
+      "mid-line aborts) matches the interpreter exactly") {
+    val iters = sys.env.getOrElse("SPARK_GRAFT_VMDIFF_EXT_ITERS", "25")
+      .toInt
+    val base = 20000 // own seed space: the primary pool's pinned
+    // seed→program mappings stay untouched
+    (1 to iters).foreach { i =>
+      if (i % 50 == 0)
+        System.err.println(s"[vmdiff-ext] iteration $i/$iters")
+      val rnd = new Random(base + i)
+      val src = FuzzPool.genProgram(rnd, FuzzPool.leafExt)
+      try {
+        val prog = Frontend.parse(src, "vmdiffext.mtail")
+        val lines = FuzzPool.genLines(rnd)
+        val pb = new PlanBuilder(prog,
+          LogLines.fromLines(lines.toDF("line"), "line"), 2020)
+        val engine = norm(Snapshot.collect(pb.snapshot()))
+        val vm = norm(graft.mtail.MiniVm.run(prog, lines))
+        if (engine != vm && pb.approxNotes.isEmpty) fail(
+          s"""ext iteration $i (seed ${base + i}) SILENTLY diverged from the VM
+             |engine only: ${(engine.toSet -- vm.toSet).toSeq.sortBy(_._1.toString).take(6)}
+             |vm only: ${(vm.toSet -- engine.toSet).toSeq.sortBy(_._1.toString).take(6)}
+             |--- program:
+             |$src""".stripMargin)
+      } catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(
+          s"ext iteration $i crashed: ${e.getMessage}\n--- program:\n$src",
+          e)
+      }
+    }
+  }
 }
