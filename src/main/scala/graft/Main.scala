@@ -623,7 +623,13 @@ object Main {
         case "-prog" | "--prog" if i + 1 < args.length =>
           prog = Some(args(i + 1)); i += 1
         case "-http_port" | "--http_port" if i + 1 < args.length =>
-          httpPort = args(i + 1).toIntOption; i += 1
+          httpPort = args(i + 1).toIntOption
+          if (httpPort.isEmpty) {
+            System.err.println(
+              s"graft dot: -http_port: not a number: ${args(i + 1)}")
+            return 2
+          }
+          i += 1
         case f if !f.startsWith("-") && prog.isEmpty => prog = Some(f)
         case other =>
           System.err.println(s"graft dot: unknown flag $other")

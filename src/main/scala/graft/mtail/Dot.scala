@@ -79,11 +79,18 @@ object Dot {
           elseBody.foreach(walkStmt(_, e))
         }
       case IncStmt(m, keys, delta, addAssign) =>
-        val label = if (addAssign) "BinaryExpr\n+=" else "UnaryExpr\n++"
+        // `c--` is IncStmt(delta = -1, !addAssign): label it -- and
+        // suppress the synthetic delta child, mirroring Fmt
+        val isDec = !addAssign && delta == IntLit(-1)
+        val label =
+          if (addAssign) "BinaryExpr\n+="
+          else if (isDec) "UnaryExpr\n--"
+          else "UnaryExpr\n++"
         val i = exprNode(label, parent)
         lvalue(m, keys, i)
         delta match {
           case IntLit(1) if !addAssign => ()
+          case IntLit(-1) if !addAssign => ()
           case d => walkExpr(d, i)
         }
       case SetStmt(m, keys, value) =>

@@ -148,11 +148,10 @@ object Fmt {
     case "&" => 8
     case "<<" | ">>" => 9
     case "+" | "-" => 10
-    case "*" | "/" | "%" => 11
-    case "**" => 12
+    case "*" | "/" | "%" | "**" => 11 // POW is a mul_op (parser.y:379)
     case _ => 1
   }
-  private val UnaryPrec = 13
+  private val UnaryPrec = 12
 
   /** render `e`; wrap in parens when its precedence is below `min`. */
   private def expr(e: Expr, min: Int): String = e match {

@@ -632,8 +632,9 @@ object Frontend {
     }
 
     // expression precedence (parser.y): = += -= (right) < || < && <
-    // =~ !~ < == != < < <= > >= < | ^ < & < << >> < + - < * / % <
-    // ** < unary < postfix
+    // =~ !~ < == != < < <= > >= < | ^ < & < << >> < + - <
+    // * / % ** (POW is a mul_op, parser.y:372-380 — left-assoc, SAME
+    // tier as *: `2 * 3 ** 2` is `(2*3)**2`) < unary < postfix
     private def parseExpr(): Expr = parseAssign()
 
     private def parseAssign(): Expr = {
@@ -675,12 +676,7 @@ object Frontend {
     private def parseAdd(): Expr =
       binLevel(() => parseMul(), Set("+", "-"))
     private def parseMul(): Expr =
-      binLevel(() => parsePow(), Set("*", "/", "%"))
-    private def parsePow(): Expr = {
-      val l = parseUnary()
-      if (at("**")) { advance(); skipNLs(); Binop("**", l, parsePow()) }
-      else l
-    }
+      binLevel(() => parseUnary(), Set("*", "/", "%", "**"))
 
     private def parseUnary(): Expr = cur match {
       case TPunct("!", _) => advance(); Unop("!", parseUnary())

@@ -822,7 +822,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
                 !sp.writes.forall(_.keys.isEmpty)
             }
             .groupBy { case (_, sp, src) =>
-              (System.identityHashCode(src),
+              // stable base identity: the snapshot's position (−1 for
+              // curDf) — identityHashCode could collide across two
+              // distinct snapshots and merge legs onto the wrong base
+              (snaps.indexWhere(_ eq src),
                 PlanBuilder.joinKeys(sp.probeKeys).toString,
                 sp.vt.sql)
             }

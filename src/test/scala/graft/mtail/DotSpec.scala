@@ -83,5 +83,17 @@ class DotSpec extends AnyFunSuite {
     java.nio.file.Files.write(bad, "counter c\n/x/ { nope++ }\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(graft.Main.dotRun(Seq(bad.toString), _ => ()) == 1)
+    // a non-numeric -http_port is a usage error, not silent stdout
+    assert(graft.Main.dotRun(
+      Seq("-http_port", "abc", f.toString), _ => ()) == 2)
+  }
+
+  test("c-- renders as UnaryExpr\\n-- with no synthetic delta child") {
+    val src = "gauge c\n/x/ {\n  c--\n  c++\n}\n"
+    val text = Dot.dot(Frontend.parse(src, "dec"))
+    assert(text.contains("UnaryExpr\\n--"), text)
+    assert(text.contains("UnaryExpr\\n++"), text)
+    // the -1 delta is plumbing, not surface syntax — no IntLit -1
+    assert(!text.contains("IntLit\\n-1"), text)
   }
 }

@@ -95,6 +95,34 @@ class FmtSpec extends AnyFunSuite {
     assert(norm(Frontend.parse(out, "parens")) == norm(p1))
   }
 
+  test("POW is a mul_op (parser.y:379): left-assoc, same tier as *, " +
+      "and fmt round-trips pow chains reparse-exact") {
+    val src =
+      """gauge g
+        |/(?P<x>\d+)/ {
+        |  g = ($x ** 2) ** 3
+        |  g = $x ** ($x ** 3)
+        |  g = $x * $x ** 2
+        |}
+        |""".stripMargin
+    val p1 = Frontend.parse(src, "pow")
+    // left-assoc: `($x ** 2) ** 3` is the natural nesting — no parens
+    val out = Fmt.format(p1)
+    assert(out.contains("g = $x ** 2 ** 3"), out)
+    // right-nesting needs parens to survive
+    assert(out.contains("$x ** ($x ** 3)"), out)
+    // same tier as *: a pow right child of * must keep its parens off
+    // (left-assoc chain `$x * $x ** 2` ≡ `($x * $x) ** 2`)
+    assert(out.contains("g = $x * $x ** 2"), out)
+    assert(norm(Frontend.parse(out, "pow")) == norm(p1))
+    // and the shapes really differ
+    val body = p1.stmts.head.asInstanceOf[CondBlock].body
+    assert(body(0).asInstanceOf[SetStmt].value ==
+      Binop("**", Binop("**", Capref("x"), IntLit(2)), IntLit(3)))
+    assert(body(2).asInstanceOf[SetStmt].value ==
+      Binop("**", Binop("*", Capref("x"), Capref("x")), IntLit(2)))
+  }
+
   test("del after prints canonical seconds and round-trips") {
     val src =
       """counter c by a

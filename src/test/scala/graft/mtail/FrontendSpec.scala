@@ -150,6 +150,11 @@ class FrontendSpec extends AnyFunSuite {
     assert(body("g = 3.0 % 2") == Seq(SetStmt("g", Nil, FloatLit(1))))
     // nested ops fold in one pass: 2 ** 4 - 1
     assert(body("g = 2 ** 4 - 1") == Seq(SetStmt("g", Nil, IntLit(15))))
+    // POW is a mul_op (parser.y:372-380): LEFT-assoc, same tier as *
+    assert(body("g = 2 ** 3 ** 2") == Seq(SetStmt("g", Nil, IntLit(64))))
+    assert(body("g = 2 * 3 ** 2") == Seq(SetStmt("g", Nil, IntLit(36))))
+    assert(body("g = 2 ** (3 ** 2)") ==
+      Seq(SetStmt("g", Nil, IntLit(512))))
     // Go truncating semantics survive the fold
     assert(body("g = (0 - 7) / 3") ==
       Seq(SetStmt("g", Nil, IntLit(-2))))
