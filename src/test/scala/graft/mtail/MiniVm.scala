@@ -62,10 +62,11 @@ object MiniVm {
   private final case class Frame(parsed: Re2.Parsed,
       groups: Map[Int, String])
 
-  def run(program: Program, lines: Seq[String]): Seq[Snapshot.Cell] =
-    new Run(program).exec(lines)
+  def run(program: Program, lines: Seq[String],
+      filename: String = ""): Seq[Snapshot.Cell] =
+    new Run(program, filename).exec(lines)
 
-  private final class Run(program: Program) {
+  private final class Run(program: Program, filename: String) {
     // cell state: metric → label tuple → datum
     private val state =
       mutable.Map[String, mutable.LinkedHashMap[Seq[String], Datum]]()
@@ -244,10 +245,15 @@ object MiniVm {
           }
           dat.ts = time
         case DelStmt(m, keys, after) =>
-          if (after.nonEmpty) throw new UnsupportedOperationException(
-            "del … after")
-          val labels = keys.map(k => labelStr(k, line, frames))
-          cells(m).remove(labels)
+          // `del … after d` is a TTL hint consumed by the daemon's
+          // hourly Gc ticker (store.go:156-176); a one-shot run ends
+          // before any tick, so the statement is a no-op here — same
+          // as the engine's one-shot plan (afterSeconds sites are
+          // excluded from every fold)
+          if (after.isEmpty) {
+            val labels = keys.map(k => labelStr(k, line, frames))
+            cells(m).remove(labels)
+          }
         case ExprStmt(e) =>
           val _ = eval(e, line, frames)
         case StopStmt => throw new StopLine
@@ -460,6 +466,7 @@ object MiniVm {
           time = Some(asI(eval(a, line, frames)))
           VI(0)
         case Call("timestamp", Seq()) => VI(time.getOrElse(0L))
+        case Call("getfilename", Seq()) => VS(filename)
         case Call("subst", Seq(pat, repl, subj)) =>
           val rs = asStr(eval(repl, line, frames))
           val ss = asStr(eval(subj, line, frames))
@@ -492,7 +499,19 @@ object MiniVm {
       program.decls.filterNot(_.hidden).flatMap { decl =>
         val kind = kindName(decl.kind)
         val m = cells(decl.name)
-        val rows = m.toSeq.map { case (labels, dat) =>
+        // `limit N`: the Gc pass drops all but the N newest cells by
+        // datum timestamp (store.go:160-164, metric.go:184-198); with
+        // the fuzz pool's unique-per-line monotone stamps the final
+        // top-N equals the write-time eviction order. Ties are
+        // arbitrary in the reference's map iteration (and in the
+        // engine's TakeOrderedAndProject) — the pool never makes them.
+        val kept =
+          if (decl.limit > 0)
+            m.toSeq.sortBy { case (_, dat) =>
+              dat.ts.getOrElse(Long.MinValue)
+            }(Ordering.Long.reverse).take(decl.limit)
+          else m.toSeq
+        val rows = kept.map { case (labels, dat) =>
           val labelMap = decl.keys.zip(labels).toMap
           if (decl.kind == Histogram) {
             val b = dat.hist

@@ -183,6 +183,96 @@ object FuzzPool {
     pool(rnd.nextInt(pool.length))
   }
 
+  /** Round-18 leaf set: the constructs the VM-differential net could
+    * not previously see — `del … after` TTL hints (a one-shot no-op on
+    * both sides: the reference's Gc ticker never fires before exit,
+    * store.go:156-176), `getfilename()` (a constant column in batch
+    * mode — as a value, a label key, and a len() operand), mixed with
+    * enough fold-relevant state ops that the TTL hints interleave with
+    * real dels/reads. `limit N` and decorators are STRUCTURAL, not
+    * leaves — see [[genProgramR18]]. VM-diff only: in STREAMING mode
+    * TTL genuinely expires state by stream time, so one-shot ≢
+    * batch-split by design and the equivalence net must not see these
+    * shapes (same exclusion as settime non-monotonicity).
+    */
+  def leafR18(rnd: Random): String = {
+    val pool = Seq(
+      "c0++",
+      "c1[$s]++",
+      s"c1[$$s] += ${Seq("$x", "1", "$x % 7")(rnd.nextInt(3))}",
+      "g0 = $x",
+      "g1[$s][$x] = $x",
+      "del c1[$s]",
+      // TTL hint on an exported keyed counter the pool also really
+      // dels/increments — the hint must not barrier the fold
+      "del c1[$s] after 1h",
+      "c1[$s]++\ndel c1[$s] after 30s",
+      // TTL hint on a READ hidden metric: afterSeconds sites must be
+      // excluded from the as-of read fold, not treated as a del-barrier
+      "hidc1[$s]++",
+      "del hidc1[$s] after 2m",
+      "g1[$s][$x] = hidc1[$s] + 1",
+      "del hidc1[$s]",
+      // the mt_del_after_ttl idiom: write + hint on the same cell
+      "g1[$s][\"ttl\"] = $x\ndel g1[$s][\"ttl\"] after 24h",
+      // getfilename(): constant per batch — value, label key, operand
+      "t0 = getfilename()",
+      "c1[getfilename()]++",
+      "g0 = len(getfilename())",
+      "t0 += getfilename()",
+      "t1[getfilename()] = $s",
+      "g0 = hidc1[getfilename()]",
+      "settime($x)\nc0++",
+      "stop")
+    pool(rnd.nextInt(pool.length))
+  }
+
+  /** Round-18 structural generator: wraps [[leafR18]] bodies in the
+    * two remaining uncovered constructs — DECORATORS (`def`/`@`/`next`,
+    * inlined at parse time, so the IR the engine and MiniVm see is
+    * decorator-free but the splice itself gets fuzzed: capref scoping
+    * through the decorator's pattern, multi-statement decorated
+    * blocks) and a `limit 3` metric fed by a dedicated
+    * one-write-per-line block whose settime stamp is unique per line
+    * (distinct cells therefore carry distinct last-write timestamps —
+    * the ONLY shape where limit eviction is deterministic; equal
+    * stamps tie-break arbitrarily in reference and engine alike).
+    */
+  def genProgramR18(rnd: Random): String = {
+    val blocks = Seq.fill(1 + rnd.nextInt(3))(
+      block(rnd, 2, leafR18)).toVector
+    // wrap one block in a decorator half the time: the decorated
+    // block's caprefs must bind through the def-site pattern scope
+    val withDeco =
+      if (rnd.nextBoolean()) {
+        val i = rnd.nextInt(blocks.length)
+        val p = patterns(rnd.nextInt(patterns.length))
+        val inner = Seq.fill(1 + rnd.nextInt(2))(leafR18(rnd))
+          .mkString("\n")
+        val deco =
+          s"def d0 {\n/$p/ {\nnext\n}\n}\n@d0 {\n$inner\n}"
+        blocks.updated(i, deco)
+      } else blocks
+    // a `limit 3` metric, at most one write site per line → unique
+    // per-cell last-write stamps (see scaladoc)
+    val withLimit =
+      if (rnd.nextBoolean())
+        withDeco :+
+          "/(?P<x>\\d+) (?P<s>\\w+)/ {\nsettime($x)\nlim0[$s] = $x\n}"
+      else withDeco
+    val body = withLimit.mkString("\n")
+    val allDecls = decls + "gauge lim0 by a limit 3\n"
+    val usedDecls = allDecls.linesIterator.filter { d =>
+      val name = d.trim.split("\\s+|,").collectFirst {
+        case w if w.matches("[a-z_][a-z0-9_]*") &&
+          !Set("counter", "gauge", "timer", "text", "histogram",
+            "hidden").contains(w) => w
+      }.get
+      ("\\b" + name + "\\b").r.findFirstIn(body).isDefined
+    }.mkString("", "\n", "\n")
+    usedDecls + body + "\n"
+  }
+
   def block(rnd: Random, depth: Int,
       leafFn: Random => String = leaf): String = {
     val p = patterns(rnd.nextInt(patterns.length))

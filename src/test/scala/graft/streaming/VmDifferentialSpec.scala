@@ -95,6 +95,58 @@ class VmDifferentialSpec extends SparkSpec {
         s" (seeds ${notedExactSeeds.sorted.mkString(",")})" else ""))
   }
 
+  test("R18 pool (del-after TTL hints, limit N, decorators, " +
+      "getfilename) matches the interpreter exactly") {
+    val iters = sys.env.getOrElse("SPARK_GRAFT_VMDIFF_R18_ITERS", "25")
+      .toInt
+    val base = 40000 // own seed space, like the extended pool
+    var checked = 0
+    // a pool extension that got silently rejected would shrink the
+    // net to nothing — track which target constructs actually reached
+    // a VM-checked program
+    val hit = scala.collection.mutable.Map(
+      "after" -> 0, "limit" -> 0, "decorator" -> 0,
+      "getfilename" -> 0)
+    (1 to iters).foreach { i =>
+      if (i % 50 == 0)
+        System.err.println(s"[vmdiff-r18] iteration $i/$iters")
+      val rnd = new Random(base + i)
+      val src = FuzzPool.genProgramR18(rnd)
+      try {
+        val prog = Frontend.parse(src, "vmdiffr18.mtail")
+        val lines = FuzzPool.genLines(rnd)
+        val pb = new PlanBuilder(prog,
+          LogLines.fromLines(lines.toDF("line"), "line",
+            filename = "vmdiff.log"), 2020)
+        val engine = norm(Snapshot.collect(pb.snapshot()))
+        val vm = norm(MiniVm.run(prog, lines, filename = "vmdiff.log"))
+        checked += 1
+        if (src.contains(" after ")) hit("after") += 1
+        if (src.contains("lim0")) hit("limit") += 1
+        if (src.contains("@d0")) hit("decorator") += 1
+        if (src.contains("getfilename")) hit("getfilename") += 1
+        if (engine != vm && pb.approxNotes.isEmpty) fail(
+          s"""r18 iteration $i (seed ${base + i}) SILENTLY diverged from the VM
+             |engine only: ${(engine.toSet -- vm.toSet).toSeq.sortBy(_._1.toString).take(6)}
+             |vm only: ${(vm.toSet -- engine.toSet).toSeq.sortBy(_._1.toString).take(6)}
+             |--- program:
+             |$src""".stripMargin)
+      } catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(
+          s"r18 iteration $i crashed: ${e.getMessage}\n--- program:\n$src",
+          e)
+      }
+    }
+    System.err.println(s"[vmdiff-r18] $checked/$iters VM-checked; " +
+      s"construct hits: ${hit.toSeq.sorted.mkString(", ")}")
+    assert(checked >= iters / 2,
+      s"only $checked/$iters programs accepted — the pool is rejecting")
+    hit.foreach { case (k, n) => assert(n > 0,
+      s"construct `$k' never reached a VM-checked program") }
+  }
+
   test("EXTENDED pool (pow/shifts/bitwise/subst/strtol/timestamp, " +
       "mid-line aborts) matches the interpreter exactly") {
     val iters = sys.env.getOrElse("SPARK_GRAFT_VMDIFF_EXT_ITERS", "25")
