@@ -553,16 +553,19 @@ object Bench {
       }
     } else streamFailed = Seq("streaming_tail_skipped_wall")
 
-    // ---- streaming-pipeline throughput (scrub monitor) ----
-    // The three StreamingPipeline stages carried only spec-level
-    // evidence through r16; this measures the windowed-ingest path:
-    // lines/s through streamingScrubMonitor (stateless scrub fold +
-    // watermarked tumbling-window aggregate) under the same 250 ms
-    // trigger. MemoryStream feed, so the number is the streaming
-    // operator + state store, not file I/O — the tail stage above
-    // already owns the file path. Single measured cycle (the stage is
-    // new; spread goes to the incremental line, and the tail stage's
-    // median-of-3 remains the load-robust streaming anchor).
+    // ---- streaming-pipeline throughput (all 3 stages, 2 batch sizes) ----
+    // r17 published one scrub-monitor number (8.6 klines/s at ~25 k
+    // rows/microbatch) with no decomposition — ambiguous between fixed
+    // per-microbatch cost (state-store commit + watermark bookkeeping
+    // + memory-sink append per 250 ms trigger cycle; fine at
+    // production batch sizes) and real per-row cost in the windowed
+    // aggregate (a product problem). This stage resolves it: the SAME
+    // 225 k rows through streamingScrubMonitor at 9×25 k-row
+    // microbatches (processAllAvailable per chunk — r17 let the
+    // trigger pick ambient batching) and at 1×225 k, then
+    // fixed = (T_small − T_big)/8 and row cost from the big run.
+    // Plus first numbers for the other two stages (exact dedup,
+    // quality counts) at the big batch size.
     var streamPipeKvs: Seq[String] = Seq.empty
     var streamPipeFailed: Seq[String] = Seq.empty
     if (wallSecs < 205.0) {
@@ -572,6 +575,7 @@ object Bench {
           spark.sqlContext
         val nPipe = 250000
         val warmPipe = 25000
+        val measured = nPipe - warmPipe
         val srcs = Array("web", "books", "code", "wiki")
         val rows = (0 until nPipe).map { i =>
           // ~1% of lines carry a plantable address so the scrub rules
@@ -581,32 +585,65 @@ object Bench {
             srcs(i % srcs.length),
             s"line $i type=ev${i % 7} value=${i % 1000}.${i % 97}$pii")
         }
-        val msrc = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(java.sql.Timestamp, String, String)]
-        val mon = operators.StreamingPipeline.streamingScrubMonitor(
-          msrc.toDF().toDF("ts", "source", "text"), "ts", "source",
-          "text", "10 seconds", "30 seconds")
-        val q = mon.writeStream.format("memory")
-          .queryName("bench_scrub_monitor").outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger
-            .ProcessingTime(s"$streamTriggerMs milliseconds"))
-          .start()
-        try {
-          // warm-up batch outside the clock: first batch pays plan
-          // analysis + janino codegen, same cliff the other stages
-          // exclude from steady-state
-          msrc.addData(rows.take(warmPipe))
-          q.processAllAvailable()
-          val t0 = System.nanoTime()
-          rows.drop(warmPipe).grouped(warmPipe)
-            .foreach(ch => msrc.addData(ch))
-          q.processAllAvailable()
-          val secs = (System.nanoTime() - t0) / 1e9
-          val k = (nPipe - warmPipe) / 1000.0 / secs
-          println(s"""{"replay_run":"streaming_pipeline","lines":${nPipe - warmPipe},"secs":${ms(secs)},"klines_per_sec":${ms(k)},"trigger_ms":$streamTriggerMs}""")
-          streamPipeKvs = Seq(
-            s""""streaming_pipeline_klines_per_sec":${ms(k)}""")
-        } finally q.stop()
+        /** feed `rows` through one StreamingPipeline stage: warm batch
+          * outside the clock (plan analysis + janino codegen cliff),
+          * then the measured rows in `batchRows`-sized microbatches,
+          * each forced to its own batch by processAllAvailable.
+          * Returns wall secs over the measured rows.
+          */
+        def runStage(name: String, batchRows: Int,
+            mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
+          val msrc = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(java.sql.Timestamp, String, String)]
+          val q = mk(msrc.toDF().toDF("ts", "source", "text"))
+            .writeStream.format("memory").queryName(s"bench_$name")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime(s"$streamTriggerMs milliseconds"))
+            .start()
+          try {
+            msrc.addData(rows.take(warmPipe))
+            q.processAllAvailable()
+            val t0 = System.nanoTime()
+            rows.drop(warmPipe).grouped(batchRows).foreach { ch =>
+              msrc.addData(ch)
+              q.processAllAvailable()
+            }
+            val secs = (System.nanoTime() - t0) / 1e9
+            val k = measured / 1000.0 / secs
+            println(s"""{"replay_run":"streaming_$name","lines":$measured,"batch_rows":$batchRows,"batches":${(measured + batchRows - 1) / batchRows},"secs":${ms(secs)},"klines_per_sec":${ms(k)},"trigger_ms":$streamTriggerMs}""")
+            secs
+          } finally {
+            q.stop()
+            spark.catalog.dropTempView(s"bench_$name")
+          }
+        }
+        def scrub(df: org.apache.spark.sql.DataFrame) =
+          operators.StreamingPipeline.streamingScrubMonitor(
+            df, "ts", "source", "text", "10 seconds", "30 seconds")
+        val tSmall = runStage("pipeline", warmPipe, scrub)
+        val tBig = runStage("pipeline_bigbatch", measured, scrub)
+        val batches = measured / warmPipe // 9
+        val fixedPerBatch =
+          math.max(0.0, (tSmall - tBig) / (batches - 1))
+        val rowUs = math.max(0.0,
+          (tBig - fixedPerBatch) / measured * 1e6)
+        val tDedup = runStage("dedup", measured, df =>
+          operators.StreamingPipeline.streamingExactDedup(
+            df, "ts", "text", "30 seconds"))
+        val tQual = runStage("quality", measured, df =>
+          operators.StreamingPipeline.streamingQualityCounts(
+            df, "ts", "source",
+            length(col("text")).between(20, 100000), "10 seconds",
+            "30 seconds"))
+        println(s"""{"streaming_pipeline_split":{"rows":$measured,"small_batch_rows":$warmPipe,"small_secs":${ms(tSmall)},"big_secs":${ms(tBig)},"fixed_secs_per_microbatch":${ms(fixedPerBatch)},"row_us_marginal":${ms(rowUs)},"note":"fixed = (T_9x25k - T_1x225k)/8; marginal from the 1-batch run net of one fixed cost"}}""")
+        streamPipeKvs = Seq(
+          s""""streaming_pipeline_klines_per_sec":${ms(measured / 1000.0 / tSmall)}""",
+          s""""streaming_pipeline_bigbatch_klines_per_sec":${ms(measured / 1000.0 / tBig)}""",
+          s""""streaming_dedup_klines_per_sec":${ms(measured / 1000.0 / tDedup)}""",
+          s""""streaming_quality_klines_per_sec":${ms(measured / 1000.0 / tQual)}""",
+          s""""streaming_pipeline_fixed_secs_per_microbatch":${ms(fixedPerBatch)}""",
+          s""""streaming_pipeline_row_us_marginal":${ms(rowUs)}""")
       } catch { case e: Throwable =>
         System.err.println(
           s"[bench] streaming pipeline stage failed: ${e.getMessage}")
