@@ -86,6 +86,14 @@ private final class Checker(prog: Program) {
     walk(prog.stmts, Nil)
     prog.decls.find(d => !used(d.name)).foreach(d => err(
       s"Declaration of variable `${d.name}' here is never used."))
+    // the reference's unification typing (round 18): rejects what the
+    // conservative per-node checks above cannot see — `++` on a
+    // Float/String-pinned metric ("expecting an Int",
+    // checker.go:590-632) and LUB failures across write sites
+    // (Numeric vs String, Float vs Pattern, types.go:499-544). Runs
+    // LAST so its error messages never preempt the directly-pinned
+    // corpus messages above.
+    TypeInfer.infer(prog)
   }
 
   // ---------- statements ----------

@@ -1509,13 +1509,17 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   case object OpConcat extends Op
 
   /** one metric-update site with context captured at walk time. */
-  /** `condReads`: metrics the site's ENCLOSING CONDITIONS read, at
-    * the IR level — the semantic firing dependence ([[seqCyclicMetrics]]
-    * edges). Deliberately excludes the conservative line-abort guard
-    * terms the compiled `cond` conjoins (an abort-mediated
-    * self-dependence — a string-compare error on the metric's own read
-    * gating its write — stays on the provisional one-level-unroll
-    * bottom, not the automaton).
+  /** `condReads`: metrics the site's firing depends on at the IR
+    * level — enclosing-condition reads, accumulated stopGuard reads
+    * (`stop` statements AND abort terms whose exec cond or abortable
+    * expression reads a metric), and the site's own-abort reads
+    * ([[seqCyclicMetrics]] edges). Round 18 put the abort-mediated
+    * edges ON the graph: the previous exclusion ("stays on the
+    * one-level-unroll bottom") was value-exact only while every
+    * reachable activation was absorbing, and the order-sensitive
+    * typing's always-abort write sites made pinned seed 6080's tangle
+    * non-absorbing — the declared unroll returned non-VM values, so
+    * the exact sequential automaton now owns these cycles.
     */
   private case class Site(idx: Int, metric: MetricDecl, op: Op,
       cond: Column, keys: Seq[Expr], valueIr: Option[Expr],
@@ -1658,6 +1662,54 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     nulls.reduceOption(_ || _)
   }
 
+  /** Runtime store-coercion abort condition for a write of `e` into a
+    * metric of value type `vt` — the Pop* coercions the reference's
+    * typed store opcodes apply (vm.go:128-186). PopInt parses strings
+    * with strconv.ParseInt base 10 (abort on ANY non-[+-]digit char —
+    * stricter than Spark's cast, which truncates "3.5" to 3) and has
+    * NO float64 or bool arm, so a statically-Float or Bool value into
+    * an Int-pinned metric aborts unconditionally; PopFloat parses
+    * strings with ParseFloat (Spark's cast-to-null approximates the
+    * failure set); PopString formats floats ('G') and ints but has no
+    * bool arm. Reachable since round 18's order-sensitive TypeInfer:
+    * a later write site no longer promotes the metric's type, it
+    * coerces into the pinned type at runtime. None = this write can
+    * never abort on store coercion.
+    */
+  private def writeConvNullCond(e: Expr, frames: List[Frame],
+      vt: DataType, siteIdx: Int): Option[Column] = {
+    val srcT = irType(e, frames)
+    lazy val valc = exprColumn(e, frames, timeReg, siteIdx)
+    vt match {
+      case LongType => srcT match {
+        case DoubleType | BooleanType => Some(lit(true))
+        case StringType =>
+          Some(coalesce(!valc.rlike("^[+-]?[0-9]+$"), lit(true)))
+        case _ => None
+      }
+      case DoubleType => srcT match {
+        case BooleanType => Some(lit(true))
+        case StringType => Some(coalesce(
+          valc.isNotNull && valc.cast(DoubleType).isNull, lit(true)))
+        case _ => None
+      }
+      case StringType => srcT match {
+        case BooleanType => Some(lit(true))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** a statically-Bool label key has no PopString arm either
+    * (vm.go:171-186) — Dload aborts.
+    */
+  private def keyConvNullCond(keys: Seq[Expr],
+      frames: List[Frame]): Option[Column] =
+    if (keys.exists(k => irType(k, frames) == BooleanType))
+      Some(lit(true))
+    else None
+
   /** record that executing under `execCond` errors when `nullCond` —
     * later statements on that line are skipped, like after `stop`.
     */
@@ -1665,10 +1717,26 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   // materialized struct/strptime columns, so each added term is small,
   // and single-use alias columns would be re-inlined by CollapseProject
   // anyway (exploding the optimizer on 100-site programs).
-  private def abortOn(execCond: Column, nullCond: Option[Column]): Unit =
+  /** `reads`: metrics the abort term's EXEC COND or abortable
+    * expression reads at the IR level. They join [[stopGuardReads]]
+    * because every LATER site's firing now depends on them through
+    * the stopGuard conjunct — an abort-mediated dependence edge. Until
+    * round 18 these edges were deliberately left off the automaton's
+    * cycle graph ("stays on the provisional one-level-unroll bottom")
+    * — sound while every reachable activation sat in the unroll's
+    * absorbing corner, but the order-sensitive typing made
+    * always-abort write sites reachable (a Float value into an
+    * Int-pinned metric) and pinned seed 6080's tangle became
+    * NON-absorbing: the declared unroll returned non-VM values. With
+    * the edges on the graph, [[seqCyclicMetrics]] sees the cycle and
+    * the exact sequential automaton owns it.
+    */
+  private def abortOn(execCond: Column, nullCond: Option[Column],
+      reads: Set[String] = Set.empty): Unit =
     nullCond.foreach { nc =>
       stopGuard = stopGuard && !coalesce(execCond && nc, lit(false))
       abortCond = abortCond || coalesce(execCond && nc, lit(false))
+      stopGuardReads ++= reads
     }
 
   /** reads accumulated into `stopGuard` by executed `stop` statements
@@ -1704,7 +1772,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             // term doubles the tree per site (exponential on
             // postfix.mtail); an already-aborted line is blocked by the
             // earlier conjunct regardless.
-            abortOn(cond, typedCaprefNullCond(e, frames))
+            abortOn(cond, typedCaprefNullCond(e, frames),
+              condReads ++ irReadMetrics(e))
           case _ =>
         }
         walk(body, newFrames, cond && condCol, condReads ++ cReads)
@@ -1724,23 +1793,38 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         // overwrote the cell (found by the extended-pool VM
         // differential, seed 20001: `1 << -1` leaked the
         // masked-count shift value under a nested cond).
-        val incNull = typedCaprefNullCond(
-          keys.foldLeft(delta)((a, k) => Binop("+", a, k)), frames)
+        val incNull = Seq(
+          typedCaprefNullCond(
+            keys.foldLeft(delta)((a, k) => Binop("+", a, k)), frames),
+          writeConvNullCond(delta, frames, metricType(m), siteSeq),
+          keyConvNullCond(keys, frames)).flatten
+          .reduceOption(_ || _)
         val incOwn = incNull.map(nc =>
           !coalesce(nc, lit(false))).getOrElse(lit(true))
+        // an abortable value/key makes the site's OWN firing depend on
+        // the metrics it reads (the incOwn conjunct) — real dependence
+        // edges for the cycle graph, same as the stopGuard ones
+        val ownReads = if (incNull.isEmpty) Set.empty[String]
+          else (keys :+ delta).flatMap(irReadMetrics).toSet
         sites += Site(nextSeq(), program.decl(m), op,
           cond && stopGuard && incOwn, keys, Some(delta), frames,
-          timeReg, None, condReads ++ stopGuardReads)
-        abortOn(cond, incNull)
+          timeReg, None, condReads ++ stopGuardReads ++ ownReads)
+        abortOn(cond, incNull, condReads ++ ownReads)
       case SetStmt(m, keys, v) =>
-        val setNull = typedCaprefNullCond(
-          keys.foldLeft(v)((a, k) => Binop("+", a, k)), frames)
+        val setNull = Seq(
+          typedCaprefNullCond(
+            keys.foldLeft(v)((a, k) => Binop("+", a, k)), frames),
+          writeConvNullCond(v, frames, metricType(m), siteSeq),
+          keyConvNullCond(keys, frames)).flatten
+          .reduceOption(_ || _)
+        val setOwnReads = if (setNull.isEmpty) Set.empty[String]
+          else (keys :+ v).flatMap(irReadMetrics).toSet
         val setOwn = setNull.map(nc =>
           !coalesce(nc, lit(false))).getOrElse(lit(true))
         sites += Site(nextSeq(), program.decl(m), OpSet,
           cond && stopGuard && setOwn, keys, Some(v), frames, timeReg,
-          None, condReads ++ stopGuardReads)
-        abortOn(cond, setNull)
+          None, condReads ++ stopGuardReads ++ setOwnReads)
+        abortOn(cond, setNull, condReads ++ setOwnReads)
       case DelStmt(m, keys, after) =>
         sites += Site(nextSeq(), program.decl(m), OpDel,
           cond && stopGuard, keys, None, frames, timeReg, after,
@@ -1754,7 +1838,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         timeReg = when(execCond && parsedTs.isNotNull, parsedTs)
           .otherwise(timeReg)
         // a failed strptime is a runtime error → abort the line
-        abortOn(cond, Some(parsedTs.isNull))
+        abortOn(cond, Some(parsedTs.isNull),
+          condReads ++ irReadMetrics(arg))
       case ExprStmt(Call("settime", Seq(arg))) =>
         val seq = nextSeq()
         val execCond = cond && stopGuard
@@ -1850,20 +1935,29 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   snaps.clear() // pass-1 snapshots hold provisional columns
   walk(program.stmts, Nil, lit(true))
 
+  /** Inferred metric value types — the reference checker's
+    * order-sensitive unification (first typed use pins the metric's
+    * type variable; later conflicting writes coerce at RUNTIME, they
+    * do not promote — see [[graft.mtail.TypeInfer]]). Replaced the
+    * pre-r18 "any String/Float write promotes" site fixpoint, which
+    * the round-18 biased fuzz hunt proved diverges from the reference
+    * on mixed-type write sets (`c0 += int(x)` then `c0 += $s` is an
+    * INT metric with a runtime S2i on the second site, not a String
+    * metric).
+    */
+  private lazy val inferredTypes: Map[String, Char] =
+    graft.mtail.TypeInfer.infer(program)
+
   def metricType(name: String): DataType =
     metricTypeMemo.getOrElseUpdate(name, {
-      val decl = program.decl(name)
-      decl.kind match {
+      program.decl(name).kind match {
         case Text => StringType
         case Histogram => DoubleType
-        case _ =>
-          metricTypeMemo(name) = LongType // cycle guard: default Int
-          val ts = allSites
-            .filter(s => s.metric.name == name && s.op != OpDel)
-            .map(s => irType(s.valueIr.get, s.frames))
-          if (ts.contains(StringType)) StringType
-          else if (ts.contains(DoubleType)) DoubleType
-          else LongType
+        case _ => inferredTypes.getOrElse(name, 'I') match {
+          case 'S' => StringType
+          case 'F' => DoubleType
+          case _ => LongType
+        }
       }
     })
 
@@ -2158,9 +2252,9 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
               reading), s.frames, vt)))
         case OpConcat => Some(SeqCycleEval.SiteSpec(s.idx, "concat",
-          metric, keyEnc, cnd, strCast(s.valueIr.get,
+          metric, keyEnc, cnd, valCast(s.valueIr.get,
             exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx,
-              reading), s.frames)))
+              reading), s.frames, StringType)))
         case OpDel if s.afterSeconds.isEmpty =>
           // an immediate del is a fresh-datum barrier for reads
           // (store.go GetDatum recreates at zero)
@@ -2377,10 +2471,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     }
     val delta = s.op match {
       case OpDel => zeroOf(vt)
-      // the concat operand is a BINARY + conversion (the checker wraps
-      // it, so floats render F2s lowercase %g, not PopString 'G')
-      case OpConcat => strCast(s.valueIr.get,
-        exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx), s.frames)
+      // ADD_ASSIGN@String compiles to Cat with NO checker conversion
+      // (ConvExpr wraps only arithmetic and comparison operands,
+      // checker.go:390,493); Cat pops through PopString, whose float
+      // arm is FormatFloat('G') — UPPERCASE exponent (vm.go:171-186),
+      // same as Sset. Pre-r18 this used the F2s lowercase path.
+      case OpConcat => valCast(s.valueIr.get,
+        exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx),
+        s.frames, StringType)
       case _ => valCast(s.valueIr.get,
         exprColumn(s.valueIr.get, s.frames, s.timeReg, s.idx),
         s.frames, vt)
@@ -2467,8 +2565,12 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
     val setSites = updates.filter(_.op == OpSet)
     val incSites = updates.filter(_.op == OpInc)
-    val numeric = decl.kind == Ir.Counter || decl.kind == Ir.Gauge ||
-      decl.kind == Ir.Timer
+    // "numeric" here means the FOLD is numeric: a counter/gauge/timer
+    // whose inferred value type pinned String (first write was a
+    // string — TypeInfer) folds like text (its `+=` sites are Cat,
+    // its sets last-write), never through sums
+    val numeric = (decl.kind == Ir.Counter || decl.kind == Ir.Gauge ||
+      decl.kind == Ir.Timer) && vt != StringType
     // the VM folds updates imperatively per datum: Iset REPLACES, Inc
     // ADDS — regardless of the declared kind (`counter c; c = 5` is
     // legal and last-write; `gauge g; g++` is legal and accumulates).
@@ -2496,6 +2598,27 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
 
     val agg: Option[DataFrame] = afterDel.map { u =>
       val aggs = decl.kind match {
+        case _ if updates.exists(_.op == OpConcat) =>
+          // pure `+=` at String type (set-mixing dispatched to
+          // mixedTextFrame above) — Text kind or a String-PINNED
+          // counter/gauge (TypeInfer; ADD_ASSIGN@String is Cat
+          // regardless of kind, codegen.go:523-540):
+          // ordered running concatenation: every delta in arrival
+          // order. The array lives on ONE aggregated row per cell —
+          // same memory shape as the VM's single growing string datum.
+          // NULL (→ no cell) when nothing contributed: the keyless
+          // global agg otherwise emits ("", no-stamp) for an EMPTY
+          // batch, whose append-merge wiped the live stamp
+          // (fuzz-found, iteration 183)
+          Seq(when(count(lit(1)) > 0, concat_ws("", transform(
+            array_sort(collect_list(struct(col("ordk"), col("v")))),
+            x => x.getField("v")))).as("value"),
+            max_by(col("ts"), col("ordk")).as("ts"))
+        case _ if vt == StringType =>
+          // String-pinned (any kind): sets last-write by arrival —
+          // Sset replaces regardless of declared kind
+          Seq(max_by(col("v"), col("ordk")).as("value"),
+            max_by(col("ts"), col("ordk")).as("ts"))
         case _ if numeric && incSites.isEmpty && setSites.nonEmpty =>
           // all writes are `=` (any numeric kind): last write wins
           Seq(max_by(col("v"), col("ordk")).as("value"),
@@ -2518,19 +2641,6 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             sum(when(col("v") > buckets.last, 1L).otherwise(0L))
               .as("bucket_inf"),
             sum("v").as("value"), count(lit(1)).as("obs_count"),
-            max_by(col("ts"), col("ordk")).as("ts"))
-        case Ir.Text if updates.exists(_.op == OpConcat) =>
-          // pure `+=` (set-mixing dispatched to mixedTextFrame above):
-          // ordered running concatenation: every delta in arrival
-          // order. The array lives on ONE aggregated row per cell —
-          // same memory shape as the VM's single growing string datum.
-          // NULL (→ no cell) when nothing contributed: the keyless
-          // global agg otherwise emits ("", no-stamp) for an EMPTY
-          // batch, whose append-merge wiped the live stamp
-          // (fuzz-found, iteration 183)
-          Seq(when(count(lit(1)) > 0, concat_ws("", transform(
-            array_sort(collect_list(struct(col("ordk"), col("v")))),
-            x => x.getField("v")))).as("value"),
             max_by(col("ts"), col("ordk")).as("ts"))
         case _ => // gauge / timer / text: last write wins by arrival
           Seq(max_by(col("v"), col("ordk")).as("value"),

@@ -22,6 +22,18 @@ import graft.mtail.Ir._
   * UnsupportedOperationException — a pool extension that silently
   * fell back would shrink the net.
   *
+  * KNOWN SHARED DEVIATION (documented round 18, unimplemented on both
+  * sides so the differential net stays meaningful): the reference's
+  * Dload opcode calls Metric.GetDatum, which CREATES a zero datum for
+  * any cell it loads — including pure READS of missing cells and
+  * loads whose statement later aborts (codegen.go:233 emits Dload
+  * before the value expression). An exported metric read at a
+  * never-written key therefore grows a zero-valued cell in the
+  * reference's export; engine and MiniVm both model create-on-WRITE
+  * only. Not exercised by the golden corpus (no golden program reads
+  * a missing cell of an exported metric); candidate for a future
+  * round.
+  *
   * Semantics cross-checked against the engine's own documented VM
   * parity points (PlanBuilder scaladocs citing vm.go / codegen.go):
   * Iset replaces and Inc adds regardless of declared kind; label keys
@@ -81,43 +93,22 @@ object MiniVm {
         (p, java.util.regex.Pattern.compile(p.java))
       })
 
-    // ---- static metric value types (the engine's metricType
-    // fixpoint: Text→S, Histogram→F, else Int unless any write site's
-    // value expression types Float/String) ----
-    private val typeMemo = mutable.Map[String, Char]()
-    private lazy val writeTypes: Map[String, Seq[Char]] = {
-      val acc = mutable.Map[String, mutable.Buffer[(Expr,
-        List[Re2.Parsed])]]()
-      def walk(ss: Seq[Stmt], scope: List[Re2.Parsed]): Unit =
-        ss.foreach {
-          case CondBlock(c, b, e) =>
-            val s2 = c match {
-              case CondPattern(r, _) => re(r)._1 :: scope
-              case _ => scope
-            }
-            walk(b, s2); walk(e, scope)
-          case IncStmt(m, _, d, _) =>
-            acc.getOrElseUpdate(m, mutable.Buffer()) += ((d, scope))
-          case SetStmt(m, _, v) =>
-            acc.getOrElseUpdate(m, mutable.Buffer()) += ((v, scope))
-          case _ => ()
-        }
-      walk(program.stmts, Nil)
-      acc.view.mapValues(_.toSeq.map { case (e, sc) =>
-        staticType(e, sc) }).toMap
-    }
+    // ---- static metric value types: the reference checker's
+    // order-sensitive unification (first typed use pins the type
+    // variable; later writes coerce at runtime) — shared with the
+    // engine via TypeInfer, which both sides consume so the
+    // differential net tests the RUNTIME semantics, not two copies of
+    // the same typing bug (the round-18 hunt found the old
+    // "any-String-write promotes" fixpoint deviating from
+    // checker.go:344-674) ----
+    private lazy val inferredTypes: Map[String, Char] =
+      TypeInfer.infer(program)
     private def metricType(name: String): Char =
-      typeMemo.getOrElseUpdate(name, {
-        program.decl(name).kind match {
-          case Text => 'S'
-          case Histogram => 'F'
-          case _ =>
-            typeMemo(name) = 'I' // cycle guard, as the engine's
-            val ts = writeTypes.getOrElse(name, Nil)
-            if (ts.contains('S')) 'S'
-            else if (ts.contains('F')) 'F' else 'I'
-        }
-      })
+      program.decl(name).kind match {
+        case Text => 'S'
+        case Histogram => 'F'
+        case _ => inferredTypes.getOrElse(name, 'I')
+      }
     private def caprefType(name: String,
         scope: List[Re2.Parsed]): Char =
       scope.view.flatMap { p =>
@@ -208,40 +199,81 @@ object MiniVm {
             execBody(body, line, frames)
         }
         case IncStmt(m, keys, delta, addAssign) =>
+          val scope = frames.map(_.parsed)
+          // a statically-Bool key or value has no Pop* coercion arm
+          // (vm.go:128-186) — the store opcode aborts the line
+          if (keys.exists(k => staticType(k, scope) == 'B'))
+            throw new AbortLine
           val labels = keys.map(k => labelStr(k, line, frames))
           val d = eval(delta, line, frames)
-          val dat = cells(m).getOrElseUpdate(labels, fresh(m))
-          program.decl(m).kind match {
-            case Text =>
+          if (program.decl(m).kind == Histogram)
+            throw new UnsupportedOperationException("+= on histogram")
+          if (staticType(delta, scope) == 'B') throw new AbortLine
+          // coerce BEFORE creating the datum: engine semantics are
+          // create-on-successful-write (an aborted statement leaves no
+          // cell — see the KNOWN SHARED DEVIATION note: the reference
+          // itself Dloads first), so the coercion aborts must fire
+          // before getOrElseUpdate or this interpreter grows cells the
+          // engine never makes
+          metricType(m) match {
+            case 'S' =>
+              // ADD_ASSIGN@String = Cat + Sset (codegen.go:523-540):
+              // the delta pops through PopString — floats format
+              // UPPERCASE 'G' (vm.go:171-186), unlike the F2s paths
               if (!addAssign) throw new UnsupportedOperationException(
-                "++ on text metric")
-              dat.value = VS(asStr(dat.value) + strUnify(d))
-            case Histogram => throw new UnsupportedOperationException(
-              "+= on histogram")
-            case _ => metricType(m) match {
-              case 'F' => dat.value = VF(asF(dat.value) + asF(d))
-              case _ => dat.value = VI(asI(dat.value) + asI(d))
-            }
+                "++ on String-typed metric") // checker rejects
+              val s = popStr(d)
+              val dat = cells(m).getOrElseUpdate(labels, fresh(m))
+              dat.value = VS(asStr(dat.value) + s)
+              dat.ts = time
+            case 'F' =>
+              val f = asF(d)
+              val dat = cells(m).getOrElseUpdate(labels, fresh(m))
+              dat.value = VF(asF(dat.value) + f)
+              dat.ts = time
+            case _ =>
+              // PopInt has NO float64 arm (vm.go:128-147): a
+              // statically-Float delta into an Int-pinned metric is a
+              // runtime error, not a truncation; strings parse with
+              // strict ParseInt (asI's toLongOption)
+              d match {
+                case VF(_) => throw new AbortLine
+                case _ => ()
+              }
+              val i = asI(d)
+              val dat = cells(m).getOrElseUpdate(labels, fresh(m))
+              dat.value = VI(asI(dat.value) + i)
+              dat.ts = time
           }
-          dat.ts = time
         case SetStmt(m, keys, value) =>
+          val scope = frames.map(_.parsed)
+          if (keys.exists(k => staticType(k, scope) == 'B'))
+            throw new AbortLine
           val labels = keys.map(k => labelStr(k, line, frames))
           val v = eval(value, line, frames)
+          if (staticType(value, scope) == 'B') throw new AbortLine
+          // coerce before datum creation — same reason as IncStmt
+          val coerced: Either[Double, V] = program.decl(m).kind match {
+            case Histogram => Left(asF(v))
+            case _ => Right(metricType(m) match {
+              case 'S' =>
+                // Sset pops through PopString: floats UPPERCASE 'G'
+                // (vm.go:171-186) — unlike the F2s paths
+                VS(popStr(v))
+              case 'F' => VF(asF(v))
+              case _ =>
+                // PopInt: no float64 arm (see IncStmt)
+                v match {
+                  case VF(_) => throw new AbortLine
+                  case _ => ()
+                }
+                VI(asI(v))
+            })
+          }
           val dat = cells(m).getOrElseUpdate(labels, fresh(m))
-          program.decl(m).kind match {
-            case Histogram => dat.hist.observe(asF(v))
-            case Text =>
-              // Sset of a float: runtime PopString coercion, UPPERCASE
-              // exponent (vm.go:171-186) — unlike the F2s paths
-              dat.value = VS(v match {
-                case VF(f) => GoFmt.g(f, upper = true)
-                case other => asStr(other)
-              })
-            case _ => metricType(m) match {
-              case 'F' => dat.value = VF(asF(v))
-              case 'S' => dat.value = VS(strUnify(v))
-              case _ => dat.value = VI(asI(v))
-            }
+          coerced match {
+            case Left(obs) => dat.hist.observe(obs)
+            case Right(nv) => dat.value = nv
           }
           dat.ts = time
         case DelStmt(m, keys, after) =>
@@ -265,9 +297,11 @@ object MiniVm {
       val d = new Datum
       program.decl(m).kind match {
         case Histogram => d.hist = new Hist(program.decl(m).buckets)
-        case Text => d.value = VS("")
-        case _ => d.value =
-          if (metricType(m) == 'F') VF(0.0) else VI(0L)
+        case _ => d.value = metricType(m) match {
+          case 'S' => VS("")
+          case 'F' => VF(0.0)
+          case _ => VI(0L)
+        }
       }
       d
     }
@@ -296,6 +330,12 @@ object MiniVm {
     /** F2s/%g stringification — label keys, string(), string-unified
       * `+` (vm.go:889-896, codegen.go:273-280,602). */
     private def strUnify(v: V): String = asStr(v)
+    /** PopString coercion — Sset/Cat operands: floats 'G' UPPERCASE
+      * (vm.go:171-186). */
+    private def popStr(v: V): String = v match {
+      case VF(f) => GoFmt.g(f, upper = true)
+      case other => asStr(other)
+    }
 
     private def labelStr(k: Expr, line: String,
         frames: List[Frame]): String =
@@ -530,11 +570,13 @@ object MiniVm {
             Snapshot.Cell(kind, decl.exportName, labelMap, v, dat.ts)
           }
         }
-        // never-updated scalar counters export 0 @ epoch-0
-        // (codegen.go:109-126; golden/reader.go:107-119)
+        // never-updated scalar counters export 0 @ epoch-0 in the
+        // metric's PINNED type (codegen.go:109-126 zero-inits Int and
+        // Float datums; golden/reader.go:107-119)
         if (rows.isEmpty && decl.keys.isEmpty && decl.kind == Counter)
           Seq(Snapshot.Cell(kind, decl.exportName, Map.empty,
-            Snapshot.VInt(0), Some(0L)))
+            if (metricType(decl.name) == 'F') Snapshot.VFloat(0.0)
+            else Snapshot.VInt(0), Some(0L)))
         else rows
       }
   }

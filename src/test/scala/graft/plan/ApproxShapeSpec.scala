@@ -6,29 +6,33 @@ import graft.SparkSpec
 import graft.mtail.{Frontend, LogLines, MiniVm, Snapshot}
 import graft.streaming.FuzzPool
 
-/** Directed pins for the SURVIVING provisional/fallback shapes — the
-  * r16 verdict's order #2 ("no code path that silently returns a
-  * non-VM value, proven by spec"). These nine seeds are every program
-  * in the 5801–6100 sweep whose plan construction reached the
-  * one-level-unroll splice or the last-resort machinery (they include
-  * 5816 and 6006, the two historically named fuzz tangles: the
-  * abort-guard-tangled as-of pair and the directly self-conditioned
-  * gauge). Each case asserts BOTH halves of the round-17 contract:
+/** Directed pins for the historical provisional/fallback tangles.
   *
-  *  1. the plan DECLARES the approximation (`approxNotes` non-empty —
-  *     if a refactor reroutes the shape through the exact machinery,
-  *     this half fails and the seed should be retired, never ignored);
-  *  2. the value is nevertheless VM-EXACT against the independent
-  *     sequential interpreter ([[graft.mtail.MiniVm]]) — on every
-  *     shape that is REACHABLE today, the unroll bottom sits in its
-  *     absorbing corner and the splice is value-preserving.
+  * History: these nine seeds were every program in the 5801–6100
+  * sweep whose plan construction reached the one-level-unroll splice
+  * or the last-resort machinery (5816 and 6006 are the two named fuzz
+  * tangles: the abort-guard-tangled as-of pair and the directly
+  * self-conditioned gauge). Through round 17 they asserted the
+  * two-part contract "declares the approximation AND is VM-exact
+  * anyway" — every reachable activation sat in the unroll's absorbing
+  * corner.
+  *
+  * Round 18 ended that corner: the order-sensitive typing
+  * ([[graft.mtail.TypeInfer]]) made always-abort write sites
+  * reachable (a Float value into an Int-pinned metric), seed 6080's
+  * tangle went non-absorbing, and the DECLARED unroll returned
+  * non-VM values — the deviation the round-17 verdict ordered a hunt
+  * for. The fix put abort-mediated read edges on the cycle graph
+  * (PlanBuilder.abortOn accumulates stopGuardReads; own-abort reads
+  * join Site.condReads), so these cycles route through the EXACT
+  * sequential automaton. The pins now assert the STRONGER contract:
+  * every historical tangle resolves VM-exactly with an EMPTY audit
+  * trail. If one starts declaring again, a machinery change pushed it
+  * back to the unroll — investigate, never just repin.
   *
   * The broad net behind these pins is
-  * [[graft.streaming.VmDifferentialSpec]]; seed→program mapping
-  * depends on [[FuzzPool]], so pool changes that shift these seeds
-  * will surface here as a failed half-1 assertion (regenerate the
-  * seed list from a VmDifferentialSpec sweep's
-  * "declared-but-VM-exact" summary line).
+  * [[graft.streaming.VmDifferentialSpec]]; the biased hunt that found
+  * the deviation is [[graft.streaming.ApproxHuntSpec]].
   */
 class ApproxShapeSpec extends SparkSpec {
   import spark.implicits._
@@ -40,9 +44,31 @@ class ApproxShapeSpec extends SparkSpec {
   private val seeds =
     Seq(5816, 5824, 5872, 5993, 6006, 6012, 6048, 6080, 6081)
 
+  // the one sweep survivor that still reaches the unroll splice after
+  // the r18 rerouting (from the 300-seed VmDifferentialSpec sweep's
+  // declared-but-VM-exact summary): keeps the ORIGINAL two-part
+  // contract — declares loudly AND matches the VM anyway
+  test("fuzz seed 4467: surviving declared shape is loud and VM-exact") {
+    val rnd = new Random(4467)
+    val src = FuzzPool.genProgram(rnd)
+    val prog = Frontend.parse(src, "approx.4467")
+    val lines = FuzzPool.genLines(rnd)
+    val pb = new PlanBuilder(prog,
+      LogLines.fromLines(lines.toDF("line"), "line"), 2020)
+    val engine = norm(Snapshot.collect(pb.snapshot()))
+    assert(pb.approxNotes.nonEmpty,
+      "seed 4467 no longer declares — retire or regenerate (scaladoc)")
+    val vm = norm(MiniVm.run(prog, lines))
+    assert(engine == vm,
+      s"""seed 4467 diverged under declared notes:
+         |${pb.approxNotes.mkString("\n")}
+         |--- program:
+         |$src""".stripMargin)
+  }
+
   seeds.foreach { seed =>
-    test(s"fuzz seed $seed: approximation path declares itself and " +
-        "matches the VM exactly") {
+    test(s"fuzz seed $seed: historically-approximated tangle now " +
+        "resolves VM-exactly through the automaton, no declaration") {
       val rnd = new Random(seed)
       val src = FuzzPool.genProgram(rnd)
       val prog = Frontend.parse(src, s"approx.$seed")
@@ -50,15 +76,13 @@ class ApproxShapeSpec extends SparkSpec {
       val pb = new PlanBuilder(prog,
         LogLines.fromLines(lines.toDF("line"), "line"), 2020)
       val engine = norm(Snapshot.collect(pb.snapshot()))
-      assert(pb.approxNotes.nonEmpty,
-        s"seed $seed no longer reaches a declared-approximation path " +
-          "— regenerate the seed list (see scaladoc)")
       val vm = norm(MiniVm.run(prog, lines))
       assert(engine == vm,
-        s"""seed $seed diverged from the VM under the declared notes:
-           |${pb.approxNotes.mkString("\n")}
+        s"""seed $seed diverged from the VM (notes: ${pb.approxNotes.toList})
            |--- program:
            |$src""".stripMargin)
+      assert(pb.approxNotes.isEmpty,
+        s"seed $seed surrendered exactness again: ${pb.approxNotes.toList}")
     }
   }
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.mtail.{Frontend, LogLines, MiniVm, Snapshot}
+import graft.plan.PlanBuilder
+
+/** Round-18 approximation hunt (verdict order #5): every pinned
+  * `approxNotes` activation so far is VM-exact because it lands in
+  * the one-level unroll's absorbing corner. This sweep BIASES the
+  * generator toward the family most likely to escape that corner —
+  * abort-mediated self-dependence with non-absorbing (reset-flipped)
+  * dynamics, mixed with machinery-fenced cycle residuals
+  * ([[FuzzPool.genProgramAbort]]) — hunting for a program where a
+  * DECLARED approximation actually returns a non-VM value.
+  *
+  * Outcomes per seed:
+  *  - silent divergence (no notes) → FAIL, same as VmDifferentialSpec;
+  *  - declared + deviating → reported loudly; such a seed is the
+  *    trigger to either route the shape through SeqCycleEval or pin
+  *    the deviation as a documented contract;
+  *  - declared + VM-exact → counted (the absorbing-corner evidence).
+  *
+  * History: this sweep's SECOND seed (60002) caught a silent
+  * divergence on day one — not an unroll deviation but the
+  * order-sensitive metric-typing gap (engine exported VStr("42.0")
+  * where the reference keeps an Int and S2i-coerces; see
+  * [[graft.mtail.TypeInfer]] and [[graft.plan.TypePinSpec]]). The
+  * typing fix then made pinned seed 6080's tangle non-absorbing and
+  * its DECLARED unroll value-wrong — resolved by putting
+  * abort-mediated read edges on the cycle graph so the exact
+  * automaton owns those cycles (PlanBuilder.abortOn). Post-fix the
+  * sweep runs clean: 0 deviating, 0 declared on the biased shapes.
+  * The declaration machinery stays: it is the tripwire that makes a
+  * future genuinely-deviating shape loud instead of silent.
+  */
+class ApproxHuntSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(cells: Seq[Snapshot.Cell]) =
+    cells.map(c => (c.name, c.labels) ->
+      ((c.kind, c.value, c.tsSec.getOrElse(0L), c.buckets))).toMap
+
+  test("biased abort-cycle sweep: no silent divergence; declared " +
+      "activations report their VM-exactness") {
+    val iters = sys.env.getOrElse("SPARK_GRAFT_APPROX_HUNT_ITERS", "25")
+      .toInt
+    val base = 60000 // own seed space
+    var checked = 0
+    var declaredExact = List.empty[Int]
+    var declaredDeviating = List.empty[Int]
+    (1 to iters).foreach { i =>
+      if (i % 50 == 0)
+        System.err.println(s"[approx-hunt] iteration $i/$iters")
+      val rnd = new Random(base + i)
+      val src = FuzzPool.genProgramAbort(rnd)
+      try {
+        val prog = Frontend.parse(src, "approxhunt.mtail")
+        val lines = FuzzPool.genLines(rnd)
+        val pb = new PlanBuilder(prog,
+          LogLines.fromLines(lines.toDF("line"), "line"), 2020)
+        val engine = norm(Snapshot.collect(pb.snapshot()))
+        val vm = norm(MiniVm.run(prog, lines))
+        checked += 1
+        if (pb.approxNotes.nonEmpty) {
+          if (engine == vm) declaredExact ::= base + i
+          else {
+            declaredDeviating ::= base + i
+            System.err.println(
+              s"""[approx-hunt] seed ${base + i} DECLARED AND DEVIATING:
+                 |  ${pb.approxNotes.mkString("\n  ")}
+                 |engine only: ${(engine.toSet -- vm.toSet).toSeq.sortBy(_._1.toString).take(4)}
+                 |vm only: ${(vm.toSet -- engine.toSet).toSeq.sortBy(_._1.toString).take(4)}
+                 |--- program:
+                 |$src""".stripMargin)
+          }
+        } else if (engine != vm) fail(
+          s"""seed ${base + i} SILENTLY diverged (no approxNotes)
+             |engine only: ${(engine.toSet -- vm.toSet).toSeq.sortBy(_._1.toString).take(6)}
+             |vm only: ${(vm.toSet -- engine.toSet).toSeq.sortBy(_._1.toString).take(6)}
+             |--- program:
+             |$src""".stripMargin)
+      } catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(
+          s"iteration $i crashed: ${e.getMessage}\n--- program:\n$src", e)
+      }
+    }
+    System.err.println(s"[approx-hunt] $checked/$iters checked; " +
+      s"${declaredExact.size} declared-but-VM-exact" +
+      (if (declaredExact.nonEmpty)
+        s" (seeds ${declaredExact.sorted.take(20).mkString(",")})"
+      else "") +
+      s"; ${declaredDeviating.size} DECLARED-AND-DEVIATING" +
+      (if (declaredDeviating.nonEmpty)
+        s" (seeds ${declaredDeviating.sorted.mkString(",")})" else ""))
+    assert(checked >= iters / 2,
+      s"only $checked/$iters accepted — the biased pool is rejecting")
+  }
+}

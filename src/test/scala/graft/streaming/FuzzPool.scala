@@ -273,6 +273,81 @@ object FuzzPool {
     usedDecls + body + "\n"
   }
 
+  /** Round-18 approximation-hunt leaf set: biased toward
+    * ABORT-MEDIATED SELF-DEPENDENCE (a conversion abort on a metric's
+    * own read gating that metric's write — the one cycle family the
+    * sequential automaton deliberately leaves on the one-level-unroll
+    * bottom, PlanBuilder Site.condReads scaladoc) and machinery-fenced
+    * residuals (cycle leaves from the primary pool mixed with
+    * abort-capable reads). Goal: surface a program where a DECLARED
+    * approximation returns a non-VM value ([[ApproxHuntSpec]]) — or
+    * build evidence that every reachable declared shape is VM-exact.
+    * String-typed hidden state (`hids`, `hids1`) makes `int(...)` /
+    * implicit conversions abort history-dependently: words abort,
+    * digit-strings don't, and reset arms flip between them so the
+    * abort is NON-absorbing.
+    */
+  def leafAbortCycle(rnd: Random): String = {
+    val pool = Seq(
+      "c0++",
+      // abort iff hids currently holds a word; gates everything after
+      "c0 += int(hids)",
+      "g0 = int(hids) + $x",
+      // implicit S→I conversion abort on the counter add
+      "c0 += hids",
+      // the self-rewrite the abort gates (read-before-write on the
+      // same line via the statement above, cross-line otherwise)
+      "hids = $s",
+      "hids = string($x)",
+      "c0 += int(hids)\nhids = $s",
+      "hids = $s\nc0 += int(hids)",
+      // keyed variant: per-key abortable history
+      "hids1[$s] = $s",
+      "hids1[$s] = string($x)",
+      "g0 = int(hids1[$s])",
+      "c0 += int(hids1[\"alpha\"])\nhids1[$s] = $s",
+      // strtol abort reading self-written text state
+      "g0 = strtol(hids, 10)",
+      // genuine IR-level cycles from the primary pool, so the hunt
+      // also walks abort guards INTO machinery-fenced residuals
+      "hidc < 3 { hidc++ }",
+      "hidc1[$s] < 2 { hidc1[$s]++ }",
+      "hid0 == 1 {\nhid0 = 0\nc0++\n}",
+      "hid0 = 1",
+      // cycle cond + abortable read on the SAME line
+      "c0 += int(hids)\nhidc < 5 { hidc++ }",
+      "hidc % 2 == 0 { hids = $s }",
+      "g1[$s][$x] = hidc1[$s] + 1",
+      "stop")
+    pool(rnd.nextInt(pool.length))
+  }
+
+  /** decls for the abort-cycle hunt: the primary set plus two
+    * string-typed hidden metrics whose reads can abort.
+    */
+  val declsAbort: String = decls +
+    "hidden gauge hids\nhidden gauge hids1 by a\n"
+
+  def genProgramAbort(rnd: Random): String = {
+    val body = (Seq.fill(1 + rnd.nextInt(3))(
+      block(rnd, 2, leafAbortCycle)) ++
+      // a reset arm half the time: flips the string state back to a
+      // numeric value so conversion aborts alternate instead of
+      // absorbing
+      (if (rnd.nextBoolean())
+        Seq("/^reset$/ {\nhids = \"7\"\nhids1[\"alpha\"] = \"7\"\n}")
+      else Nil)).mkString("\n")
+    val usedDecls = declsAbort.linesIterator.filter { d =>
+      val name = d.trim.split("\\s+|,").collectFirst {
+        case w if w.matches("[a-z_][a-z0-9_]*") &&
+          !Set("counter", "gauge", "timer", "text", "histogram",
+            "hidden").contains(w) => w
+      }.get
+      ("\\b" + name + "\\b").r.findFirstIn(body).isDefined
+    }.mkString("", "\n", "\n")
+    usedDecls + body + "\n"
+  }
+
   def block(rnd: Random, depth: Int,
       leafFn: Random => String = leaf): String = {
     val p = patterns(rnd.nextInt(patterns.length))
