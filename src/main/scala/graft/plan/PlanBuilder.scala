@@ -1620,12 +1620,42 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         }
         visit(l); visit(r)
       case Binop("<<" | ">>", l, r) =>
+        // string operands pop through PopInt's strict ParseInt
+        // (vm.go:128-147) — parse failure aborts the line
+        Seq(l, r).foreach { o =>
+          if (irType(o, frames) == StringType) {
+            val oc = exprColumn(o, frames, timeReg, siteSeq)
+            nulls += coalesce(
+              oc.isNotNull && strictParseInt(oc).isNull, lit(false))
+          }
+        }
         // "shift int out of range": a count < 0 or ≥ MaxInt32 is a
         // runtime error that aborts the line (vm.go:700-711)
-        val rc = exprColumn(r, frames, timeReg, siteSeq)
+        val rc0 = exprColumn(r, frames, timeReg, siteSeq)
+        val rc = if (irType(r, frames) == StringType)
+          strictParseInt(rc0) else rc0
         nulls += coalesce(rc < 0 || rc >= Int.MaxValue.toLong,
           lit(false))
         visit(l); visit(r)
+      case Binop("&" | "|" | "^", l, r) =>
+        // same PopInt strictness for the non-shift bitwise ops —
+        // pre-r18 a failed parse only dropped the one update while
+        // the VM aborts the whole line
+        Seq(l, r).foreach { o =>
+          if (irType(o, frames) == StringType) {
+            val oc = exprColumn(o, frames, timeReg, siteSeq)
+            nulls += coalesce(
+              oc.isNotNull && strictParseInt(oc).isNull, lit(false))
+          }
+        }
+        visit(l); visit(r)
+      case Unop("~", y) =>
+        if (irType(y, frames) == StringType) {
+          val yc = exprColumn(y, frames, timeReg, siteSeq)
+          nulls += coalesce(
+            yc.isNotNull && strictParseInt(yc).isNull, lit(false))
+        }
+        visit(y)
       case Binop(_, l, r) => visit(l); visit(r)
       case Unop(_, y) => visit(y)
       case Call("int" | "float", args)
@@ -1993,6 +2023,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     }
   }
 
+  /** strconv.ParseInt base-10 strictness (vm.go:128-147, S2i
+    * vm.go:908-931): optional sign + digits only — "3.5", " 5" and
+    * "0x1f" all FAIL where Spark's cast would truncate or trim. Null
+    * on failure; callers pair it with a line-abort term.
+    */
+  private def strictParseInt(c: Column): Column =
+    when(c.rlike("^[+-]?[0-9]+$"), c.cast(LongType))
+
   /** String-ify with the VM's conversion semantics: float operands
     * render as Go shortest `%g` via [[GoFloatString]] — the F2s opcode
     * the reference's codegen emits for label keys, `string()`, and
@@ -2080,11 +2118,15 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         case "&" | "|" | "^" | "<<" | ">>" =>
           // bitwise operands unify with Int but Strings coerce in
           // (types.go:470) and the VM's PopInt parses them at runtime
-          // (vm.go:138-143) — cast explicitly; Spark's bitwise ops
-          // don't take string columns. A failed parse nulls out, which
-          // drops the update like the VM's runtime-error abort
+          // with strconv.ParseInt (vm.go:128-147) — STRICT base-10
+          // integers only ("3.5" and " 5" both error), where Spark's
+          // cast would truncate/trim. The strict parse nulls on
+          // failure and typedCaprefNullCond carries the matching
+          // line-abort term (round 18 — previously the update was
+          // dropped but the LINE survived, unlike the VM)
           def asLong(x: Expr, c: Column): Column =
-            if (irType(x, frames) == StringType) c.cast(LongType) else c
+            if (irType(x, frames) == StringType) strictParseInt(c)
+            else c
           val bl = asLong(l, lc)
           val br = asLong(r, rc)
           op match {
@@ -2142,9 +2184,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     case Unop("!", x) => !exprColumn(x, frames, tReg, siteIdx, reading)
     case Unop("-", x) => -exprColumn(x, frames, tReg, siteIdx, reading)
     case Unop("~", x) =>
-      // string operands parse at runtime like any PopInt (vm.go:138)
+      // string operands parse at runtime like any PopInt — STRICT
+      // ParseInt (vm.go:128-147), abort term in typedCaprefNullCond
       val xc = exprColumn(x, frames, tReg, siteIdx, reading)
-      (if (irType(x, frames) == StringType) xc.cast(LongType) else xc)
+      (if (irType(x, frames) == StringType) strictParseInt(xc) else xc)
         .bitwiseXOR(lit(-1L))
     case Unop(op, _) => throw new IllegalArgumentException(s"unop $op")
     case Call(fn, args) =>
@@ -2181,7 +2224,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
                 .quoteReplacement(litString(args(1)))))
           case _ => replace(a(2), a(0), a(1))
         }
-        case "int" => a(0).cast(LongType)
+        case "int" =>
+          // S2i is strconv.ParseInt (vm.go:908-931): strict base-10 —
+          // "3.5" is a runtime error, NOT a truncation to 3 (Spark's
+          // cast). Null on failure; the int()-abort term in
+          // typedCaprefNullCond fires on the null.
+          if (irType(args(0), frames) == StringType)
+            strictParseInt(a(0))
+          else a(0).cast(LongType)
         case "float" => a(0).cast(DoubleType)
         case "string" => strCast(args(0), a(0), frames)
         case other => throw new IllegalArgumentException(s"builtin $other")

@@ -188,6 +188,33 @@ class TypePinSpec extends SparkSpec {
     assert(s.endsWith("E+23") && !s.contains("e"), s)
   }
 
+  test("int() and bitwise string operands are strict ParseInt: a " +
+      "decimal rendering aborts the line, never truncates (vm.go:" +
+      "128-147, 908-931)") {
+    val src =
+      """counter c0
+        |counter after_site
+        |/^d (?P<x>\d+)$/ {
+        |  c0++
+        |  c0 += int(string($x / 2.0))
+        |  after_site++
+        |}
+        |/^b (?P<s>[a-z]+)$/ {
+        |  c0++
+        |  c0 += ($s & 7)
+        |  after_site++
+        |}
+        |""".stripMargin
+    // "d 4": 4/2.0 renders "2" → int ok → c0 += 1+2, after_site=1
+    // "d 3": renders "1.5" → ParseInt FAILS → line aborts after c0++
+    //        (Spark's bare cast would have truncated to 1)
+    // "b ab": "ab" & 7 → ParseInt fails → abort after c0++
+    val (eng, vm) = run(src, Seq("d 4", "d 3", "b ab"))
+    assert(eng == vm, s"engine $eng vs vm $vm")
+    assert(eng(("c0", Map.empty)) == VInt(5)) // 1+2 (d4) +1 (d3) +1 (b)
+    assert(eng(("after_site", Map.empty)) == VInt(1))
+  }
+
   test("never-written scalar counter pinned Float zero-inits 0.0 " +
       "(codegen.go:117-121)") {
     val src =

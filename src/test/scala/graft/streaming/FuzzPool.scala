@@ -179,6 +179,17 @@ object FuzzPool {
       "g0 = strtol(string($x), 10)",
       "settime($x)\ng0 = timestamp()",
       "h0 = $x % 17",
+      // r18: PopInt strictness — S2i/bitwise string operands go
+      // through strconv.ParseInt, so a DECIMAL rendering ("3.5") or a
+      // word is a line abort, never a truncation; mixed with writes
+      // before/after so the abort interacts with folds. (Appending
+      // here re-maps extended-pool seed→program pairs — fine, no
+      // pinned expectations live in this seed space.)
+      "g0 = int(string($x / 2.0))",
+      "c0++\ng0 = $s & 7\nc1[$s]++",
+      "g0 = string($x) & 12",
+      "c0++\ng0 = string($x / 2.0) >> 1",
+      "c0++\ng0 = ~$s",
       "stop")
     pool(rnd.nextInt(pool.length))
   }
