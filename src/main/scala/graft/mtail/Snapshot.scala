@@ -17,10 +17,17 @@ object Snapshot {
     * value ADDS) — None falls back to the kind's default
     * (counter/histogram add, gauge/timer/text replace).
     */
+  /** createOnly: the cell exists only because a Dload touched it
+    * (a read, or a load whose statement later aborted) — on store
+    * merge it INSERTS IF ABSENT and never overwrites a live cell
+    * (metric.go GetDatum creates; the datum itself was never
+    * updated).
+    */
   final case class Cell(kind: String, name: String,
       labels: Map[String, String], value: Value, tsSec: Option[Long],
       buckets: Option[Map[String, Long]] = None,
-      wasSet: Option[Boolean] = None)
+      wasSet: Option[Boolean] = None,
+      createOnly: Boolean = false)
 
   private val varRe =
     """^(counter|gauge|timer|text|histogram) ([^ ]+)(?: \{([^}]+)\})?(?: (\S+))?(?: (.+))?""".r
@@ -101,7 +108,11 @@ object Snapshot {
         if (!r.schema.fieldNames.contains("was_set") ||
           r.isNullAt(r.fieldIndex("was_set"))) None
         else Some(r.getAs[Boolean]("was_set"))
-      Cell(kind, name, labels, value, tsSec, buckets, wasSet)
+      val createOnly = r.schema.fieldNames.contains("create_only") &&
+        !r.isNullAt(r.fieldIndex("create_only")) &&
+        r.getAs[Boolean]("create_only")
+      Cell(kind, name, labels, value, tsSec, buckets, wasSet,
+        createOnly)
     }
   }
 
@@ -116,9 +127,10 @@ object Snapshot {
     (a.keySet -- e.keySet).toSeq.sorted.foreach(k =>
       sb.append(s"unexpected: ${a(k)}\n"))
     (e.keySet & a.keySet).toSeq.sorted.foreach { k =>
-      // wasSet is merge plumbing, not exported state — golden cells
-      // never carry it
-      if (e(k).copy(wasSet = None) != a(k).copy(wasSet = None))
+      // wasSet/createOnly are merge plumbing, not exported state —
+      // golden cells never carry them
+      if (e(k).copy(wasSet = None, createOnly = false) !=
+        a(k).copy(wasSet = None, createOnly = false))
         sb.append(s"differs:\n  want ${e(k)}\n  got  ${a(k)}\n")
     }
     sb.toString

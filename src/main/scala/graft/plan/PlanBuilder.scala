@@ -1527,6 +1527,23 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       condReads: Set[String] = Set.empty)
 
   private val sites = mutable.ArrayBuffer[Site]()
+
+  /** one Dload-creation point (round 18): the reference's Dload calls
+    * Metric.GetDatum, which CREATES a zero datum for any cell it
+    * loads — pure reads of missing cells included, and loads whose
+    * statement aborts LATER (codegen.go:223-233 emits Mload+Dload for
+    * every metric term; metric.go GetDatum appends the LabelValue).
+    * An exported metric read at a never-written key therefore grows a
+    * zero cell in the export. `cond` carries the exact VM gating:
+    * enclosing conds ∧ stopGuard ∧ &&/|| short-circuit path ∧ no
+    * abort among operands evaluated BEFORE this load (postfix order).
+    * Hidden metrics are skipped — a created zero datum is
+    * indistinguishable from an absent one everywhere but the export.
+    */
+  private case class Creation(idx: Int, metric: MetricDecl,
+      keyCols: Seq[Column], cond: Column)
+  private val creations = mutable.ArrayBuffer[Creation]()
+
   private var siteSeq = 0 // shared order for sites AND strptime/settime
   private var timeReg: Column = lit(null).cast(TimestampType)
   private var stopGuard: Column = lit(true)
@@ -1740,6 +1757,147 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       Some(lit(true))
     else None
 
+  /** the Jnm truthiness of a lowered operand, for &&/|| short-circuit
+    * gating in [[scanCreations]] (mirrors condExpr's bool coercion).
+    */
+  private def truthyCol(e: Expr, c: Column,
+      frames: List[Frame]): Column = irType(e, frames) match {
+    case BooleanType => coalesce(c, lit(false))
+    case StringType => c.isNotNull && c =!= ""
+    case _ => coalesce(c =!= lit(0), lit(false))
+  }
+
+  /** Walk `e` in the VM's evaluation order — postfix, left-to-right,
+    * &&/|| short-circuiting (codegen.go:330-356 Jnm/Jm jumps) — and
+    * register a [[Creation]] for every metric load, gated on the
+    * running `gate`: alive ∧ short-circuit path ∧ no abort term
+    * positioned BEFORE the load. The abort terms mirror
+    * [[typedCaprefNullCond]]'s set, but ORDERED: an abort after a
+    * Dload leaves the created datum (vm.go errorf fires mid-line),
+    * an abort before it prevents the creation. Returns the gate
+    * active after evaluating `e`.
+    */
+  private def scanCreations(gate: Column, e: Expr,
+      frames: List[Frame]): Column = e match {
+    case StrLit(_) | IntLit(_) | FloatLit(_) | PatternLit(_) |
+        LineMatch(_, _) => gate
+    case Capref(n) =>
+      frames.view.flatMap(_.resolve(n)).headOption match {
+        case Some((c, LongType | DoubleType)) =>
+          gate && !coalesce(c.isNull, lit(false))
+        case _ => gate
+      }
+    case MetricRead(m, keys) =>
+      var g = gate
+      keys.foreach(k => g = scanCreations(g, k, frames))
+      if (keys.exists(k => irType(k, frames) == BooleanType)) lit(false)
+      else {
+        val decl = program.decl(m)
+        if (!decl.hidden) creations += Creation(siteSeq, decl,
+          keys.map(k => strCast(k,
+            exprColumn(k, frames, timeReg, siteSeq), frames)), g)
+        g
+      }
+    case Binop("&&", l, r) =>
+      val gL = scanCreations(gate, l, frames)
+      val path = truthyCol(l, exprColumn(l, frames, timeReg, siteSeq),
+        frames)
+      val gR = scanCreations(gL && path, r, frames)
+      (gL && !path) || gR
+    case Binop("||", l, r) =>
+      val gL = scanCreations(gate, l, frames)
+      val path = truthyCol(l, exprColumn(l, frames, timeReg, siteSeq),
+        frames)
+      val gR = scanCreations(gL && !path, r, frames)
+      (gL && path) || gR
+    case Binop(op @ ("/" | "%"), l, r) =>
+      val g = scanCreations(scanCreations(gate, l, frames), r, frames)
+      if (irType(e, frames) == LongType) {
+        val rc = exprColumn(r, frames, timeReg, siteSeq)
+        g && !coalesce(rc === 0, lit(false))
+      } else g
+    case Binop("<<" | ">>", l, r) =>
+      var g = scanCreations(scanCreations(gate, l, frames), r, frames)
+      Seq(l, r).foreach { o =>
+        if (irType(o, frames) == StringType) {
+          val oc = exprColumn(o, frames, timeReg, siteSeq)
+          g = g && !coalesce(oc.isNotNull &&
+            strictParseInt(oc).isNull, lit(false))
+        }
+      }
+      val rc0 = exprColumn(r, frames, timeReg, siteSeq)
+      val rc = if (irType(r, frames) == StringType)
+        strictParseInt(rc0) else rc0
+      g && !coalesce(rc < 0 || rc >= Int.MaxValue.toLong, lit(false))
+    case Binop("&" | "|" | "^", l, r) =>
+      var g = scanCreations(scanCreations(gate, l, frames), r, frames)
+      Seq(l, r).foreach { o =>
+        if (irType(o, frames) == StringType) {
+          val oc = exprColumn(o, frames, timeReg, siteSeq)
+          g = g && !coalesce(oc.isNotNull &&
+            strictParseInt(oc).isNull, lit(false))
+        }
+      }
+      g
+    case Binop(_, l, r) =>
+      scanCreations(scanCreations(gate, l, frames), r, frames)
+    case Unop("~", y) =>
+      var g = scanCreations(gate, y, frames)
+      if (irType(y, frames) == StringType) {
+        val yc = exprColumn(y, frames, timeReg, siteSeq)
+        g = g && !coalesce(yc.isNotNull && strictParseInt(yc).isNull,
+          lit(false))
+      }
+      g
+    case Unop(_, y) => scanCreations(gate, y, frames)
+    case Call(fn @ ("int" | "float"), args)
+        if irType(args(0), frames) == StringType =>
+      val g = args.foldLeft(gate)((acc, a) =>
+        scanCreations(acc, a, frames))
+      val ac = exprColumn(args(0), frames, timeReg, siteSeq)
+      val cc = exprColumn(e, frames, timeReg, siteSeq)
+      g && !coalesce(ac.isNotNull && cc.isNull, lit(false))
+    case Call("strtol", args) =>
+      val g = args.foldLeft(gate)((acc, a) =>
+        scanCreations(acc, a, frames))
+      val base = args(1) match {
+        case IntLit(b) => b.toInt
+        case _ => 10
+      }
+      val digits =
+        if (base <= 10) s"0-${base - 1}"
+        else "0-9a-" + ('a' + base - 11).toChar
+      val ac = exprColumn(args(0), frames, timeReg, siteSeq)
+      g && !coalesce(!ac.rlike(s"(?i)^[+-]?[$digits]+$$"), lit(false))
+    case Call(_, args) =>
+      args.foldLeft(gate)((acc, a) => scanCreations(acc, a, frames))
+  }
+
+  /** creation registration for a WRITE statement: keys evaluate
+    * first, the written metric's own Dload creates (unless a
+    * statically-Bool key aborts the key pop first), then the value
+    * expression evaluates — its aborts come too late to prevent the
+    * creation (codegen ASSIGN/ADD_ASSIGN walk LHS before RHS).
+    *
+    * `alwaysLands`: the site has NO abort terms — its write row fires
+    * whenever the statement does, so the row itself creates the cell
+    * and the explicit creation row would be pure overhead (the common
+    * fast path: `m[$k]++` keeps zero creation machinery).
+    */
+  private def scanWriteCreations(base: Column, m: String,
+      keys: Seq[Expr], value: Expr, frames: List[Frame],
+      alwaysLands: Boolean): Unit = {
+    var g = base
+    keys.foreach(k => g = scanCreations(g, k, frames))
+    if (keys.exists(k => irType(k, frames) == BooleanType)) return
+    val decl = program.decl(m)
+    if (!decl.hidden && !alwaysLands) creations += Creation(siteSeq,
+      decl, keys.map(k => strCast(k,
+        exprColumn(k, frames, timeReg, siteSeq), frames)), g)
+    scanCreations(g, value, frames)
+    ()
+  }
+
   /** record that executing under `execCond` errors when `nullCond` —
     * later statements on that line are skipped, like after `stop`.
     */
@@ -1797,6 +1955,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         }
         c match {
           case CondExpr(e) =>
+            // a cond expression's Dloads run whenever the PARENT block
+            // reached this statement — regardless of the cond's own
+            // outcome (the Jnm jumps after the loads)
+            scanCreations(cond && stopGuard, e, frames)
             // NOTE: abort terms use the plain block cond, NOT
             // cond && stopGuard — embedding the guard in its own next
             // term doubles the tree per site (exponential on
@@ -1836,6 +1998,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         // edges for the cycle graph, same as the stopGuard ones
         val ownReads = if (incNull.isEmpty) Set.empty[String]
           else (keys :+ delta).flatMap(irReadMetrics).toSet
+        scanWriteCreations(cond && stopGuard, m, keys, delta, frames,
+          alwaysLands = incNull.isEmpty)
         sites += Site(nextSeq(), program.decl(m), op,
           cond && stopGuard && incOwn, keys, Some(delta), frames,
           timeReg, None, condReads ++ stopGuardReads ++ ownReads)
@@ -1851,15 +2015,23 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           else (keys :+ v).flatMap(irReadMetrics).toSet
         val setOwn = setNull.map(nc =>
           !coalesce(nc, lit(false))).getOrElse(lit(true))
+        scanWriteCreations(cond && stopGuard, m, keys, v, frames,
+          alwaysLands = setNull.isEmpty)
         sites += Site(nextSeq(), program.decl(m), OpSet,
           cond && stopGuard && setOwn, keys, Some(v), frames, timeReg,
           None, condReads ++ stopGuardReads ++ setOwnReads)
         abortOn(cond, setNull, condReads ++ setOwnReads)
       case DelStmt(m, keys, after) =>
+        // del's own Dload is OVERWRITTEN by the Del/Expire opcode
+        // (codegen.go:316-326) — no self-creation; reads INSIDE the
+        // key expressions still Dload
+        keys.foldLeft(cond && stopGuard)((g, k) =>
+          scanCreations(g, k, frames))
         sites += Site(nextSeq(), program.decl(m), OpDel,
           cond && stopGuard, keys, None, frames, timeReg, after,
           condReads ++ stopGuardReads)
       case ExprStmt(Call("strptime", Seq(arg, StrLit(layout)))) =>
+        scanCreations(cond && stopGuard, arg, frames)
         val seq = nextSeq()
         val execCond = cond && stopGuard
         val parsedTs = materialize(GoStrptime(
@@ -1871,6 +2043,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         abortOn(cond, Some(parsedTs.isNull),
           condReads ++ irReadMetrics(arg))
       case ExprStmt(Call("settime", Seq(arg))) =>
+        scanCreations(cond && stopGuard, arg, frames)
         val seq = nextSeq()
         val execCond = cond && stopGuard
         val tsLong = exprColumn(arg, frames, timeReg, seq)
@@ -1941,6 +2114,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   // pass 2: rebuild with the full site list visible to metric reads
   resolvedSites = sites.toSeq
   sites.clear()
+  creations.clear() // pass-1 creation conds hold provisional refs
   siteSeq = 0
   timeReg = lit(null).cast(TimestampType)
   stopGuard = lit(true)
@@ -2581,7 +2755,106 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       }
     }
 
-  def metricFrame(decl: Ir.MetricDecl): DataFrame = {
+  def metricFrame(decl: Ir.MetricDecl): DataFrame =
+    withCreations(decl, metricFrameBase(decl))
+
+  /** Merge [[Creation]] rows into a metric's fold frame: any cell the
+    * VM's Dload touched EXISTS in the export even if never
+    * successfully written (zero value, no stamp, `__create_only`
+    * true so the streaming store merge inserts-if-absent and never
+    * overwrites a live cell). Created cells respect keyless `del`
+    * ordering (delFilter on the creation ordinals) and count toward
+    * `limit N` eviction like any datum (null stamp → evicted first,
+    * same as the interpreter's None).
+    */
+  private def withCreations(decl: Ir.MetricDecl,
+      base: DataFrame): DataFrame = {
+    val mCreates = creations.filter(_.metric.name == decl.name).toSeq
+    val baseFlagged =
+      if (base.columns.isEmpty) base
+      else base.withColumn("__create_only", lit(false))
+    if (mCreates.isEmpty || decl.hidden) return baseFlagged
+    val vt = metricType(decl.name)
+    val keyNames = decl.keys.indices.map(i => s"k$i")
+    val dels = sites.filter(s => s.metric.name == decl.name &&
+      s.op == OpDel && s.afterSeconds.isEmpty).toSeq
+    val createdU = delFilterFor(decl, dels)(
+      mCreates.map { cr =>
+        df.select((cr.keyCols.zipWithIndex.map { case (c, i) =>
+          c.as(s"k$i") } :+ ordKey(cr.idx).as("ordk") :+
+          coalesce(cr.cond, lit(false)).as("__cond")): _*)
+          .filter(col("__cond")).drop("__cond")
+          // a null key = an upstream conversion failure; that line
+          // aborted before the Dload key pop completed
+          .filter(keyNames.map(k => col(k).isNotNull)
+            .reduceOption(_ && _).getOrElse(lit(true)))
+      }.reduce(_ unionAll _))
+    // zero-datum row shape matching the fold frame's schema
+    val zeroCols: Seq[Column] =
+      (if (decl.kind == Ir.Histogram)
+        decl.buckets.indices.map(i => lit(0L).as(s"bucket_$i")) ++
+          Seq(lit(0L).as("bucket_inf"),
+            lit(0.0).as("value"), lit(0L).as("obs_count"))
+      else Seq(zeroOf(vt).as("value"))) ++
+        Seq(lit(null).cast(TimestampType).as("ts"),
+          lit(false).as("__was_set"), lit(true).as("__create_only"))
+    val merged =
+      if (keyNames.isEmpty) {
+        // scalar: one zero row iff something was created AND the fold
+        // produced no row (scalar counters always have their zero-init
+        // row, so creation never adds one — GetDatum loads it)
+        val baseN =
+          (if (baseFlagged.columns.isEmpty)
+            df.sparkSession.range(0).select(lit(false).as("__create_only"))
+          else baseFlagged)
+            .agg(count(lit(1)).as("__bn"))
+        val zeroRow = createdU.limit(1)
+          .crossJoin(broadcast(baseN.filter(col("__bn") === 0)))
+          .select(zeroCols: _*)
+        if (baseFlagged.columns.isEmpty) zeroRow
+        else baseFlagged.unionByName(zeroRow)
+      } else {
+        val createdKeys = createdU.select(keyNames.map(col): _*)
+          .distinct()
+        val zeroRows =
+          (if (baseFlagged.columns.isEmpty) createdKeys
+          else createdKeys.join(baseFlagged, keyNames, "left_anti"))
+            .select(keyNames.map(col) ++ zeroCols: _*)
+        if (baseFlagged.columns.isEmpty) zeroRows
+        else baseFlagged.unionByName(zeroRows)
+      }
+    limitNewest(merged, decl)
+  }
+
+  /** drop rows at-or-before each cell's last keyless `del` — shared by
+    * the fold frames and the creation rows (a created cell deleted
+    * later is gone; a Dload after the del recreates).
+    */
+  private def delFilterFor(decl: Ir.MetricDecl,
+      dels: Seq[Site])(u: DataFrame): DataFrame = {
+    if (dels.isEmpty) return u
+    val vt = metricType(decl.name)
+    val keyNames = decl.keys.indices.map(i => s"k$i")
+    val delDf = dels.map(siteFrame(_, vt)).reduce(_ unionAll _)
+      .groupBy(keyNames.map(col): _*)
+      .agg(max("ordk").as("__del_ord"))
+    if (keyNames.isEmpty) {
+      // the global agg emits one row even when no del fired, with
+      // null __del_ord; `ordk > null` is null, so guard like the
+      // keyed branch or every update row is dropped
+      u.crossJoin(broadcast(delDf))
+        .filter(col("__del_ord").isNull ||
+          col("ordk") > col("__del_ord"))
+        .drop("__del_ord")
+    } else {
+      u.join(broadcast(delDf), keyNames, "left")
+        .filter(col("__del_ord").isNull ||
+          col("ordk") > col("__del_ord"))
+        .drop("__del_ord")
+    }
+  }
+
+  private def metricFrameBase(decl: Ir.MetricDecl): DataFrame = {
     val mSites = sites.filter(_.metric.name == decl.name)
     val updates = mSites.filter(_.op != OpDel).toSeq
     val dels = mSites.filter(_.op == OpDel).filter(_.afterSeconds.isEmpty)
@@ -2591,27 +2864,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     val keyNames = decl.keys.indices.map(i => s"k$i")
 
     /** drop update rows at-or-before each cell's last keyless `del`. */
-    def delFilter(u: DataFrame): DataFrame =
-      if (dels.isEmpty) u
-      else {
-        val delDf = dels.map(siteFrame(_, vt)).reduce(_ unionAll _)
-          .groupBy(keyNames.map(col): _*)
-          .agg(max("ordk").as("__del_ord"))
-        if (keyNames.isEmpty) {
-          // the global agg emits one row even when no del fired, with
-          // null __del_ord; `ordk > null` is null, so guard like the
-          // keyed branch or every update row is dropped
-          u.crossJoin(broadcast(delDf))
-            .filter(col("__del_ord").isNull ||
-              col("ordk") > col("__del_ord"))
-            .drop("__del_ord")
-        } else {
-          u.join(broadcast(delDf), keyNames, "left")
-            .filter(col("__del_ord").isNull ||
-              col("ordk") > col("__del_ord"))
-            .drop("__del_ord")
-        }
-      }
+    def delFilter(u: DataFrame): DataFrame = delFilterFor(decl, dels)(u)
 
     val setSites = updates.filter(_.op == OpSet)
     val incSites = updates.filter(_.op == OpInc)
@@ -2892,7 +3145,11 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           unix_micros(col("ts")).as("ts_micros"),
           // merge semantics for the streaming store: true = this batch
           // SET the cell (replace), false = pure increments (add)
-          col("__was_set").as("was_set"))
+          col("__was_set").as("was_set"),
+          // Dload-created-only cell: store merge inserts-if-absent
+          (if (mf.columns.contains("__create_only"))
+            col("__create_only")
+          else lit(false)).as("create_only"))
       }
     }
     frames.flatten.reduceOption(_ unionAll _).getOrElse(

@@ -48,6 +48,10 @@ final class MetricsStore {
     batch.foreach { c =>
       val key = (c.name, c.labels)
       cells.get(key) match {
+        // a Dload-created-only cell INSERTS IF ABSENT and never
+        // touches a live cell: the datum existed but was never
+        // updated (GetDatum creation, round 18)
+        case Some(_) if c.createOnly => ()
         case None => cells(key) = c
         case Some(prev) =>
           // Batches arrive in stream order, and the VM datum keeps the

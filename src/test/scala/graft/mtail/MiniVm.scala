@@ -22,17 +22,24 @@ import graft.mtail.Ir._
   * UnsupportedOperationException — a pool extension that silently
   * fell back would shrink the net.
   *
-  * KNOWN SHARED DEVIATION (documented round 18, unimplemented on both
-  * sides so the differential net stays meaningful): the reference's
-  * Dload opcode calls Metric.GetDatum, which CREATES a zero datum for
-  * any cell it loads — including pure READS of missing cells and
-  * loads whose statement later aborts (codegen.go:233 emits Dload
-  * before the value expression). An exported metric read at a
-  * never-written key therefore grows a zero-valued cell in the
-  * reference's export; engine and MiniVm both model create-on-WRITE
-  * only. Not exercised by the golden corpus (no golden program reads
-  * a missing cell of an exported metric); candidate for a future
-  * round.
+  * Dload-creation semantics (round 18, was a documented deviation,
+  * now IMPLEMENTED on both sides): Dload calls Metric.GetDatum, which
+  * CREATES a zero datum for any cell it loads — pure READS of missing
+  * cells included, and loads whose statement later aborts
+  * (codegen.go:233 emits Dload before the value expression). Here it
+  * falls out of evaluation order (readCell getOrElseUpdate; write
+  * handlers create after keys, before the value); the engine builds
+  * explicit creation rows with the same gating
+  * (PlanBuilder.scanCreations).
+  *
+  * KNOWN SHARED DEVIATION (documented round 18): `del m[k] after d`
+  * on a MISSING cell is a runtime error in the reference — the line
+  * aborts (ExpireDatum "No datum", metric.go:223-234 via
+  * vm.go:796-812). Both sides model the TTL hint as an unconditional
+  * one-shot no-op instead; the fuzz pools only generate TTL dels
+  * whose cell provably exists (a same-line write precedes), so the
+  * nets never cross the deviation. Candidate for a future round (it
+  * needs a cross-line cell-EXISTENCE fold in the engine).
   *
   * Semantics cross-checked against the engine's own documented VM
   * parity points (PlanBuilder scaladocs citing vm.go / codegen.go):
@@ -205,16 +212,14 @@ object MiniVm {
           if (keys.exists(k => staticType(k, scope) == 'B'))
             throw new AbortLine
           val labels = keys.map(k => labelStr(k, line, frames))
+          // Dload creates BEFORE the delta evaluates (codegen walks
+          // the lvalue first): a delta/coercion abort still leaves
+          // the created zero datum in the store (round 18)
+          val dat = cells(m).getOrElseUpdate(labels, fresh(m))
           val d = eval(delta, line, frames)
           if (program.decl(m).kind == Histogram)
             throw new UnsupportedOperationException("+= on histogram")
           if (staticType(delta, scope) == 'B') throw new AbortLine
-          // coerce BEFORE creating the datum: engine semantics are
-          // create-on-successful-write (an aborted statement leaves no
-          // cell — see the KNOWN SHARED DEVIATION note: the reference
-          // itself Dloads first), so the coercion aborts must fire
-          // before getOrElseUpdate or this interpreter grows cells the
-          // engine never makes
           metricType(m) match {
             case 'S' =>
               // ADD_ASSIGN@String = Cat + Sset (codegen.go:523-540):
@@ -222,14 +227,10 @@ object MiniVm {
               // UPPERCASE 'G' (vm.go:171-186), unlike the F2s paths
               if (!addAssign) throw new UnsupportedOperationException(
                 "++ on String-typed metric") // checker rejects
-              val s = popStr(d)
-              val dat = cells(m).getOrElseUpdate(labels, fresh(m))
-              dat.value = VS(asStr(dat.value) + s)
+              dat.value = VS(asStr(dat.value) + popStr(d))
               dat.ts = time
             case 'F' =>
-              val f = asF(d)
-              val dat = cells(m).getOrElseUpdate(labels, fresh(m))
-              dat.value = VF(asF(dat.value) + f)
+              dat.value = VF(asF(dat.value) + asF(d))
               dat.ts = time
             case _ =>
               // PopInt has NO float64 arm (vm.go:128-147): a
@@ -240,9 +241,7 @@ object MiniVm {
                 case VF(_) => throw new AbortLine
                 case _ => ()
               }
-              val i = asI(d)
-              val dat = cells(m).getOrElseUpdate(labels, fresh(m))
-              dat.value = VI(asI(dat.value) + i)
+              dat.value = VI(asI(dat.value) + asI(d))
               dat.ts = time
           }
         case SetStmt(m, keys, value) =>
@@ -250,30 +249,27 @@ object MiniVm {
           if (keys.exists(k => staticType(k, scope) == 'B'))
             throw new AbortLine
           val labels = keys.map(k => labelStr(k, line, frames))
+          // Dload creates before the value evaluates (see IncStmt)
+          val dat = cells(m).getOrElseUpdate(labels, fresh(m))
           val v = eval(value, line, frames)
           if (staticType(value, scope) == 'B') throw new AbortLine
-          // coerce before datum creation — same reason as IncStmt
-          val coerced: Either[Double, V] = program.decl(m).kind match {
-            case Histogram => Left(asF(v))
-            case _ => Right(metricType(m) match {
-              case 'S' =>
-                // Sset pops through PopString: floats UPPERCASE 'G'
-                // (vm.go:171-186) — unlike the F2s paths
-                VS(popStr(v))
-              case 'F' => VF(asF(v))
-              case _ =>
-                // PopInt: no float64 arm (see IncStmt)
-                v match {
-                  case VF(_) => throw new AbortLine
-                  case _ => ()
-                }
-                VI(asI(v))
-            })
-          }
-          val dat = cells(m).getOrElseUpdate(labels, fresh(m))
-          coerced match {
-            case Left(obs) => dat.hist.observe(obs)
-            case Right(nv) => dat.value = nv
+          program.decl(m).kind match {
+            case Histogram => dat.hist.observe(asF(v))
+            case _ =>
+              dat.value = metricType(m) match {
+                case 'S' =>
+                  // Sset pops through PopString: floats UPPERCASE 'G'
+                  // (vm.go:171-186) — unlike the F2s paths
+                  VS(popStr(v))
+                case 'F' => VF(asF(v))
+                case _ =>
+                  // PopInt: no float64 arm (see IncStmt)
+                  v match {
+                    case VF(_) => throw new AbortLine
+                    case _ => ()
+                  }
+                  VI(asI(v))
+              }
           }
           dat.ts = time
         case DelStmt(m, keys, after) =>
@@ -342,11 +338,11 @@ object MiniVm {
       strUnify(eval(k, line, frames))
 
     private def readCell(m: String, labels: Seq[String]): V =
-      cells(m).get(labels).map(_.value).getOrElse(metricType(m) match {
-        case 'F' => VF(0.0)
-        case 'S' => VS("")
-        case _ => VI(0L)
-      })
+      // Dload CREATES the datum it loads (metric.go GetDatum appends
+      // a zero LabelValue) — a read of a missing cell grows a
+      // zero-valued cell that EXPORTS (round 18; invisible for hidden
+      // metrics, load-bearing for exported ones)
+      cells(m).getOrElseUpdate(labels, fresh(m)).value
 
     private def eval(e: Expr, line: String, frames: List[Frame]): V =
       e match {

@@ -214,14 +214,18 @@ object FuzzPool {
       "g0 = $x",
       "g1[$s][$x] = $x",
       "del c1[$s]",
-      // TTL hint on an exported keyed counter the pool also really
-      // dels/increments — the hint must not barrier the fold
-      "del c1[$s] after 1h",
+      // TTL hints: ALWAYS preceded by a same-line write to the same
+      // cell — `del … after` on a MISSING cell is a runtime abort in
+      // the reference (ExpireDatum "No datum", metric.go:223-234),
+      // which neither side implements (documented deviation, MiniVm
+      // scaladoc); the write guarantee keeps the pool inside the
+      // faithful subset. The hint must not barrier the fold.
+      "c1[$s]++\ndel c1[$s] after 1h",
       "c1[$s]++\ndel c1[$s] after 30s",
       // TTL hint on a READ hidden metric: afterSeconds sites must be
       // excluded from the as-of read fold, not treated as a del-barrier
       "hidc1[$s]++",
-      "del hidc1[$s] after 2m",
+      "hidc1[$s]++\ndel hidc1[$s] after 2m",
       "g1[$s][$x] = hidc1[$s] + 1",
       "del hidc1[$s]",
       // the mt_del_after_ttl idiom: write + hint on the same cell
