@@ -44,26 +44,29 @@ class ApproxShapeSpec extends SparkSpec {
   private val seeds =
     Seq(5816, 5824, 5872, 5993, 6006, 6012, 6048, 6080, 6081)
 
-  // the one sweep survivor that still reaches the unroll splice after
-  // the r18 rerouting (from the 300-seed VmDifferentialSpec sweep's
-  // declared-but-VM-exact summary): keeps the ORIGINAL two-part
-  // contract — declares loudly AND matches the VM anyway
-  test("fuzz seed 4467: surviving declared shape is loud and VM-exact") {
-    val rnd = new Random(4467)
-    val src = FuzzPool.genProgram(rnd)
-    val prog = Frontend.parse(src, "approx.4467")
-    val lines = FuzzPool.genLines(rnd)
-    val pb = new PlanBuilder(prog,
-      LogLines.fromLines(lines.toDF("line"), "line"), 2020)
-    val engine = norm(Snapshot.collect(pb.snapshot()))
-    assert(pb.approxNotes.nonEmpty,
-      "seed 4467 no longer declares — retire or regenerate (scaladoc)")
-    val vm = norm(MiniVm.run(prog, lines))
-    assert(engine == vm,
-      s"""seed 4467 diverged under declared notes:
-         |${pb.approxNotes.mkString("\n")}
-         |--- program:
-         |$src""".stripMargin)
+  // the sweep survivors that still reach the unroll splice after the
+  // r18 rerouting (from the 600-seed VmDifferentialSpec sweep's
+  // declared-but-VM-exact summary): keep the ORIGINAL two-part
+  // contract — declare loudly AND match the VM anyway
+  Seq(4467, 4788).foreach { seed =>
+    test(s"fuzz seed $seed: surviving declared shape is loud and " +
+        "VM-exact") {
+      val rnd = new Random(seed)
+      val src = FuzzPool.genProgram(rnd)
+      val prog = Frontend.parse(src, s"approx.$seed")
+      val lines = FuzzPool.genLines(rnd)
+      val pb = new PlanBuilder(prog,
+        LogLines.fromLines(lines.toDF("line"), "line"), 2020)
+      val engine = norm(Snapshot.collect(pb.snapshot()))
+      assert(pb.approxNotes.nonEmpty,
+        s"seed $seed no longer declares — retire or regenerate (scaladoc)")
+      val vm = norm(MiniVm.run(prog, lines))
+      assert(engine == vm,
+        s"""seed $seed diverged under declared notes:
+           |${pb.approxNotes.mkString("\n")}
+           |--- program:
+           |$src""".stripMargin)
+    }
   }
 
   seeds.foreach { seed =>

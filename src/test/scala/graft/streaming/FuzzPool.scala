@@ -333,6 +333,16 @@ object FuzzPool {
       "c0 += int(hids)\nhidc < 5 { hidc++ }",
       "hidc % 2 == 0 { hids = $s }",
       "g1[$s][$x] = hidc1[$s] + 1",
+      // Dload-creation shapes (round 18): reads of EXPORTED metrics at
+      // missing keys and keyed exported writes whose value aborts — the
+      // created zero cells must match the interpreter exactly, incl.
+      // under && short-circuits and del interleavings
+      "g0 = c1[\"zz\"]",
+      "g0 = g1[$s][\"miss\"]",
+      "g1[$s][$x] = int(hids)",
+      "c1[$s] += int(hids)",
+      "$x > 3 && c1[\"sc\"] > 0 { c0++ }",
+      "del c1[\"zz\"]",
       "stop")
     pool(rnd.nextInt(pool.length))
   }
