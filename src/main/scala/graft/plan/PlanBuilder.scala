@@ -1048,7 +1048,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       .forall(r => avail(r) || stateNames(r))) return false
     if (wantPersist && persistedDf.isEmpty) persistNow()
     val mspecs = metrics.toSeq.sorted.map(m =>
-      SeqCycleEval.MetricSpec(m, metricType(m), initialState.get(m)))
+      SeqCycleEval.MetricSpec(m, metricType(m), carriedState(m)))
     val reads = readNames.map(n =>
       SeqCycleEval.ReadSpec(n, seqReadInfo(n).metric,
         seqReadInfo(n).siteIdx, readKeyEncs(n)))
@@ -1619,62 +1619,77 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     */
   private def typedCaprefNullCond(e: Expr, frames: List[Frame])
       : Option[Column] = {
-    val nulls = mutable.ArrayBuffer[Column]()
-    def visit(x: Expr): Unit = x match {
+    def or(a: Option[Column], b: Option[Column]): Option[Column] =
+      (a.toSeq ++ b.toSeq).reduceOption(_ || _)
+    def go(x: Expr): Option[Column] = x match {
       case Capref(n) =>
-        frames.view.flatMap(_.resolve(n)).headOption.foreach {
-          case (c, LongType | DoubleType) => nulls += c.isNull
-          case _ =>
+        frames.view.flatMap(_.resolve(n)).headOption.collect {
+          case (c, LongType | DoubleType) => c.isNull
         }
+      // &&/|| short-circuit via Jnm/Jm (codegen.go:330-356): abort
+      // terms in the RIGHT operand only fire on the path that
+      // evaluates it — pre-r19 they were collected unconditionally,
+      // aborting lines whose failing operand the VM never ran
+      // (ADVICE r18; mirrors [[scanCreations]]' gating)
+      case Binop("&&", l, r) =>
+        or(go(l), go(r).map(t => coalesce(
+          truthyCol(l, exprColumn(l, frames, timeReg, siteSeq),
+            frames) && t, lit(false))))
+      case Binop("||", l, r) =>
+        or(go(l), go(r).map(t => coalesce(
+          !truthyCol(l, exprColumn(l, frames, timeReg, siteSeq),
+            frames) && t, lit(false))))
       case Binop("/" | "%", l, r) =>
         // only the INTEGER ops error on a zero divisor (vm.go:675-695
         // errorf in Idiv/Imod); float / keeps IEEE ±Inf and float %
         // is Fmod = math.Mod (vm.go:659-660) which yields NaN with no
         // error, so neither float op may abort the line
-        if (irType(x, frames) == LongType) {
-          val rc = exprColumn(r, frames, timeReg, siteSeq)
-          nulls += coalesce(rc === 0, lit(false))
-        }
-        visit(l); visit(r)
+        val div =
+          if (irType(x, frames) == LongType) {
+            val rc = exprColumn(r, frames, timeReg, siteSeq)
+            Some(coalesce(rc === 0, lit(false)))
+          } else None
+        or(or(go(l), go(r)), div)
       case Binop("<<" | ">>", l, r) =>
         // string operands pop through PopInt's strict ParseInt
         // (vm.go:128-147) — parse failure aborts the line
-        Seq(l, r).foreach { o =>
+        val parse = Seq(l, r).flatMap { o =>
           if (irType(o, frames) == StringType) {
             val oc = exprColumn(o, frames, timeReg, siteSeq)
-            nulls += coalesce(
-              oc.isNotNull && strictParseInt(oc).isNull, lit(false))
-          }
-        }
+            Some(coalesce(
+              oc.isNotNull && strictParseInt(oc).isNull, lit(false)))
+          } else None
+        }.reduceOption(_ || _)
         // "shift int out of range": a count < 0 or ≥ MaxInt32 is a
         // runtime error that aborts the line (vm.go:700-711)
         val rc0 = exprColumn(r, frames, timeReg, siteSeq)
         val rc = if (irType(r, frames) == StringType)
           strictParseInt(rc0) else rc0
-        nulls += coalesce(rc < 0 || rc >= Int.MaxValue.toLong,
-          lit(false))
-        visit(l); visit(r)
+        val range = Some(coalesce(rc < 0 || rc >= Int.MaxValue.toLong,
+          lit(false)))
+        or(or(or(go(l), go(r)), parse), range)
       case Binop("&" | "|" | "^", l, r) =>
         // same PopInt strictness for the non-shift bitwise ops —
         // pre-r18 a failed parse only dropped the one update while
         // the VM aborts the whole line
-        Seq(l, r).foreach { o =>
+        val parse = Seq(l, r).flatMap { o =>
           if (irType(o, frames) == StringType) {
             val oc = exprColumn(o, frames, timeReg, siteSeq)
-            nulls += coalesce(
-              oc.isNotNull && strictParseInt(oc).isNull, lit(false))
-          }
-        }
-        visit(l); visit(r)
+            Some(coalesce(
+              oc.isNotNull && strictParseInt(oc).isNull, lit(false)))
+          } else None
+        }.reduceOption(_ || _)
+        or(or(go(l), go(r)), parse)
       case Unop("~", y) =>
-        if (irType(y, frames) == StringType) {
-          val yc = exprColumn(y, frames, timeReg, siteSeq)
-          nulls += coalesce(
-            yc.isNotNull && strictParseInt(yc).isNull, lit(false))
-        }
-        visit(y)
-      case Binop(_, l, r) => visit(l); visit(r)
-      case Unop(_, y) => visit(y)
+        val parse =
+          if (irType(y, frames) == StringType) {
+            val yc = exprColumn(y, frames, timeReg, siteSeq)
+            Some(coalesce(
+              yc.isNotNull && strictParseInt(yc).isNull, lit(false)))
+          } else None
+        or(go(y), parse)
+      case Binop(_, l, r) => or(go(l), go(r))
+      case Unop(_, y) => go(y)
       case Call("int" | "float", args)
           if irType(args(0), frames) == StringType =>
         // S2i/S2f parse failure is a runtime error that aborts the
@@ -1683,8 +1698,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         // failure condition
         val ac = exprColumn(args(0), frames, timeReg, siteSeq)
         val cc = exprColumn(x, frames, timeReg, siteSeq)
-        nulls += coalesce(ac.isNotNull && cc.isNull, lit(false))
-        args.foreach(visit)
+        or(args.map(go).foldLeft(None: Option[Column])(or),
+          Some(coalesce(ac.isNotNull && cc.isNull, lit(false))))
       case Call("strtol", args) =>
         // ParseInt(s, base) fails on any character outside the base's
         // digit set (→ errorf, line aborts); Spark's conv scans a
@@ -1698,15 +1713,16 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           if (base <= 10) s"0-${base - 1}"
           else "0-9a-" + ('a' + base - 11).toChar
         val ac = exprColumn(args(0), frames, timeReg, siteSeq)
-        nulls += coalesce(!ac.rlike(s"(?i)^[+-]?[$digits]+$$"),
-          lit(false))
-        args.foreach(visit)
-      case Call(_, args) => args.foreach(visit)
-      case MetricRead(_, keys) => keys.foreach(visit)
-      case _ =>
+        or(args.map(go).foldLeft(None: Option[Column])(or),
+          Some(coalesce(!ac.rlike(s"(?i)^[+-]?[$digits]+$$"),
+            lit(false))))
+      case Call(_, args) =>
+        args.map(go).foldLeft(None: Option[Column])(or)
+      case MetricRead(_, keys) =>
+        keys.map(go).foldLeft(None: Option[Column])(or)
+      case _ => None
     }
-    visit(e)
-    nulls.reduceOption(_ || _)
+    go(e)
   }
 
   /** Runtime store-coercion abort condition for a write of `e` into a
@@ -1731,13 +1747,20 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       case LongType => srcT match {
         case DoubleType | BooleanType => Some(lit(true))
         case StringType =>
-          Some(coalesce(!valc.rlike("^[+-]?[0-9]+$"), lit(true)))
+          // strictParseInt nulls on non-[+-]digit chars AND on int64
+          // overflow (Spark's cast nulls past Long range, which the
+          // bare rlike gate silently dropped instead of aborting —
+          // strconv.ParseInt raises ErrRange); null input aborts like
+          // the empty string ParseInt rejects
+          Some(strictParseInt(valc).isNull)
         case _ => None
       }
       case DoubleType => srcT match {
         case BooleanType => Some(lit(true))
-        case StringType => Some(coalesce(
-          valc.isNotNull && valc.cast(DoubleType).isNull, lit(true)))
+        // ParseFloat failure aborts; a null (unmatched/failed
+        // upstream) aborts like the empty string — aligned with the
+        // Long arm's null handling
+        case StringType => Some(valc.cast(DoubleType).isNull)
         case _ => None
       }
       case StringType => srcT match {
@@ -1796,6 +1819,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         if (!decl.hidden) creations += Creation(siteSeq, decl,
           keys.map(k => strCast(k,
             exprColumn(k, frames, timeReg, siteSeq), frames)), g)
+        // existence companion: this Dload CREATES the cell it loads
+        // (GetDatum appends, metric.go:151-181) — an event for any
+        // later `del … after` on the metric, hidden or not
+        exEventSite(m, g, keys, exAlive(m), frames, creationReads)
         g
       }
     case Binop("&&", l, r) =>
@@ -1894,9 +1921,19 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     if (!decl.hidden && !alwaysLands) creations += Creation(siteSeq,
       decl, keys.map(k => strCast(k,
         exprColumn(k, frames, timeReg, siteSeq), frames)), g)
+    // existence companion: the lvalue Dload creates at `g` — BEFORE
+    // the value expression can abort (codegen walks LHS before RHS)
+    exEventSite(m, g, keys, exAlive(m), frames, creationReads)
     scanCreations(g, value, frames)
     ()
   }
+
+  /** read set the walk stamps onto existence-event sites registered
+    * inside the NEXT scanCreations/scanWriteCreations call — the
+    * enclosing statement's condReads ∪ stopGuardReads, for the
+    * metric-level cycle graph ([[seqCyclicMetrics]]).
+    */
+  private var creationReads: Set[String] = Set.empty
 
   /** record that executing under `execCond` errors when `nullCond` —
     * later statements on that line are skipped, like after `stop`.
@@ -1933,11 +1970,15 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   private var stopGuardReads: Set[String] = Set.empty
 
   private def walk(stmts: Seq[Stmt], frames: List[Frame],
-      cond: Column, condReads: Set[String] = Set.empty): Unit = {
+      cond: Column, condReads: Set[String] = Set.empty,
+      proofs0: Seq[ExProof] = Nil): Unit = {
     val siblings = mutable.ArrayBuffer[Column]()
     val siblingReads = mutable.Set[String]()
+    // same-line cell-creation proofs accumulated along this statement
+    // list (see [[ExProof]]); writes append, immediate dels revoke
+    var proofs: Seq[ExProof] = proofs0
     stmts.foreach {
-      case CondBlock(c, body, els) =>
+      case stmt @ CondBlock(c, body, els) =>
         val (condCol, newFrames) = condToColumn(c, frames, siblings.toSeq)
         // the semantic read set of THIS condition: expression reads at
         // the IR level; `otherwise` fires on the siblings' matched
@@ -1958,6 +1999,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             // a cond expression's Dloads run whenever the PARENT block
             // reached this statement — regardless of the cond's own
             // outcome (the Jnm jumps after the loads)
+            creationReads = condReads ++ cReads ++ stopGuardReads
             scanCreations(cond && stopGuard, e, frames)
             // NOTE: abort terms use the plain block cond, NOT
             // cond && stopGuard — embedding the guard in its own next
@@ -1966,12 +2008,30 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             // earlier conjunct regardless.
             abortOn(cond, typedCaprefNullCond(e, frames),
               condReads ++ irReadMetrics(e))
+            // cond-position Dloads/existence events keep their own seq
+            // slot so they order strictly BEFORE the body's first site
+            // (an Expire probe there must see the cond's creations)
+            nextSeq()
           case _ =>
         }
-        walk(body, newFrames, cond && condCol, condReads ++ cReads)
+        // the cond's guaranteed-evaluated reads are same-line create
+        // proofs for the body (cond truthy ⇒ both && operands ran) and,
+        // weaker, for the else branch (cond evaluated either way)
+        val condProofs = c match {
+          case CondExpr(e) => (mustEvalReads(e, ifTrue = true, frames),
+            mustEvalReads(e, ifTrue = false, frames))
+          case _ => (Nil, Nil)
+        }
+        walk(body, newFrames, cond && condCol, condReads ++ cReads,
+          proofs ++ condProofs._1)
         if (els.nonEmpty)
           walk(els, frames, cond && !coalesce(condCol, lit(false)),
-            condReads ++ cReads)
+            condReads ++ cReads, proofs ++ condProofs._2)
+        // an immediate del anywhere inside this statement may have
+        // removed cells — those metrics' proofs no longer hold for
+        // statements after it
+        proofs = proofs.filterNot(p =>
+          plainDelMetrics(Seq(stmt)).contains(p._1))
       case IncStmt(m, keys, delta, _) =>
         // `text += e` is ADD_ASSIGN = `m = m + e` (codegen.go:359-363)
         // → an ordered running concatenation, not a numeric sum
@@ -1998,12 +2058,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         // edges for the cycle graph, same as the stopGuard ones
         val ownReads = if (incNull.isEmpty) Set.empty[String]
           else (keys :+ delta).flatMap(irReadMetrics).toSet
+        creationReads = condReads ++ stopGuardReads ++ ownReads
         scanWriteCreations(cond && stopGuard, m, keys, delta, frames,
           alwaysLands = incNull.isEmpty)
         sites += Site(nextSeq(), program.decl(m), op,
           cond && stopGuard && incOwn, keys, Some(delta), frames,
           timeReg, None, condReads ++ stopGuardReads ++ ownReads)
         abortOn(cond, incNull, condReads ++ ownReads)
+        proofs :+= ((m, keys.map(_.toString), frames: AnyRef))
       case SetStmt(m, keys, v) =>
         val setNull = Seq(
           typedCaprefNullCond(
@@ -2015,22 +2077,67 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           else (keys :+ v).flatMap(irReadMetrics).toSet
         val setOwn = setNull.map(nc =>
           !coalesce(nc, lit(false))).getOrElse(lit(true))
+        creationReads = condReads ++ stopGuardReads ++ setOwnReads
         scanWriteCreations(cond && stopGuard, m, keys, v, frames,
           alwaysLands = setNull.isEmpty)
         sites += Site(nextSeq(), program.decl(m), OpSet,
           cond && stopGuard && setOwn, keys, Some(v), frames, timeReg,
           None, condReads ++ stopGuardReads ++ setOwnReads)
         abortOn(cond, setNull, condReads ++ setOwnReads)
+        proofs :+= ((m, keys.map(_.toString), frames: AnyRef))
       case DelStmt(m, keys, after) =>
         // del's own Dload is OVERWRITTEN by the Del/Expire opcode
         // (codegen.go:316-326) — no self-creation; reads INSIDE the
-        // key expressions still Dload
+        // key expressions still Dload (and can abort: S2i etc.)
+        creationReads = condReads ++ stopGuardReads
         keys.foldLeft(cond && stopGuard)((g, k) =>
           scanCreations(g, k, frames))
-        sites += Site(nextSeq(), program.decl(m), OpDel,
-          cond && stopGuard, keys, None, frames, timeReg, after,
-          condReads ++ stopGuardReads)
+        // key-expression events keep their own seq slot: they run
+        // BEFORE the Del/Expire opcode, so the existence probe below
+        // (at the del's own idx) must see them
+        nextSeq()
+        // keys pop through PopString (no Bool arm) after the key
+        // expressions evaluate — either failing aborts the line
+        // before the opcode runs (vm.go:769-812)
+        val delNull = Seq(
+          keys.reduceOption((a, b) => Binop("+", a, b))
+            .flatMap(typedCaprefNullCond(_, frames)),
+          keyConvNullCond(keys, frames)).flatten.reduceOption(_ || _)
+        val delOwn = delNull.map(nc =>
+          !coalesce(nc, lit(false))).getOrElse(lit(true))
+        val delReads = if (delNull.isEmpty) Set.empty[String]
+          else keys.flatMap(irReadMetrics).toSet
+        val delIdx = nextSeq()
+        sites += Site(delIdx, program.decl(m), OpDel,
+          cond && stopGuard && delOwn, keys, None, frames, timeReg,
+          after, condReads ++ stopGuardReads ++ delReads)
+        if (after.isEmpty) {
+          // RemoveDatum: an existence-removal event for later Expires
+          exEventSite(m, cond && stopGuard && delOwn, keys, exDead(m),
+            frames, condReads ++ stopGuardReads ++ delReads)
+          // the removed cell's same-line proofs no longer hold
+          proofs = proofs.filterNot(_._1 == m)
+        }
+        // `Expire` (del … after) on a MISSING cell errorf-aborts the
+        // line (ExpireDatum "No datum", metric.go:223-234 via
+        // vm.go:796-812). Skipped when a same-line create provably
+        // precedes (the common write-then-hint guard idiom); otherwise
+        // the existence companion read decides per row.
+        val missNull: Option[Column] =
+          if (after.isEmpty || proofs.exists(p => p._1 == m &&
+              p._2 == keys.map(_.toString) && (p._3 eq frames))) None
+          else {
+            val ex = metricReadColumn(exName(m), keys, frames, timeReg,
+              delIdx, Set.empty)
+            Some(coalesce(ex, lit(0L)) === lit(exDead(m)))
+          }
+        if (delNull.nonEmpty || missNull.nonEmpty)
+          abortOn(cond, (delNull.toSeq ++ missNull.toSeq)
+            .reduceOption(_ || _),
+            condReads ++ delReads ++
+              (if (missNull.nonEmpty) Set(exName(m)) else Set.empty))
       case ExprStmt(Call("strptime", Seq(arg, StrLit(layout)))) =>
+        creationReads = condReads ++ stopGuardReads
         scanCreations(cond && stopGuard, arg, frames)
         val seq = nextSeq()
         val execCond = cond && stopGuard
@@ -2043,6 +2150,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         abortOn(cond, Some(parsedTs.isNull),
           condReads ++ irReadMetrics(arg))
       case ExprStmt(Call("settime", Seq(arg))) =>
+        creationReads = condReads ++ stopGuardReads
         scanCreations(cond && stopGuard, arg, frames)
         val seq = nextSeq()
         val execCond = cond && stopGuard
@@ -2063,6 +2171,9 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         // non-literal layout: the VM pops the layout at runtime
         // (vm.go:556-561), so a capref/metric-read layout is legal —
         // only the literal path gets compile-time validation
+        creationReads = condReads ++ stopGuardReads
+        scanCreations(
+          scanCreations(cond && stopGuard, arg, frames), layoutE, frames)
         val seq = nextSeq()
         val execCond = cond && stopGuard
         val parsedTs = materialize(GoStrptimeDyn(
@@ -2078,7 +2189,15 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         throw new IllegalArgumentException(
           s"unsupported argument shape in ${program.name}: $c")
       case ExprStmt(e) =>
-        val _ = e // no other expression statement has a batch effect
+        // any other expression statement still EVALUATES (the parser
+        // accepts bare calls/exprs as statements): its Dloads create
+        // zero cells and its conversion/divide aborts kill the line,
+        // even though the result is discarded (ADVICE r18)
+        creationReads = condReads ++ stopGuardReads
+        scanCreations(cond && stopGuard, e, frames)
+        abortOn(cond, typedCaprefNullCond(e, frames),
+          condReads ++ irReadMetrics(e))
+        nextSeq() // keep this statement's events in their own slot
       case StopStmt =>
         stopGuard = stopGuard && !coalesce(cond, lit(false))
         stopGuardReads ++= condReads
@@ -2089,6 +2208,131 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   }
 
   private def nextSeq(): Int = { val s = siteSeq; siteSeq += 1; s }
+
+  // ---------- `del … after` cell existence (round 19) ----------
+  // `Expire` on a MISSING cell is a runtime line-abort in the
+  // reference: ExpireDatum returns "No datum for given labelvalues"
+  // (internal/metrics/metric.go:223-234) and the VM errorf-aborts
+  // (vm.go:796-812). Existence is a cross-line fold — a cell exists
+  // at an Expire site iff the last create/remove event for its key
+  // strictly before the site (in (line, site) order) is a CREATE,
+  // where creates = write-site Dloads and read Dloads (GetDatum
+  // appends, metric.go:151-181) and removes = immediate `del`
+  // (RemoveDatum). The engine models this as a synthetic hidden
+  // companion metric `$ex$m` written 1/0 at exactly those event
+  // sites, read through the ordinary cross-line read machinery
+  // (windows / as-of folds / carried streaming state / the exact
+  // sequential automaton when the abort entangles cyclically) — so
+  // the existence fold inherits every distribution and exactness
+  // property the value folds already have. Registered ONLY for
+  // metrics that are TTL-deleted somewhere (zero overhead otherwise),
+  // and skipped entirely when a same-line create provably precedes
+  // the del (the overwhelmingly common `m[$k] = …; del m[$k] after d`
+  // guard idiom, e.g. examples/vsftpd.mtail:93-94).
+
+  /** metrics with a `del … after` site anywhere in the program. */
+  private val ttlDelMetrics: Set[String] = {
+    def inS(ss: Seq[Stmt]): Set[String] = ss.flatMap {
+      case DelStmt(m, _, Some(_)) => Seq(m)
+      case CondBlock(_, b, e) => inS(b) ++ inS(e)
+      case _ => Nil
+    }.toSet
+    inS(program.stmts)
+  }
+  private def exName(m: String): String = "$ex$" + m
+  private def isExName(n: String): Boolean = n.startsWith("$ex$")
+  private val exDeclMemo = mutable.Map[String, MetricDecl]()
+  private def exDecl(m: String): MetricDecl =
+    exDeclMemo.getOrElseUpdate(m, {
+      val d = program.decl(m)
+      MetricDecl(Gauge, exName(m), d.keys, hidden = true)
+    })
+  /** scalar Int/Float counters are zero-initialized at codegen
+    * (codegen.go:109-126) — their single cell EXISTS from program
+    * start. Their existence encoding is inverted (create→0, del→1,
+    * default 0 = alive) so the fold's zero default means "exists";
+    * every other metric uses create→1, del→0, default 0 = missing.
+    * The encoding is a function of the METRIC only (never of carried
+    * state), so cross-batch carried 0/1 values stay consistent.
+    */
+  private def zeroInitScalar(m: String): Boolean = {
+    val d = program.decl(m)
+    d.keys.isEmpty && d.kind == Counter && metricType(m) != StringType
+  }
+  private def exAlive(m: String): Long = if (zeroInitScalar(m)) 0L else 1L
+  private def exDead(m: String): Long = 1L - exAlive(m)
+  /** carried cross-batch state, extended for the synthetic existence
+    * metrics: the runner carries `$ex$m` relations directly (they are
+    * ordinary read metrics to [[finalReadStateDfs]]); the fallback
+    * derives existence from the base metric's carried cells for
+    * streams whose earlier batches predate the TTL del (reload).
+    */
+  private def carriedState(name: String): Option[DataFrame] =
+    initialState.get(name).orElse {
+      if (isExName(name))
+        initialState.get(name.stripPrefix("$ex$")).map(st =>
+          st.select(col("k"), lit(1L).as("v"),
+            (if (st.columns.contains("ts")) col("ts")
+             else lit(null).cast(LongType)).as("ts")))
+      else None
+    }
+  /** register the synthetic existence-event site (value
+    * [[exAlive]]/[[exDead]]) for a create/remove of `m` at the
+    * current statement seq, gated exactly like the event itself.
+    */
+  private def exEventSite(m: String, gate: Column, keys: Seq[Expr],
+      value: Long, frames: List[Frame], reads: Set[String]): Unit =
+    if (ttlDelMetrics(m))
+      sites += Site(siteSeq, exDecl(m), OpSet, gate, keys,
+        Some(IntLit(value)), frames, timeReg, None, reads)
+
+  /** same-line create proofs: (metric, key-expr fingerprint, frames
+    * identity) triples for cells PROVABLY created before the current
+    * statement whenever it executes — accumulated along the
+    * ancestor-statement path by [[walk]]. A `del … after` whose
+    * (metric, keys, frames) matches a proof can never see a missing
+    * cell, so it registers no existence machinery at all.
+    */
+  private type ExProof = (String, Seq[String], AnyRef)
+  /** reads of `e` that are guaranteed evaluated when `e` was
+    * evaluated (`ifTrue=false`) or evaluated-and-truthy
+    * (`ifTrue=true`), under the ENTRY frames — conservatively stops
+    * at short-circuit right operands whose left side pushes pattern
+    * frames (the reads there resolve against frames the caller does
+    * not hold).
+    */
+  private def mustEvalReads(e: Expr, ifTrue: Boolean,
+      frames: List[Frame]): Seq[ExProof] = {
+    def hasPattern(x: Expr): Boolean = x match {
+      case PatternLit(_) | LineMatch(_, _) => true
+      case Binop(_, l, r) => hasPattern(l) || hasPattern(r)
+      case Unop(_, y) => hasPattern(y)
+      case Call(_, as) => as.exists(hasPattern)
+      case MetricRead(_, ks) => ks.exists(hasPattern)
+      case _ => false
+    }
+    def go(x: Expr, t: Boolean): Seq[ExProof] = x match {
+      case Binop("&&", l, r) =>
+        go(l, t) ++ (if (t && !hasPattern(l)) go(r, t) else Nil)
+      case Binop("||", l, _) => go(l, false)
+      case Binop("=~" | "!~", subj, _) => go(subj, false)
+      case Binop(_, l, r) => go(l, false) ++ go(r, false)
+      case Unop(_, y) => go(y, false)
+      case Call(_, as) => as.flatMap(go(_, false))
+      case MetricRead(m, ks) =>
+        ((m, ks.map(_.toString), frames: AnyRef): ExProof) +:
+          ks.flatMap(go(_, false))
+      case _ => Nil
+    }
+    go(e, ifTrue)
+  }
+  /** metrics immediately (`del`, no TTL) deleted anywhere inside. */
+  private def plainDelMetrics(ss: Seq[Stmt]): Set[String] =
+    ss.flatMap {
+      case DelStmt(m, _, None) => Seq(m)
+      case CondBlock(_, b, e) => plainDelMetrics(b) ++ plainDelMetrics(e)
+      case _ => Nil
+    }.toSet
 
   // ---------- typing (IR-level, mirrors checker unification result) ----
 
@@ -2153,7 +2397,8 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     graft.mtail.TypeInfer.infer(program)
 
   def metricType(name: String): DataType =
-    metricTypeMemo.getOrElseUpdate(name, {
+    if (isExName(name)) LongType // synthetic existence companion
+    else metricTypeMemo.getOrElseUpdate(name, {
       program.decl(name).kind match {
         case Text => StringType
         case Histogram => DoubleType
@@ -2526,7 +2771,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         throw new IllegalArgumentException(
           s"reads of metric $metric mixing '++' with text '+=' " +
             "not supported")
-      val carried = initialState.get(metric)
+      val carried = carriedState(metric)
         .map(st => coalesce(
           materializeStateJoin(PlanBuilder.joinKeys(keyCols), st,
             nameKey),
@@ -2621,7 +2866,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
                   reading + metric), s.frames, StringType),
               isSet = true)),
         mode = "concat", StringType), nameKey)
-      val carriedC = initialState.get(metric)
+      val carriedC = carriedState(metric)
         .map(st => coalesce(
           materializeStateJoin(PlanBuilder.joinKeys(keyCols), st,
             nameKey),
@@ -2640,7 +2885,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           reading + metric), s.frames, metricType(metric))
     }
 
-    val carried = initialState.get(metric).map { st =>
+    val carried = carriedState(metric).map { st =>
       materializeStateJoin(PlanBuilder.joinKeys(keyCols), st, nameKey)
     }
     if (!sameKeyExprs(writes)) {
@@ -3326,7 +3571,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         }
         def dead = coalesce(col("__bDel"), lit(false)) &&
           col("__cat").isNull
-        val merged = initialState.get(m) match {
+        val merged = carriedState(m) match {
           case Some(prev) =>
             val pr = prev.withColumnRenamed("v", "__pv")
               .withColumnRenamed("ts", "__pts")
@@ -3376,7 +3621,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           .join(incs, Seq("k"), "full_outer")
         def dead = coalesce(col("__bDel"), lit(false)) &&
           col("__incSum").isNull
-        val combined = initialState.get(m) match {
+        val combined = carriedState(m) match {
           case Some(prev) =>
             val pr = prev.withColumnRenamed("v", "__pv")
               .withColumnRenamed("ts", "__pts")
@@ -3427,7 +3672,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           .groupBy("k")
           .agg(sum("v").as("v"),
             max_by(col("ts"), col("ordk")).as("ts"))
-        val merged = initialState.get(m) match {
+        val merged = carriedState(m) match {
           case Some(prev) =>
             prev.withColumnRenamed("v", "pv")
               .withColumnRenamed("ts", "pts")
@@ -3439,7 +3684,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           case None => batchSum
         }
         Some(m -> merged)
-      } else if (writes.isEmpty) initialState.get(m).map(m -> _)
+      } else if (writes.isEmpty) carriedState(m).map(m -> _)
       else {
         val frames = writes.map { s =>
           val keyCol = PlanBuilder.joinKeys(s.keys.map(k =>
@@ -3467,7 +3712,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             col("last.v").as("v"), col("last.ts").as("ts"))
         val survivors = batchLast.filter(!col("is_del"))
           .select("k", "v", "ts")
-        val merged = initialState.get(m) match {
+        val merged = carriedState(m) match {
           case Some(prev) =>
             prev.join(batchLast.select("k"), Seq("k"), "left_anti")
               .unionAll(survivors)

@@ -347,7 +347,13 @@ final class StreamRunner(program: Ir.Program, spark: SparkSession,
       // checkpointed relation; expired rows vanish physically at the
       // next batch's checkpoint.
       carriedState = newState.map { case (m, sdf) =>
-        m -> ttlByDecl.get(m).filter(_ => maxEventSec > Long.MinValue)
+        // synthetic existence relations ($ex$m — `del … after`
+        // missing-cell abort support) expire in lockstep with their
+        // base metric's state, like the store GC removes the cell
+        val declName =
+          if (m.startsWith("$ex$")) m.stripPrefix("$ex$") else m
+        m -> ttlByDecl.get(declName)
+          .filter(_ => maxEventSec > Long.MinValue)
           .map(ttl => sdf.filter(col("ts").isNull ||
             col("ts") > maxEventSec - ttl))
           .getOrElse(sdf)

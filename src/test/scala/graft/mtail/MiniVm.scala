@@ -32,14 +32,19 @@ import graft.mtail.Ir._
   * explicit creation rows with the same gating
   * (PlanBuilder.scanCreations).
   *
-  * KNOWN SHARED DEVIATION (documented round 18): `del m[k] after d`
-  * on a MISSING cell is a runtime error in the reference — the line
-  * aborts (ExpireDatum "No datum", metric.go:223-234 via
-  * vm.go:796-812). Both sides model the TTL hint as an unconditional
-  * one-shot no-op instead; the fuzz pools only generate TTL dels
-  * whose cell provably exists (a same-line write precedes), so the
-  * nets never cross the deviation. Candidate for a future round (it
-  * needs a cross-line cell-EXISTENCE fold in the engine).
+  * Expire missing-cell abort (round 19, was the LAST documented
+  * deviation, now IMPLEMENTED on both sides): `del m[k] after d` on a
+  * MISSING cell is a runtime error in the reference — the line aborts
+  * (ExpireDatum "No datum", metric.go:223-234 via vm.go:796-812); on
+  * a present cell the hint stays a one-shot no-op. Here existence is
+  * the store's natural contains(); the engine resolves it with a
+  * synthetic companion-metric fold over create/remove events
+  * (PlanBuilder `$ex$m`), elided when a same-line create provably
+  * precedes. Scalar Int/Float counters zero-init at codegen
+  * (codegen.go:109-126) — modeled as pre-populated epoch-0 cells —
+  * though `del` on an undimensioned metric is checker-rejected, so
+  * only reads can observe that cell. The fuzz pools generate guarded
+  * AND unguarded TTL dels (FuzzPool.leafR18).
   *
   * Semantics cross-checked against the engine's own documented VM
   * parity points (PlanBuilder scaladocs citing vm.go / codegen.go):
@@ -91,6 +96,22 @@ object MiniVm {
       mutable.Map[String, mutable.LinkedHashMap[Seq[String], Datum]]()
     private def cells(m: String) =
       state.getOrElseUpdate(m, mutable.LinkedHashMap())
+
+    // scalar Int/Float counters are zero-initialized AT CODEGEN
+    // (codegen.go:109-126: GetDatum + SetInt/SetFloat(0, epoch-0)) —
+    // their single cell EXISTS from program start, which matters for
+    // `del … after` on a missing cell (Expire aborts) and pins the
+    // epoch-0 stamp a read-only touch would otherwise lose
+    locally {
+      program.decls.foreach { d =>
+        if (d.keys.isEmpty && d.kind == Counter &&
+            metricType(d.name) != 'S') {
+          val dat = fresh(d.name)
+          dat.ts = Some(0L)
+          cells(d.name)(Seq.empty) = dat
+        }
+      }
+    }
 
     private val reMemo = mutable.Map[String, (Re2.Parsed,
       java.util.regex.Pattern)]()
@@ -273,14 +294,26 @@ object MiniVm {
           }
           dat.ts = time
         case DelStmt(m, keys, after) =>
-          // `del … after d` is a TTL hint consumed by the daemon's
-          // hourly Gc ticker (store.go:156-176); a one-shot run ends
-          // before any tick, so the statement is a no-op here — same
-          // as the engine's one-shot plan (afterSeconds sites are
-          // excluded from every fold)
+          // keys pop through PopString, which has no Bool arm
+          // (vm.go:171-186) — a statically-Bool key aborts the line
+          val delScope = frames.map(_.parsed)
+          if (keys.exists(k => staticType(k, delScope) == 'B'))
+            throw new AbortLine
+          val labels = keys.map(k => labelStr(k, line, frames))
           if (after.isEmpty) {
-            val labels = keys.map(k => labelStr(k, line, frames))
+            // RemoveDatum is a silent no-op when the cell is missing
+            // (metric.go:205-221 — `ok` guard, no error)
             cells(m).remove(labels)
+          } else if (!cells(m).contains(labels)) {
+            // `del … after d` = Expire → ExpireDatum, which ERRORS on
+            // a missing cell ("No datum for given labelvalues",
+            // metric.go:223-234) and the VM errorf-aborts the line
+            // (vm.go:796-812). On a PRESENT cell the TTL hint is
+            // consumed by the daemon's hourly Gc ticker
+            // (store.go:156-176) — a one-shot run ends before any
+            // tick, so it is a no-op here, same as the engine's
+            // one-shot plan (afterSeconds sites are in no fold)
+            throw new AbortLine
           }
         case ExprStmt(e) =>
           val _ = eval(e, line, frames)

@@ -194,17 +194,21 @@ object FuzzPool {
     pool(rnd.nextInt(pool.length))
   }
 
-  /** Round-18 leaf set: the constructs the VM-differential net could
-    * not previously see — `del … after` TTL hints (a one-shot no-op on
-    * both sides: the reference's Gc ticker never fires before exit,
-    * store.go:156-176), `getfilename()` (a constant column in batch
-    * mode — as a value, a label key, and a len() operand), mixed with
-    * enough fold-relevant state ops that the TTL hints interleave with
-    * real dels/reads. `limit N` and decorators are STRUCTURAL, not
-    * leaves — see [[genProgramR18]]. VM-diff only: in STREAMING mode
-    * TTL genuinely expires state by stream time, so one-shot ≢
-    * batch-split by design and the equivalence net must not see these
-    * shapes (same exclusion as settime non-monotonicity).
+  /** Round-18/19 leaf set: the constructs the VM-differential net
+    * could not previously see — `del … after` TTL hints (the hint
+    * itself is a one-shot no-op: the reference's Gc ticker never
+    * fires before exit, store.go:156-176 — but since round 19 an
+    * Expire on a MISSING cell line-aborts on both sides, so the pool
+    * now mixes guarded AND unguarded TTL dels with creation-gating
+    * shapes that feed them), `getfilename()` (a constant column in
+    * batch mode — as a value, a label key, and a len() operand),
+    * mixed with enough fold-relevant state ops that the TTL hints
+    * interleave with real dels/reads. `limit N` and decorators are
+    * STRUCTURAL, not leaves — see [[genProgramR18]]. VM-diff only: in
+    * STREAMING mode TTL genuinely expires state by stream time, so
+    * one-shot ≢ batch-split by design and the equivalence net must
+    * not see these shapes (same exclusion as settime
+    * non-monotonicity).
     */
   def leafR18(rnd: Random): String = {
     val pool = Seq(
@@ -214,14 +218,33 @@ object FuzzPool {
       "g0 = $x",
       "g1[$s][$x] = $x",
       "del c1[$s]",
-      // TTL hints: ALWAYS preceded by a same-line write to the same
-      // cell — `del … after` on a MISSING cell is a runtime abort in
-      // the reference (ExpireDatum "No datum", metric.go:223-234),
-      // which neither side implements (documented deviation, MiniVm
-      // scaladoc); the write guarantee keeps the pool inside the
-      // faithful subset. The hint must not barrier the fold.
+      // guarded TTL hints (same-line write precedes — the vsftpd
+      // idiom): the engine's same-line create proof elides the
+      // existence machinery entirely; the hint must not barrier folds
       "c1[$s]++\ndel c1[$s] after 1h",
       "c1[$s]++\ndel c1[$s] after 30s",
+      // UNGUARDED TTL dels (round 19): `del … after` on a MISSING
+      // cell is a runtime line-abort (ExpireDatum "No datum",
+      // metric.go:223-234 via vm.go:796-812) — both sides now
+      // implement it; abort iff no create (write or read Dload)
+      // reached the cell earlier, resolved by the engine's synthetic
+      // existence fold against MiniVm's store.contains
+      "del c1[$s] after 1h",
+      "del g1[$s][$x] after 30s",
+      "del hidc1[$s] after 2m\nc0++",
+      // existence revoked by an immediate del → the hint aborts
+      "c1[$s]++\ndel c1[$s]\ndel c1[$s] after 1h\nc0++",
+      // cond-read creation feeds the Expire (GetDatum on the cond's
+      // Dload) — also a creation-gating shape (round-19 order #5)
+      "c1[$s] == 0 {\ndel c1[$s] after 1h\nc0++\n}",
+      // creation under &&/|| short-circuit paths, probed by a later
+      // unguarded TTL del — existence must honor the Jnm jumps
+      "$x % 2 == 0 && hidc1[$s] == 0 {\nc0++\n}\ndel hidc1[$s] after 1h",
+      "$x % 2 == 0 || hidc1[$s] == 0 {\nc0++\n}\ndel hidc1[$s] after 1h\nc0++",
+      // creation ordered around an abort term: int($s) aborts AFTER
+      // the lvalue Dload created — the next line's Expire must see it
+      "g1[$s][\"ab\"] = int($s)",
+      "del g1[$s][\"ab\"] after 1h\nc0++",
       // TTL hint on a READ hidden metric: afterSeconds sites must be
       // excluded from the as-of read fold, not treated as a del-barrier
       "hidc1[$s]++",
