@@ -102,15 +102,24 @@ object Ir {
         throw new IllegalArgumentException(
           s"program $name: undeclared metric $metric"))
 
-    /** text metrics updated by `+=` anywhere — their values are
-      * running CONCATENATIONS, so the streaming store must APPEND a
-      * batch's local concat instead of last-write-replacing it
-      * (mirrors how counter batches sum).
+    /** String-VALUED metrics updated by `+=` anywhere — their values
+      * are running CONCATENATIONS (ADD_ASSIGN@String is Cat,
+      * codegen.go:359-363 — for ANY kind, not just `text`: a counter
+      * or gauge whose first typed use PINNED String concatenates
+      * too), so the streaming store must APPEND a batch's local
+      * concat instead of last-write-replacing it (mirrors how counter
+      * batches sum). Derived from the inferred value type
+      * ([[TypeInfer]]), not the declared kind (ADVICE r18).
       */
     lazy val concatTextMetrics: Set[String] = {
-      val txt = decls.filter(_.kind == Text).map(_.name).toSet
+      lazy val inferred = TypeInfer.infer(this)
+      val str = decls.filter(d => d.kind match {
+        case Text => true
+        case Histogram => false
+        case _ => inferred.getOrElse(d.name, 'I') == 'S'
+      }).map(_.name).toSet
       def walk(ss: Seq[Stmt]): Set[String] = ss.flatMap {
-        case IncStmt(m, _, _, _) if txt(m) => Seq(m)
+        case IncStmt(m, _, _, _) if str(m) => Seq(m)
         case CondBlock(_, b, e) => walk(b) ++ walk(e)
         case _ => Nil
       }.toSet

@@ -131,6 +131,27 @@ object MtailSurface {
         .orderBy("event_type")
     }),
 
+    // §2.5 `del m[k] after d` on a MISSING cell — runtime line-abort
+    // (r19: ExpireDatum "No datum", metric.go:223-234 via
+    // vm.go:796-812). Modeled: `purchase` rows create seen[user],
+    // `click` rows Expire it — a click only survives (and counts)
+    // when a purchase for the same user arrived STRICTLY BEFORE it in
+    // arrival order. The existence fold is the same
+    // count-of-creates-as-of shape the engine's $ex$ companion read
+    // compiles to: a keyed window, no self-join, shuffle only on the
+    // high-cardinality user key.
+    "mt_expire_missing_abort" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("creates_before",
+          count(when(col("event_type") === "purchase", lit(1))).over(w))
+        .filter(col("event_type") === "click" &&
+          col("creates_before") > 0)
+        .groupBy("user_id").agg(count(lit(1)).as("expires_ok"))
+        .orderBy("user_id")
+    }),
+
     // §2.5 `limit N` eviction — keep newest 3 datums per key
     // (metric.go:184-198): top-N by arrival per dimension.
     "mt_limit_n_eviction" -> ((s, dir) => {
@@ -233,6 +254,16 @@ object MtailSurface {
            (SELECT max(date_trunc('second', ts)) FROM events)
              - INTERVAL 7 DAY
          GROUP BY event_type ORDER BY event_type""",
+    "mt_expire_missing_abort" ->
+      """SELECT user_id, count(*) AS expires_ok
+         FROM (SELECT user_id, event_type,
+                 count(*) FILTER (WHERE event_type = 'purchase')
+                   OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS creates_before
+               FROM events) t
+         WHERE event_type = 'click' AND creates_before > 0
+         GROUP BY user_id ORDER BY user_id""",
     "mt_limit_n_eviction" ->
       """SELECT user_id, count(*) AS kept, round(sum(value), 4) AS val_sum
          FROM (SELECT user_id, value,

@@ -75,11 +75,18 @@ final class MetricsStore {
               // value) adds.
               c.copy(value = addValues(prev.value, c.value), tsSec = ts,
                 buckets = addBuckets(prev.buckets, c.buckets))
-            case "text" if concatNames(c.name) &&
-                !c.wasSet.getOrElse(false) =>
-              // pure-`+=` batch: append the local concat; a batch
-              // whose fold saw a set (wasSet) falls through to
-              // replace — Iset makes the batch value authoritative
+            case "text" | "counter" | "gauge" | "timer"
+                if concatNames(c.name) &&
+                  !c.wasSet.getOrElse(false) =>
+              // pure-`+=` batch of a String-VALUED metric (text kind,
+              // or a String-PINNED counter/gauge/timer — TypeInfer):
+              // append the local concat; a batch whose fold saw a set
+              // (wasSet) falls through to replace — Iset makes the
+              // batch value authoritative. Pre-r19 only kind==text
+              // appended; String-pinned counters hit the numeric add
+              // arms, whose (VStr,VStr) merge REPLACED, dropping every
+              // earlier batch's suffix vs the VM's single growing
+              // datum (ADVICE r18).
               c.copy(value = catValues(prev.value, c.value), tsSec = ts)
             // the batch fold reports HOW it wrote the cell: a set-write
             // makes the batch value authoritative (Iset replaces the

@@ -1,14 +1,11 @@
 package graft.plan
 
-import scala.util.Random
-
 import graft.SparkSpec
 import graft.mtail.{Frontend, LogLines, MiniVm, Snapshot}
-import graft.streaming.FuzzPool
 
 /** Directed pins for the historical provisional/fallback tangles.
   *
-  * History: these nine seeds were every program in the 5801–6100
+  * History: these nine programs were every program in the 5801–6100
   * sweep whose plan construction reached the one-level-unroll splice
   * or the last-resort machinery (5816 and 6006 are the two named fuzz
   * tangles: the abort-guard-tangled as-of pair and the directly
@@ -30,9 +27,15 @@ import graft.streaming.FuzzPool
   * trail. If one starts declaring again, a machinery change pushed it
   * back to the unroll — investigate, never just repin.
   *
+  * Round 19 FROZE the pinned programs ([[ApproxPinFixtures]]): the
+  * generator is not stable under pool evolution (adding one leaf
+  * reshuffles every seed), so regenerating from seeds silently
+  * re-pointed the pins at unrelated programs each time the pool
+  * grew. The shapes are the contract, not the seeds.
+  *
   * The broad net behind these pins is
   * [[graft.streaming.VmDifferentialSpec]]; the biased hunt that found
-  * the deviation is [[graft.streaming.ApproxHuntSpec]].
+  * the r18 deviation is [[graft.streaming.ApproxHuntSpec]].
   */
 class ApproxShapeSpec extends SparkSpec {
   import spark.implicits._
@@ -41,51 +44,48 @@ class ApproxShapeSpec extends SparkSpec {
     cells.map(c => (c.name, c.labels) ->
       ((c.kind, c.value, c.tsSec.getOrElse(0L), c.buckets))).toMap
 
-  private val seeds =
+  private val exactSeeds =
     Seq(5816, 5824, 5872, 5993, 6006, 6012, 6048, 6080, 6081)
 
   // the sweep survivors that still reach the unroll splice after the
   // r18 rerouting (from the 600-seed VmDifferentialSpec sweep's
-  // declared-but-VM-exact summary): keep the ORIGINAL two-part
-  // contract — declare loudly AND match the VM anyway
+  // declared-but-VM-exact summary, frozen r19): keep the ORIGINAL
+  // two-part contract — declare loudly AND match the VM anyway
   Seq(4467, 4788).foreach { seed =>
-    test(s"fuzz seed $seed: surviving declared shape is loud and " +
+    test(s"frozen tangle $seed: surviving declared shape is loud and " +
         "VM-exact") {
-      val rnd = new Random(seed)
-      val src = FuzzPool.genProgram(rnd)
+      val (src, lines) = ApproxPinFixtures.pins(seed)
       val prog = Frontend.parse(src, s"approx.$seed")
-      val lines = FuzzPool.genLines(rnd)
       val pb = new PlanBuilder(prog,
         LogLines.fromLines(lines.toDF("line"), "line"), 2020)
       val engine = norm(Snapshot.collect(pb.snapshot()))
       assert(pb.approxNotes.nonEmpty,
-        s"seed $seed no longer declares — retire or regenerate (scaladoc)")
+        s"tangle $seed no longer declares — the shape resolved " +
+          "exactly; move it to exactSeeds")
       val vm = norm(MiniVm.run(prog, lines))
       assert(engine == vm,
-        s"""seed $seed diverged under declared notes:
+        s"""tangle $seed diverged under declared notes:
            |${pb.approxNotes.mkString("\n")}
            |--- program:
            |$src""".stripMargin)
     }
   }
 
-  seeds.foreach { seed =>
-    test(s"fuzz seed $seed: historically-approximated tangle now " +
+  exactSeeds.foreach { seed =>
+    test(s"frozen tangle $seed: historically-approximated shape now " +
         "resolves VM-exactly through the automaton, no declaration") {
-      val rnd = new Random(seed)
-      val src = FuzzPool.genProgram(rnd)
+      val (src, lines) = ApproxPinFixtures.pins(seed)
       val prog = Frontend.parse(src, s"approx.$seed")
-      val lines = FuzzPool.genLines(rnd)
       val pb = new PlanBuilder(prog,
         LogLines.fromLines(lines.toDF("line"), "line"), 2020)
       val engine = norm(Snapshot.collect(pb.snapshot()))
       val vm = norm(MiniVm.run(prog, lines))
       assert(engine == vm,
-        s"""seed $seed diverged from the VM (notes: ${pb.approxNotes.toList})
+        s"""tangle $seed diverged from the VM (notes: ${pb.approxNotes.toList})
            |--- program:
            |$src""".stripMargin)
       assert(pb.approxNotes.isEmpty,
-        s"seed $seed surrendered exactness again: ${pb.approxNotes.toList}")
+        s"tangle $seed surrendered exactness again: ${pb.approxNotes.toList}")
     }
   }
 }

@@ -28,6 +28,7 @@ object FuzzPool {
       |hidden counter hidc
       |hidden counter hidc1 by a
       |text t1 by a
+      |counter cs by a
       |""".stripMargin
 
   // every pattern binds x (digits → Int) and s (word → String)
@@ -100,6 +101,16 @@ object FuzzPool {
       "t1[$s] = tolower($s)",
       "del t1[$s]",
       "g0 = len(t1[$s])",
+      // String-PINNED counter (first typed use is a string `+=` —
+      // TypeInfer pins 'S'; keyed, since scalar String counters are
+      // a codegen rejection "Can't initialize to zero"): ADD_ASSIGN
+      // is Cat for ANY kind, so its cross-batch store merge must
+      // APPEND like text, not numeric-add/replace (ADVICE r18)
+      "cs[$s] += $s",
+      "cs[$s] += string($x)",
+      "cs[$s] = tolower($s)",
+      "del cs[$s]",
+      "g0 = len(cs[\"alpha\"])",
       // self-conditioned write: the write's own cond reads the metric
       // being written (the mysql `partial == 1 { partial = 0 }` reset
       // idiom) — resolved by the round-16 exact sequential automaton
@@ -245,6 +256,12 @@ object FuzzPool {
       // the lvalue Dload created — the next line's Expire must see it
       "g1[$s][\"ab\"] = int($s)",
       "del g1[$s][\"ab\"] after 1h\nc0++",
+      // BARE expression statements (r19 ADVICE): the result is
+      // discarded but the Dloads create and the conversions abort —
+      // int($s) kills the line whenever $s is non-numeric
+      "int($s)\nc0++",
+      "len(t1[$s])\nc0++",
+      "tolower($s)\nc1[$s]++",
       // TTL hint on a READ hidden metric: afterSeconds sites must be
       // excluded from the as-of read fold, not treated as a del-barrier
       "hidc1[$s]++",

@@ -681,4 +681,24 @@ class StreamingSpec extends SparkSpec {
       assert(status(p2, "/progz") == 200)
     } finally open.stop()
   }
+
+  test("a String-PINNED counter's += appends across batches like " +
+      "text (ADD_ASSIGN is Cat for any kind)") {
+    // first typed use pins `parts` String (TypeInfer); the VM's datum
+    // is one growing string, so batch N+1's local concat must APPEND
+    // at the store merge — pre-r19 the counter add arm's (VStr,VStr)
+    // merge replaced, dropping batch N's suffix (ADVICE r18)
+    val p = Frontend.parse(
+      """counter parts by k
+        |/^w (?P<s>[a-z]+)$/ { parts["x"] += $s }
+        |""".stripMargin, "strpin_concat")
+    val runner = new StreamRunner(p, spark, 0)
+    import spark.implicits._
+    runner.processBatch(Seq("w aa", "w bb").toDF("line"), 0)
+    runner.processBatch(Seq("w cc").toDF("line"), 1)
+    val cells = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells(("parts", Map("k" -> "x"))) ==
+      Snapshot.VStr("aabbcc"))
+  }
 }
