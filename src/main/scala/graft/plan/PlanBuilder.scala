@@ -2010,8 +2010,13 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
               condReads ++ irReadMetrics(e))
             // cond-position Dloads/existence events keep their own seq
             // slot so they order strictly BEFORE the body's first site
-            // (an Expire probe there must see the cond's creations)
-            nextSeq()
+            // (an Expire probe there must see the cond's creations).
+            // Only when the program HAS TTL dels: the slot exists for
+            // the $ex$ probe ordering alone, and burning it
+            // unconditionally splits the read memo between a cond and
+            // a same-statement body read of the same (metric, keys) —
+            // a measured ~12% on the condgate as-of class (AB_SF01_r19)
+            if (ttlDelMetrics.nonEmpty) nextSeq()
           case _ =>
         }
         // the cond's guaranteed-evaluated reads are same-line create
@@ -2094,8 +2099,9 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           scanCreations(g, k, frames))
         // key-expression events keep their own seq slot: they run
         // BEFORE the Del/Expire opcode, so the existence probe below
-        // (at the del's own idx) must see them
-        nextSeq()
+        // (at the del's own idx) must see them (slot needed only when
+        // $ex$ probes exist — see the CondExpr burn note)
+        if (ttlDelMetrics.nonEmpty) nextSeq()
         // keys pop through PopString (no Bool arm) after the key
         // expressions evaluate — either failing aborts the line
         // before the opcode runs (vm.go:769-812)
@@ -2197,7 +2203,9 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
         scanCreations(cond && stopGuard, e, frames)
         abortOn(cond, typedCaprefNullCond(e, frames),
           condReads ++ irReadMetrics(e))
-        nextSeq() // keep this statement's events in their own slot
+        // own slot for the statement's creation events — needed only
+        // for $ex$ probe ordering (see the CondExpr burn note)
+        if (ttlDelMetrics.nonEmpty) nextSeq()
       case StopStmt =>
         stopGuard = stopGuard && !coalesce(cond, lit(false))
         stopGuardReads ++= condReads

@@ -51,7 +51,7 @@ class ApproxShapeSpec extends SparkSpec {
   // r18 rerouting (from the 600-seed VmDifferentialSpec sweep's
   // declared-but-VM-exact summary, frozen r19): keep the ORIGINAL
   // two-part contract — declare loudly AND match the VM anyway
-  Seq(4467, 4788).foreach { seed =>
+  (Seq(4467, 4788) ++ ApproxPinFixtures.huntSurvivors).foreach { seed =>
     test(s"frozen tangle $seed: surviving declared shape is loud and " +
         "VM-exact") {
       val (src, lines) = ApproxPinFixtures.pins(seed)

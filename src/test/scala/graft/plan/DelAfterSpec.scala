@@ -156,6 +156,30 @@ class DelAfterSpec extends SparkSpec {
     assert(eng(("ok", Map.empty)) == VInt(1))
   }
 
+  test("a READ-only-touched scalar counter keeps its codegen " +
+      "zero-init epoch-0 stamp (GetDatum finds the existing cell, " +
+      "creates nothing)") {
+    // ts-sensitive: pre-r19 MiniVm modeled zero-init only at export
+    // (rows-empty special case), so a read TOUCH created a fresh
+    // ts-less cell and exported ts=None while the engine (and the
+    // reference, codegen.go:109-126 SetInt(0, epoch-0)) export 0 @
+    // epoch-0
+    val src =
+      """counter c0
+        |gauge g by k
+        |/^r (?P<s>[a-z]+)$/ { g[$s] = c0 }
+        |""".stripMargin
+    val prog = Frontend.parse(src, "delafter.mtail")
+    val pb = new PlanBuilder(prog,
+      LogLines.fromLines(Seq("r alpha").toDF("line"), "line"), 2020)
+    def tsNorm(cells: Seq[Snapshot.Cell]) =
+      cells.map(c => (c.name, c.labels) -> ((c.value, c.tsSec))).toMap
+    val eng = tsNorm(Snapshot.collect(pb.snapshot()))
+    val vm = tsNorm(MiniVm.run(prog, Seq("r alpha")))
+    assert(eng == vm, s"engine $eng vs vm $vm")
+    assert(eng(("c0", Map.empty)) == ((VInt(0), Some(0L))))
+  }
+
   test("the Expire abort is ordered AFTER key-expression evaluation " +
       "and interleaves with later lines' state") {
     // alternating: the abort on line N must not disturb line N+1's
