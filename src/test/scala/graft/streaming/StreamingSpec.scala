@@ -701,4 +701,69 @@ class StreamingSpec extends SparkSpec {
     assert(cells(("parts", Map("k" -> "x"))) ==
       Snapshot.VStr("aabbcc"))
   }
+
+  test("Expire existence carries across batches: created-in-batch-1 " +
+      "cells survive batch-2 TTL dels, missing keys abort, tombstones " +
+      "carry") {
+    // the equivalence fuzz deliberately excludes TTL shapes (stream
+    // time expires state), so the carried $ex$ relations
+    // (finalReadStateDfs -> initialState) need a directed pin:
+    //  batch 1 writes seen[a] and creates seen[r] via a read, then
+    //  plain-dels seen[d] after writing it (tombstone);
+    //  batch 2 TTL-dels each key: a (write-carried, ok), r
+    //  (read-creation-carried, ok), d (tombstoned, abort), m
+    //  (never seen, abort). ok++ after the del counts survivors.
+    val p = Frontend.parse(
+      """counter seen by k
+        |counter probe by k
+        |counter ok
+        |/^w (?P<s>[a-z]+)$/ { seen[$s]++ }
+        |/^r (?P<s>[a-z]+)$/ { probe[$s] = seen[$s] }
+        |/^x (?P<s>[a-z]+)$/ { seen[$s]++
+        |del seen[$s] }
+        |/^e (?P<s>[a-z]+)$/ { del seen[$s] after 1h
+        |ok++ }
+        |""".stripMargin, "ttl_exist_carry")
+    val runner = new StreamRunner(p, spark, 0)
+    import spark.implicits._
+    runner.processBatch(Seq("w aa", "r rr", "x dd").toDF("line"), 0)
+    runner.processBatch(Seq("e aa", "e rr", "e dd", "e mm")
+      .toDF("line"), 1)
+    val cells = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    // aa: write-carried; rr: created by batch 1's READ (zero cell in
+    // the carried state); dd/mm: abort -> ok not incremented
+    assert(cells(("ok", Map.empty)) == VInt(2), cells.toString)
+  }
+
+  test("stream-time TTL expiry removes existence in lockstep: an " +
+      "Expire on a GC'd cell aborts like the reference's " +
+      "removed-datum error") {
+    // `del ... after 1h` gives `seen` a 1h state TTL; the runner's
+    // GC-analogue filter drops carried keys older than stream time
+    // minus TTL at each batch boundary, and (r19) filters the $ex$
+    // existence relation in lockstep - so a later Expire on the
+    // expired key aborts, exactly like ExpireDatum erroring on a cell
+    // the reference's hourly Gc already removed
+    val p = Frontend.parse(
+      """counter seen by k
+        |counter ok
+        |/^w (?P<s>[a-z]+) (?P<t>\d+)$/ { settime($t)
+        |seen[$s]++ }
+        |/^e (?P<s>[a-z]+) (?P<t>\d+)$/ { settime($t)
+        |del seen[$s] after 1h
+        |ok++ }
+        |""".stripMargin, "ttl_exist_expire")
+    val runner = new StreamRunner(p, spark, 0)
+    import spark.implicits._
+    runner.processBatch(Seq("w aa 1000").toDF("line"), 0)
+    // advance stream time 2h+ past aa's last write; bb stays fresh
+    runner.processBatch(Seq("w bb 9000").toDF("line"), 1)
+    // aa expired (1000 < 9000-3600) -> abort; bb alive -> ok
+    runner.processBatch(Seq("e aa 9100", "e bb 9100")
+      .toDF("line"), 2)
+    val cells = runner.store.snapshot()
+      .map(c => (c.name, c.labels) -> c.value).toMap
+    assert(cells(("ok", Map.empty)) == VInt(1), cells.toString)
+  }
 }
