@@ -560,6 +560,20 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       pendingLazyJoins.nonEmpty || pendingAsofs.nonEmpty) {
       snapCur()
       val avail = curDf.columns.toSet
+      // machinery names are content-addressed (stableName over the
+      // memo key), so a registration whose name ALREADY materialized
+      // into the relation is the same column re-registered — the
+      // post-replay path: trySeqCycleResolve purges the kpfx/koff
+      // memo for resolved metrics, and a read compiled on a later
+      // flush iteration re-registers machinery the relation already
+      // carries. Materializing it again would select a second column
+      // under the same name and poison every downstream reference
+      // with AMBIGUOUS_REFERENCE — drop the registration instead.
+      pending.keys.filter(avail).toSeq.foreach(pending.remove)
+      pendingJoins.keys.filter(avail).toSeq.foreach(pendingJoins.remove)
+      pendingLazyJoins.keys.filter(avail).toSeq
+        .foreach(pendingLazyJoins.remove)
+      pendingAsofs.keys.filter(avail).toSeq.foreach(pendingAsofs.remove)
       val (ready, _) = pending.partition { case (_, c) =>
         refsOf(c).filter(_.startsWith("__")).forall(avail)
       }
@@ -660,11 +674,22 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           // a different branch than pass 1). Everything else resolves
           // with the REAL column once the cycle is broken — bottoming
           // it too would silently freeze exact reads at pass-1 values.
-          def unresolvedKpfx(entry: String, cols: Seq[Column])
-              : Set[String] =
+          // splice-edge classes: a name pass 2 never registered is the
+          // pass-1/pass-2 branch divergence (believed value-exact); a
+          // registered name whose registration reaches back here is a
+          // genuine cycle edge (the declared non-VM unroll). The
+          // driver below takes divergence edges FIRST and gives the
+          // exact compiled-graph replay a chance before any cycle
+          // edge is declared.
+          def spliceEdge(entry: String, r: String,
+              allowCycle: Boolean): Boolean =
+            !avail(r) && kpfxProvisional.contains(r) &&
+              (if (allowCycle) !registered(r) || reaches(r, entry)
+               else !registered(r))
+          def unresolvedKpfx(entry: String, cols: Seq[Column],
+              allowCycle: Boolean): Set[String] =
             cols.flatMap(refsOf).toSet
-              .filter(r => !avail(r) && kpfxProvisional.contains(r) &&
-                (!registered(r) || reaches(r, entry)))
+              .filter(r => spliceEdge(entry, r, allowCycle))
           var substituted = exactResolved
           // the substitution scans run off the PRE-resolution `avail`,
           // so they must not fire in the same iteration an exact
@@ -685,10 +710,11 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
                  else "genuine cycle edge — one-level unroll, non-VM " +
                    "for non-absorbing history") + ")")
             }
-          def substitutePass(skip: Set[String]): Unit = {
+          def substitutePass(skip: Set[String],
+              allowCycle: Boolean): Unit = {
           pending.toSeq.foreach { case (pn, c) =>
             val miss = if (skip(pn)) Set.empty[String]
-              else unresolvedKpfx(pn, Seq(c))
+              else unresolvedKpfx(pn, Seq(c), allowCycle)
             if (miss.nonEmpty) {
               noteSplice(pn, miss)
               pending(pn) = miss.foldLeft(c)((acc, r) =>
@@ -700,7 +726,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             val cols = sp.probeKeys ++
               sp.writes.flatMap(w => w.keys ++ Seq(w.cond, w.value))
             val miss = if (skip(pn)) Set.empty[String]
-              else unresolvedKpfx(pn, cols)
+              else unresolvedKpfx(pn, cols, allowCycle)
             if (miss.nonEmpty) {
               noteSplice(pn, miss)
               def sub(c: Column): Column = miss.foldLeft(c)((acc, r) =>
@@ -722,8 +748,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           pendingLazyJoins.toSeq.foreach { case (n, (k, needs, build)) =>
             val miss = if (skip(n)) Set.empty[String]
               else (needs ++ refsOf(k))
-                .filter(r => !avail(r) && kpfxProvisional.contains(r) &&
-                  (!registered(r) || reaches(r, n)))
+                .filter(r => spliceEdge(n, r, allowCycle))
             if (miss.nonEmpty) {
               noteSplice(n, miss)
               val missSeq = miss.toSeq
@@ -744,7 +769,21 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           }
           }
           if (!exactResolved) {
-            substitutePass(fenced)
+            // divergence edges first: believed value-exact, and taking
+            // them never forecloses an exact resolution of the cycles
+            substitutePass(fenced, allowCycle = false)
+            // only genuine cycle edges (or a stall) remain — give the
+            // EXACT compiled-read-graph replay a chance BEFORE any
+            // declared unroll (r19: previously a cycle splice itself
+            // counted as progress, so lastResortSeqResolve was
+            // unreachable for every shape with a live provisional —
+            // the six frozen declared survivors all lived here). Only
+            // programs that would otherwise declare reach this call,
+            // so acyclic plans and the distributed paths of waiting
+            // groups are untouched.
+            if (!substituted && lastResortSeqResolve(avail))
+              substituted = true
+            if (!substituted) substitutePass(fenced, allowCycle = true)
             // a waiting group whose inputs can ONLY come through its
             // own fenced machinery makes no progress — surrender
             // exactness (the pre-r16 one-level unroll, deterministic
@@ -755,7 +794,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
                 "unroll for reads " +
                 fenced.filter(seqReadInfo.contains).toSeq.sorted
                   .mkString(","))
-              substitutePass(Set.empty)
+              substitutePass(Set.empty, allowCycle = true)
             }
           }
           if (substituted) () // retry the flush loop with bottoms in

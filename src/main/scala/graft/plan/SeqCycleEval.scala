@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{BoundReference,
   Expression, GenericInternalRow, JoinedRow, Literal,
-  MutableProjection}
+  MutableProjection, TryEval}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -116,15 +116,32 @@ private[plan] object SeqCycleEval {
         }
       go(GraftBridge.eagerExpression(c))
     }
+    // every slot and residual is try-guarded: a site VALUE like
+    // `cast($s as bigint)` (a String write runtime-coerced into an
+    // Int-pinned metric) THROWS under ANSI where the VM line-aborts —
+    // and here it would evaluate unguarded, for every row in the slot
+    // projection and, cond true or not, in the single site
+    // MutableProjection. On every such row the site's compiled cond
+    // already carries the non-throwing abort gate (strictParseInt is
+    // rlike-based), so the thrown value is never consumed — null it
+    // instead, which lands in the walk's existing "null key/value
+    // drops the update, null cond does not fire" arms (the plan-side
+    // isNotNull semantics). Literals skip the wrap so the constant-key
+    // fast path below still pattern-matches.
+    def guard(e: Expression): Expression = e match {
+      case l: Literal => l
+      case _ => TryEval(e)
+    }
     val siteRes = sites.map(s =>
-      (decompose(s.keyEnc), decompose(s.cond), decompose(s.value)))
-    val readRes = reads.map(r => decompose(r.keyEnc))
+      (guard(decompose(s.keyEnc)), guard(decompose(s.cond)),
+        guard(decompose(s.value))))
+    val readRes = reads.map(r => guard(decompose(r.keyEnc)))
 
     // ---- input projection: ord + slots, one sorted partition. Narrow
     // by construction; the heavy expressions run distributed here.
     val inputDf = base.select(col("ord").as("__sq_ord") +:
       slots.values.toSeq.map { case (n, e) =>
-        GraftBridge.column(e).as(n) }: _*)
+        GraftBridge.column(guard(e)).as(n) }: _*)
 
     // carried cross-batch state collects into plain per-metric maps —
     // the same driver round-trip broadcast() would pay, without the
