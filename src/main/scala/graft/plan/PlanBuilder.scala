@@ -798,7 +798,10 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             }
           }
           if (substituted) () // retry the flush loop with bottoms in
-          else if (lastResortSeqResolve(avail)) () // exact replay
+          // no second lastResortSeqResolve here: every !substituted
+          // path already called it above with identical state and got
+          // false (the function is deterministic for unchanged
+          // registries), so re-running it on the crash path is dead
           else
           throw new IllegalStateException("circular materialization: " +
             "unresolved refs " + (pendingAsofs.map { case (pn, sp) =>

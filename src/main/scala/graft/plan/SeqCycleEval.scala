@@ -126,8 +126,14 @@ private[plan] object SeqCycleEval {
     // rlike-based), so the thrown value is never consumed — null it
     // instead, which lands in the walk's existing "null key/value
     // drops the update, null cond does not fire" arms (the plan-side
-    // isNotNull semantics). Literals skip the wrap so the constant-key
-    // fast path below still pattern-matches.
+    // isNotNull semantics). Note the engine's CONTRACT config is
+    // `spark.sql.ansi.enabled=false` on every product surface
+    // (Verify/Bench/Main/StreamRunner and the test harness), where
+    // these casts already null instead of throwing — the guard only
+    // aligns an ansi-ON session (e.g. a bare default-config
+    // SparkSession) with that contract, it does not change behavior
+    // under the shipped configs. Literals skip the wrap so the
+    // constant-key fast path below still pattern-matches.
     def guard(e: Expression): Expression = e match {
       case l: Literal => l
       case _ => TryEval(e)

@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 import graft.mtail.{Frontend, LogLines}
 
-/** Scratch diagnostic: print the approxNotes each frozen declared
-  * survivor emits, so the routing work knows which splice arm fires.
+/** Diagnostic main: print the approxNotes each frozen declared
+  * survivor emits — which resolution arm (splice class, last-resort
+  * replay corner, fence-stall surrender) a tangle takes changes with
+  * the machinery, and this is the quickest way to see the current
+  * routing when working on it (it drove the r19 splice-order fix).
   * Run: Test/runMain graft.plan.ApproxNoteDump
   */
 object ApproxNoteDump {
@@ -18,7 +21,8 @@ object ApproxNoteDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val seeds = Seq(4467, 4788) ++ ApproxPinFixtures.huntSurvivors
+    val seeds =
+      Seq(4467, 4788) ++ ApproxPinFixtures.huntSurvivors :+ 60150
     seeds.foreach { seed =>
       val (src, lines) = ApproxPinFixtures.pins(seed)
       val prog = Frontend.parse(src, s"approx.$seed")

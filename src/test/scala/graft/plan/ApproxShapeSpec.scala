@@ -59,8 +59,7 @@ class ApproxShapeSpec extends SparkSpec {
   // was observable; only still-pending reads replay in the automaton).
   // Keep the ORIGINAL two-part contract — declare loudly AND match
   // the VM anyway
-  (Seq(4467, 4788) ++ ApproxPinFixtures.huntSurvivors
-    .filterNot(_ == 60150)).foreach { seed =>
+  (Seq(4467, 4788) ++ ApproxPinFixtures.huntSurvivors).foreach { seed =>
     test(s"frozen tangle $seed: surviving declared shape is loud and " +
         "VM-exact") {
       val (src, lines) = ApproxPinFixtures.pins(seed)
