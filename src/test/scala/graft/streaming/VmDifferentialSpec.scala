@@ -107,6 +107,14 @@ class VmDifferentialSpec extends SparkSpec {
     val hit = scala.collection.mutable.Map(
       "after" -> 0, "limit" -> 0, "decorator" -> 0,
       "getfilename" -> 0)
+    // declared activations are frequent in THIS pool (TTL-del guards
+    // make the $ex$ existence companions cyclic, which routes whole
+    // groups through the last-resort replay) — track and REPORT their
+    // value-exactness like the primary sweep does, so a deviating
+    // declared shape is loud instead of silently tolerated (r19 gap:
+    // this test originally only policed silent divergence)
+    var declaredDiverged = List.empty[Int]
+    var declaredExact = List.empty[Int]
     (1 to iters).foreach { i =>
       if (i % 50 == 0)
         System.err.println(s"[vmdiff-r18] iteration $i/$iters")
@@ -125,6 +133,18 @@ class VmDifferentialSpec extends SparkSpec {
         if (src.contains("lim0")) hit("limit") += 1
         if (src.contains("@d0")) hit("decorator") += 1
         if (src.contains("getfilename")) hit("getfilename") += 1
+        if (engine == vm && pb.approxNotes.nonEmpty)
+          declaredExact ::= base + i
+        if (engine != vm && pb.approxNotes.nonEmpty) {
+          declaredDiverged ::= base + i
+          System.err.println(
+            s"""[vmdiff-r18] seed ${base + i} DECLARED AND DEVIATING:
+               |  ${pb.approxNotes.mkString("\n  ")}
+               |engine only: ${(engine.toSet -- vm.toSet).toSeq.sortBy(_._1.toString).take(4)}
+               |vm only: ${(vm.toSet -- engine.toSet).toSeq.sortBy(_._1.toString).take(4)}
+               |--- program:
+               |$src""".stripMargin)
+        }
         if (engine != vm && pb.approxNotes.isEmpty) fail(
           s"""r18 iteration $i (seed ${base + i}) SILENTLY diverged from the VM
              |engine only: ${(engine.toSet -- vm.toSet).toSeq.sortBy(_._1.toString).take(6)}
@@ -140,7 +160,11 @@ class VmDifferentialSpec extends SparkSpec {
       }
     }
     System.err.println(s"[vmdiff-r18] $checked/$iters VM-checked; " +
-      s"construct hits: ${hit.toSeq.sorted.mkString(", ")}")
+      s"construct hits: ${hit.toSeq.sorted.mkString(", ")}; " +
+      s"${declaredExact.size} declared-but-VM-exact; " +
+      s"${declaredDiverged.size} DECLARED-AND-DEVIATING" +
+      (if (declaredDiverged.nonEmpty)
+        s" (seeds ${declaredDiverged.sorted.mkString(",")})" else ""))
     assert(checked >= iters / 2,
       s"only $checked/$iters programs accepted — the pool is rejecting")
     hit.foreach { case (k, n) => assert(n > 0,
