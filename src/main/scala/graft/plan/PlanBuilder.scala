@@ -147,6 +147,19 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     */
   private val pendingJoins =
     mutable.LinkedHashMap[String, (Column, DataFrame)]()
+  /** machinery names whose VALUES are baked into something already
+    * materialized in [[curDf]] (a flushed select/join/probe relation
+    * referenced them while building). A read column nothing consumed
+    * yet can still be REPLACED wholesale — the cycle replay uses this
+    * to reclaim a group read that materialized through the
+    * distributed machinery before the cycle was observable, instead
+    * of declaring the mixed-semantics corner. Still-pending entries
+    * are NOT consumers: they resolve by name at their own
+    * materialization and pick up the replacement.
+    */
+  private val consumedRefs = mutable.Set[String]()
+  private def noteConsumed(refs: Iterable[String]): Unit =
+    consumedRefs ++= refs.filter(_.startsWith("__"))
   def df: DataFrame = { flushPending(); curDf }
 
   private def materialize(c: Column, prefix: String): Column = {
@@ -580,6 +593,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       if (ready.nonEmpty) {
         curDf = curDf.select(col("*") +:
           ready.map { case (n, c) => c.as(n) }.toSeq: _*)
+        ready.values.foreach(c => noteConsumed(refsOf(c)))
         ready.keys.foreach(pending.remove)
         snapCur()
       } else {
@@ -819,6 +833,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             col("v").as(n))
           curDf = curDf.join(st, key === col(s"${n}_k"), "left")
             .drop(s"${n}_k")
+          noteConsumed(refsOf(key))
           pendingJoins.remove(n)
           snapCur()
         }
@@ -829,6 +844,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             col("v").as(n))
           curDf = curDf.join(st, key === col(s"${n}_k"), "left")
             .drop(s"${n}_k")
+          noteConsumed(refsOf(key) ++ needs)
           pendingLazyJoins.remove(n)
           snapCur()
         }
@@ -851,6 +867,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
             .flatMap(refsOf).toSet + "ord"
           val src = snaps.find(s => need.subsetOf(s.columns.toSet))
             .getOrElse(curDf)
+          noteConsumed(need)
           (n, sp, src)
         }
         val mergedGroups: Seq[Seq[(String, AsofSpec, DataFrame)]] =
@@ -1006,29 +1023,35 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     // ALREADY have materialized through the distributed machinery
     // (registered before the cycle was observable — seed 6006's
     // directly self-conditioned gauge, read earlier at value sites).
-    // Replaying only the still-pending reads mixes semantics for that
-    // corner, but the strict all-or-nothing check here would crash on
-    // a legal program; trySeqCycleResolve resolves pending reads only.
+    // trySeqCycleResolve RECLAIMS such a read when nothing
+    // materialized consumed its column (drop + replay + re-emit under
+    // the name); only a CONSUMED one keeps its distributed column,
+    // and replaying around it mixes semantics for that corner — but
+    // the strict all-or-nothing check here would crash on a legal
+    // program.
     def feasible(g: Set[String]): Boolean = g.nonEmpty &&
       seqReadInfo.exists { case (n, i) =>
         g(i.metric) && pending.contains(n) }
-    // audited attempt: the replay itself is SeqCycleEval-exact, but
-    // the lenient corner (a group read that ALREADY materialized
-    // through the distributed machinery keeps its column while the
-    // pending reads replay) mixes semantics — record it, and record
-    // the escalation to replaying every read-bearing metric
+    // audited attempt: the replay itself is SeqCycleEval-exact, and a
+    // premixed read that nothing consumed is reclaimed exactly — only
+    // the CONSUMED corner (a group read whose materialized column is
+    // baked into other materialized machinery) mixes semantics.
+    // Record that, and record the escalation to replaying every
+    // read-bearing metric
     def attempt(g: Set[String], label: String): Boolean = {
       if (!feasible(g)) return false
       val premixed = seqReadInfo.collect {
-        case (n, i) if g(i.metric) && !pending.contains(n) => n
+        case (n, i) if g(i.metric) && !pending.contains(n) &&
+          (consumedRefs(n) || !avail(n)) => n
       }.toSeq.sorted
       val ok = trySeqCycleResolve(g, avail)
       if (ok && premixed.nonEmpty)
         noteApprox(s"$label replay of group " +
           s"${g.toSeq.sorted.mkString(",")}: reads " +
           s"${premixed.mkString(",")} had already materialized " +
-          "distributed; only still-pending reads replayed exactly " +
-          "(mixed-semantics corner)")
+          "distributed AND were consumed by materialized machinery; " +
+          "they keep their columns while the remaining reads replay " +
+          "exactly (mixed-semantics corner)")
       ok
     }
     attempt(cyclic, "last-resort") ||
@@ -1047,14 +1070,25 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       avail: Set[String]): Boolean = {
     // EVERY read of a cycle metric resolves together (one replayed
     // automaton)
-    // pending only: a group read that already materialized through
-    // the distributed machinery keeps its column — joining a second
-    // column under the same name would make every downstream
-    // reference ambiguous (lastResortSeqResolve's lenient corner)
-    val readNames = seqReadInfo.collect {
+    val pendingNames = seqReadInfo.collect {
       case (n, i) if metrics(i.metric) && pending.contains(n) => n
     }.toSeq.sorted
-    if (readNames.isEmpty) return false
+    // a group read that ALREADY materialized through the distributed
+    // machinery (registered before the cycle was observable) is
+    // RECLAIMED when nothing materialized has consumed its column:
+    // the replay computes it in the automaton, the stale column is
+    // dropped, and the exact value re-emits under the same name —
+    // every still-pending consumer resolves by name at its own
+    // materialization and picks up the replacement. A CONSUMED read
+    // keeps its column (its values are baked into materialized plan
+    // nodes; replacing the column cannot retro-fix those) — that is
+    // the declared mixed-semantics corner in [[lastResortSeqResolve]].
+    val replacedNames = seqReadInfo.collect {
+      case (n, i) if metrics(i.metric) && !pending.contains(n) &&
+        avail(n) && !consumedRefs(n) => n
+    }.toSeq.sorted
+    val readNames = (pendingNames ++ replacedNames).sorted
+    if (pendingNames.isEmpty) return false
     // COMPILE LAZILY, only here — registration-time compilation
     // measurably perturbed acyclic plans (see [[SeqReadInfo]]). The
     // exprColumn calls are memo-shared with the impls; a miss may
@@ -1098,8 +1132,23 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       try SeqCycleEval.resolve(curDf, specs, reads, mspecs,
         textConcatCap)
       catch { case scala.util.control.NonFatal(_) => return false }
+    // the automaton's input rows (slot columns, seed keys) consume
+    // whatever materialized columns they referenced — except the
+    // replaced group reads, which the walk computes internally
+    noteConsumed(inputRefs -- stateNames)
     curDf = curDf.join(out, col("ord") === col("__sq_ord"), "left")
       .drop("__sq_ord")
+    // reclaimed reads: drop the stale distributed column before
+    // re-emitting the exact value under the same name, and purge
+    // every snapshot that carries the stale column — an as-of/lazy
+    // probe leg pending at this point builds from the EARLIEST
+    // snapshot holding its refs, which must not be a pre-replacement
+    // frame (later snapshots hold supersets of earlier columns, so
+    // availability only moves to fresher frames)
+    if (replacedNames.nonEmpty) {
+      curDf = curDf.drop(replacedNames: _*)
+      snaps.filterInPlace(s => !replacedNames.exists(s.columns.contains))
+    }
     curDf = curDf.select(col("*") +: readNames.map(n =>
       col("__sqv_" + n).as(n)): _*)
       .drop(readNames.map("__sqv_" + _): _*)

@@ -31,7 +31,13 @@ import graft.mtail.{Frontend, LogLines, MiniVm, Snapshot}
   * generator is not stable under pool evolution (adding one leaf
   * reshuffles every seed), so regenerating from seeds silently
   * re-pointed the pins at unrelated programs each time the pool
-  * grew. The shapes are the contract, not the seeds.
+  * grew. The shapes are the contract, not the seeds. Round 19's
+  * third pass then retired the LAST declared corner: the cycle
+  * replay reclaims a group read that materialized through the
+  * distributed machinery before the cycle was observable (when
+  * nothing materialized consumed its column), so every frozen
+  * tangle — including the former declared survivors — now resolves
+  * VM-exactly with an empty audit trail.
   *
   * The broad net behind these pins is
   * [[graft.streaming.VmDifferentialSpec]]; the biased hunt that found
@@ -47,19 +53,25 @@ class ApproxShapeSpec extends SparkSpec {
   // 60150 joined in r19's second pass: the splice-order fix (genuine
   // cycle edges get the exact compiled-graph replay BEFORE any
   // declared unroll) resolves its whole tangle through SeqCycleEval —
-  // its former notes were two fence-stall surrenders plus nine splices
+  // its former notes were two fence-stall surrenders plus nine splices.
+  // 4467/4788 and the hunt survivors (60100/60148/60243) joined in
+  // r19's third pass: their one remaining note was the mixed-semantics
+  // corner (one read per group had already materialized through the
+  // distributed machinery before the cycle was observable), and the
+  // replay now RECLAIMS an unconsumed premixed read — drop the stale
+  // column, compute it in the automaton, re-emit under the name — so
+  // the whole group resolves VM-exactly with an empty audit trail.
+  // Only a premixed read CONSUMED by already-materialized machinery
+  // still declares; no known program reaches that corner (the
+  // declared-survivor list below is empty — the loop stays so any
+  // future sweep survivor lands back on the two-part contract).
   private val exactSeeds =
-    Seq(5816, 5824, 5872, 5993, 6006, 6012, 6048, 6080, 6081, 60150)
+    Seq(5816, 5824, 5872, 5993, 6006, 6012, 6048, 6080, 6081, 60150,
+      4467, 4788) ++ ApproxPinFixtures.huntSurvivors
 
-  // the sweep survivors that still DECLARE after the r19 splice-order
-  // fix — no longer the one-level unroll: all five now route through
-  // the exact last-resort replay, and the surviving note is the
-  // mixed-semantics corner (one read per group had already
-  // materialized through the distributed machinery before the cycle
-  // was observable; only still-pending reads replay in the automaton).
-  // Keep the ORIGINAL two-part contract — declare loudly AND match
-  // the VM anyway
-  (Seq(4467, 4788) ++ ApproxPinFixtures.huntSurvivors).foreach { seed =>
+  private val declaredSeeds = Seq.empty[Int]
+
+  declaredSeeds.foreach { seed =>
     test(s"frozen tangle $seed: surviving declared shape is loud and " +
         "VM-exact") {
       val (src, lines) = ApproxPinFixtures.pins(seed)

@@ -399,14 +399,18 @@ class SeqCycleSpec extends SparkSpec {
 
   test("directly self-conditioned KEYED gauge whose other reads " +
       "already materialized (fuzz seed 6006): the lenient last " +
-      "resort replays only the still-pending reads instead of " +
-      "crashing") {
+      "resort reclaims the premixed reads and replays the group " +
+      "instead of crashing") {
     // hid1's write cond reads hid1 (`hid1[$s]["7"] == 1 { ... = 0 }`)
     // but hid1 is ALSO read at earlier value sites that resolve
     // through the distributed machinery before the cycle stalls — the
     // strict every-read-pending feasibility then refused the automaton
     // on BOTH paths and the self-referencing as-of threw `circular
-    // materialization`. The pin: plans, runs, batch-split ≡ one-shot.
+    // materialization`. The lenient last resort replays the group;
+    // premixed reads that nothing materialized consumed are RECLAIMED
+    // into the automaton (r19 third pass) rather than keeping their
+    // distributed columns. The pin: plans, runs, batch-split ≡
+    // one-shot.
     val src =
       """        |counter c0
         |counter c1 by a
