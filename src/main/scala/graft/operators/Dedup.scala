@@ -549,4 +549,105 @@ object Dedup {
       .withColumn("is_kept",
         row_number().over(w) === 1)
   }
+
+  /** positional word n-grams as 64-bit hashes: (id, keep…, pos, gh).
+    * UNLIKE [[gramHashes]] these keep token POSITION and MULTIPLICITY
+    * — the unit of the span-level dedup signal below. Tokenization is
+    * the pair pipelines' (`split` on `\s+`, no distinct), so the
+    * oracle SQL reuses the exact `string_split_regex` CTE shape. One
+    * map-side projection: tokenize once, slide the window with
+    * transform+posexplode, hash each gram to 8 bytes — text never
+    * leaves the map side.
+    */
+  private def posGramHashes(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, keepCols: Seq[String] = Nil): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    val ghs = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select((col(idCol).as("id") +: keepCols.map(col)) :+
+      posexplode(ghs).as(Seq("pos", "gh")): _*)
+  }
+
+  /** Substring-level dedup signal: the MAXIMAL duplicated spans of
+    * each document — runs of consecutive token positions whose
+    * n-gram occurs ≥ `minOcc` times in the whole corpus (across OR
+    * within documents), reported as (doc_id, start_pos, n_grams,
+    * span_tokens) for spans of at least `minSpanTokens` tokens. This
+    * is the cut list of substring-granular deduplication (the
+    * ExactSubstr procedure of published LM dedup pipelines, here
+    * anchored on fixed n-gram occurrences instead of a suffix array:
+    * every repeated substring of ≥ n tokens is a run of duplicated
+    * n-grams, so merging adjacent duplicated positions recovers its
+    * maximal span; the n-gram anchoring makes the definition
+    * SQL-expressible and therefore oracle-checkable). Document-level
+    * near-dup ([[exactJaccardPairs]]) drops whole documents;
+    * this finds the memorization-risk REGIONS — license headers,
+    * quoted passages, templated sections — inside documents that are
+    * otherwise unique.
+    *
+    * 100 TB shape: one scan + map-side positional gram hashes; the
+    * duplicated-gram set is a two-phase count on the 8-byte hash; the
+    * position join is a plain equi-join on that hash (AQE broadcasts
+    * when the duplicated set is small, and the build side is DISTINCT
+    * hashes so a boilerplate gram with 10⁹ occurrences adds NO join
+    * amplification — output stays 1:1 with positions); the
+    * gaps-and-islands merge is one keyed window partitioned by doc id
+    * (bounded by the largest single document, never by the corpus).
+    * No text past the map side, no self-join anywhere.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minOcc: Long, minSpanTokens: Long): DataFrame = {
+    val g = posGramHashes(docs, idCol, textCol, n)
+    val dup = g.groupBy("gh")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select("gh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    // gaps-and-islands: consecutive duplicated positions share
+    // (pos - row_number) — each island is one maximal span
+    g.join(dup, "gh")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("p0"), count(lit(1)).as("n_grams"))
+      .select(col("id").as("doc_id"),
+        col("p0").cast("long").as("start_pos"),
+        col("n_grams"),
+        (col("n_grams") + (n - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .orderBy("doc_id", "start_pos")
+  }
+
+  /** Per-source duplicated-gram mass — the survey that sizes how much
+    * of each source's token stream is globally repeated text (the
+    * aggregate [[duplicatedSpans]] signal, reported per source so a
+    * pipeline can rank sources by memorization risk before cutting):
+    * (source, n_grams, n_dup, dup_frac) where n_dup counts gram
+    * POSITIONS whose gram occurs ≥ `minOcc` times corpus-wide.
+    * Positions are counted once each, so the fraction is exact — no
+    * span-overlap double counting.
+    *
+    * 100 TB shape: same two-phase count + hash equi-join as
+    * [[boilerplateFilter]] (the build side is distinct 8-byte hashes),
+    * then a reduce to one row per source — the final aggregation key
+    * is the source name, ~20 groups, map-side partials do the work.
+    */
+  def dupGramFractionBySource(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, n: Int, minOcc: Long): DataFrame = {
+    val g = posGramHashes(docs, idCol, textCol, n, Seq(srcCol))
+    val dup = g.groupBy("gh")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select(col("gh"), lit(1L).as("hit"))
+    val frac = col("n_dup").cast("double") / col("n_grams")
+    g.join(dup, Seq("gh"), "left")
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dup"))
+      .select(col(srcCol).as("source"), col("n_grams"), col("n_dup"),
+        round(frac, 4).as("dup_frac"))
+      .orderBy("source")
+  }
 }

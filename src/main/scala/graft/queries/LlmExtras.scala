@@ -151,6 +151,19 @@ object LlmExtras {
       Dedup.boilerplateFilter(docs(s, dir), "doc_id", "text", 3,
         minDf = 5L, maxFrac = 0.2)),
 
+    // substring-level dedup: maximal duplicated spans (runs of token
+    // positions whose 3-gram occurs ≥2 times corpus-wide) of ≥10
+    // tokens — the ExactSubstr-style cut list at region granularity
+    "dedup_duplicated_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", 3,
+        minOcc = 2L, minSpanTokens = 10L)),
+
+    // per-source duplicated-gram mass: how much of each source's
+    // token stream is globally repeated text
+    "dedup_dup_fraction_by_source" -> ((s, dir) =>
+      Dedup.dupGramFractionBySource(docs(s, dir), "doc_id", "text",
+        "source", 3, minOcc = 2L)),
+
     // sequence packing: concat-then-chunk documents into 512-token
     // training bins within each source, parallel across sources
     "pipeline_pack_sequences" -> ((s, dir) =>
@@ -799,9 +812,52 @@ object LlmExtras {
            (CAST(ncommon AS DOUBLE) / nset) <= 0.2 AS kept
          FROM pd ORDER BY doc_id"""
 
+  /** positional 3-gram CTEs shared by the span-dedup oracles — the
+    * [[jaccardCtes]] tokenization but keeping token POSITION and
+    * MULTIPLICITY (no DISTINCT), mirroring Dedup.posGramHashes.
+    */
+  private val posGramCtes =
+    """w AS (SELECT doc_id AS id, source,
+               string_split_regex(text, '\s+') AS ws FROM documents),
+         g AS (SELECT id, source, CAST(i AS BIGINT) AS pos,
+                 ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+               FROM w, UNNEST(range(greatest(len(ws)-2, 0))) AS t(i))"""
+
+  /** gaps-and-islands over duplicated gram positions — the same
+    * maximal-span definition as [[Dedup.duplicatedSpans]] (3-gram,
+    * minOcc 2, minSpanTokens 10).
+    */
+  private val duplicatedSpansSql =
+    s"""WITH $posGramCtes,
+         d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         p AS (SELECT id, pos, pos - row_number()
+                 OVER (PARTITION BY id ORDER BY pos) AS grp
+               FROM g WHERE gram IN (SELECT gram FROM d)),
+         sp AS (SELECT id, min(pos) AS start_pos, count(*) AS n_grams
+                FROM p GROUP BY id, grp)
+         SELECT id AS doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+                CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(n_grams + 2 AS BIGINT) AS span_tokens
+         FROM sp WHERE n_grams + 2 >= 10
+         ORDER BY doc_id, start_pos"""
+
+  private val dupFractionSql =
+    s"""WITH $posGramCtes,
+         o AS (SELECT gram, count(*) AS occ FROM g GROUP BY gram)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup,
+                round(CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 4) AS dup_frac
+         FROM g JOIN o USING (gram)
+         GROUP BY source ORDER BY source"""
+
   val oracle: Map[String, String] = Map(
     "text_boilerplate_grams" -> boilerplateSql,
     "text_boilerplate_filter" -> boilerplateFilterSql,
+    "dedup_duplicated_spans" -> duplicatedSpansSql,
+    "dedup_dup_fraction_by_source" -> dupFractionSql,
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_decontaminate" -> decontaminateSql,
     "dedup_near_cluster" -> nearClusterSql,

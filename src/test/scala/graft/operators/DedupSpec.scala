@@ -372,4 +372,65 @@ class DedupSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(para"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  // ---- substring-level dedup: maximal duplicated spans ----
+
+  private val sharedPhrase =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tok
+  private val spanCorpus = Seq(
+    (10L, "srcA", s"u1 u2 $sharedPhrase u3"), // phrase at tokens 2..11
+    (11L, "srcA", s"v1 $sharedPhrase v2 v3"), // phrase at tokens 1..10
+    // 6-token phrase repeated WITHIN one doc (occurrences in the same
+    // document count toward minOcc, like a suffix array would)
+    (12L, "srcB", "p q r s t u w1 p q r s t u"),
+    (13L, "srcB", "unique only words here now")
+  ).toDF("doc_id", "source", "text")
+
+  test("duplicatedSpans recovers the planted cross-document span " +
+      "with exact token boundaries") {
+    val spans = Dedup
+      .duplicatedSpans(spanCorpus, "doc_id", "text", 3, 2L, 10L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // only grams fully inside the shared 10-token phrase are
+    // duplicated: doc 10 positions 2..9 (8 grams), doc 11 positions
+    // 1..8 — each one island of span_tokens = 8 + 3 - 1 = 10
+    assert(spans == Seq((10L, 2L, 8L, 10L), (11L, 1L, 8L, 10L)), spans)
+  }
+
+  test("duplicatedSpans counts same-document repetitions and splits " +
+      "non-adjacent islands") {
+    val spans = Dedup
+      .duplicatedSpans(spanCorpus, "doc_id", "text", 3, 2L, 6L)
+      .filter($"doc_id" === 12L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // "p q r s t u" twice in doc 12: grams 0..3 and 7..10, separated
+    // by the unique w1-straddling grams — two maximal 6-token spans
+    assert(spans == Seq((12L, 0L, 4L, 6L), (12L, 7L, 4L, 6L)), spans)
+  }
+
+  test("dupGramFractionBySource counts gram positions once each") {
+    val rows = Dedup
+      .dupGramFractionBySource(spanCorpus, "doc_id", "text", "source",
+        3, 2L)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // srcA: docs 10/11 have 11 grams each, 8 duplicated each;
+    // srcB: doc 12 has 11 grams, 8 duplicated (4 per copy), doc 13
+    // has 3 unique grams
+    assert(rows == Seq(
+      ("srcA", 22L, 16L, math.rint(16.0 / 22 * 1e4) / 1e4),
+      ("srcB", 14L, 8L, math.rint(8.0 / 14 * 1e4) / 1e4)), rows)
+  }
+
+  test("duplicatedSpans island merge is window-partitioned by doc " +
+      "id, never a global sort; no self-join anywhere") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val p = Dedup.duplicatedSpans(docs, "doc_id", "text", 3, 2L, 10L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(id"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // the duplicated-gram set and the position join share the 8-byte
+    // gram-hash shuffle key; no pairwise join anywhere
+    assert(p.contains("hashpartitioning(gh"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
