@@ -555,20 +555,15 @@ object Dedup {
     * — the unit of the span-level dedup signal below. Tokenization is
     * the pair pipelines' (`split` on `\s+`, no distinct), so the
     * oracle SQL reuses the exact `string_split_regex` CTE shape. One
-    * map-side projection: tokenize once, slide the window with
-    * transform+posexplode, hash each gram to 8 bytes — text never
-    * leaves the map side.
+    * map-side projection over the codegen'd one-pass
+    * [[graft.functions.PosGramHashes]] walk — text never leaves the
+    * map side.
     */
   private def posGramHashes(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, keepCols: Seq[String] = Nil): DataFrame = {
-    val words = split(col(textCol), "\\s+")
-    val ghs = when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
+      textCol: String, n: Int, keepCols: Seq[String] = Nil): DataFrame =
     docs.select((col(idCol).as("id") +: keepCols.map(col)) :+
-      posexplode(ghs).as(Seq("pos", "gh")): _*)
-  }
+      posexplode(graft.functions.PosGramHashes(col(textCol), n))
+        .as(Seq("pos", "gh")): _*)
 
   /** Substring-level dedup signal: the MAXIMAL duplicated spans of
     * each document — runs of consecutive token positions whose
