@@ -645,4 +645,59 @@ object Dedup {
         round(frac, 4).as("dup_frac"))
       .orderBy("source")
   }
+
+  /** The APPLY act of substring-level dedup: take
+    * [[duplicatedSpans]]' cut list and report, per affected document,
+    * how much survives — (doc_id, n_tokens, tokens_cut, clean_tokens)
+    * for every document with at least one qualifying span. Token
+    * positions are counted ONCE even where adjacent spans' token
+    * extents overlap (two islands separated by one non-duplicated
+    * gram position share up to n−2 boundary tokens), so
+    * `tokens_cut` is the exact size of the union of cut regions and
+    * `clean_tokens` is exactly what a span-removal rewrite of the
+    * corpus would keep. Integer-exact end to end.
+    *
+    * 100 TB shape: identical to [[duplicatedSpans]] (map-side
+    * positional gram hashes, two-phase occurrence count, distinct
+    * build-side equi-join, one keyed window per doc) plus a SECOND
+    * window over the qualifying spans on the SAME doc-id partitioning
+    * — island token extents end strictly increasing in span order, so
+    * the pairwise `lag` overlap is the whole union correction and no
+    * position-level explode/distinct is ever needed. The final
+    * per-doc reduce and the token-count join are both keyed by doc
+    * id; text never leaves the map side.
+    */
+  def applySpanCuts(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minOcc: Long, minSpanTokens: Long): DataFrame = {
+    val g = posGramHashes(docs, idCol, textCol, n)
+    val dup = g.groupBy("gh")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select("gh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val spans = g.join(dup, "gh")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("p0"), count(lit(1)).as("ng"))
+      .select(col("id"), col("p0").cast("long").as("p0"),
+        (col("ng") + (n - 1)).as("span_tokens"),
+        (col("p0") + col("ng") + (n - 2)).as("end_pos"))
+      .filter(col("span_tokens") >= minSpanTokens)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("p0")
+    val cut = spans
+      .withColumn("overlap", greatest(lit(0L),
+        coalesce(lag(col("end_pos"), 1).over(ws), lit(-1L)) -
+          col("p0") + 1))
+      .groupBy("id")
+      .agg(sum(col("span_tokens") - col("overlap")).as("tokens_cut"))
+    val nt = docs.select(col(idCol).as("id"),
+      size(split(col(textCol), "\\s+", -1)).cast("long").as("n_tokens"))
+    cut.join(nt, "id")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("tokens_cut"),
+        (col("n_tokens") - col("tokens_cut")).as("clean_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, Dedup, Multimodal, Pipeline, Scrub}
+import graft.operators.{Ann, Dedup, Multimodal, Pipeline, Retrieval,
+  Scrub}
 
 /** Training-data pipeline operators (dedup / similarity / multimodal) as
   * driver-checkable queries. SQL-expressible ones carry DuckDB oracles;
@@ -163,6 +164,25 @@ object LlmExtras {
     "dedup_dup_fraction_by_source" -> ((s, dir) =>
       Dedup.dupGramFractionBySource(docs(s, dir), "doc_id", "text",
         "source", 3, minOcc = 2L)),
+
+    // the APPLY act of the span cut list: per-doc surviving token
+    // mass after removing every qualifying duplicated span
+    // (union-exact — overlapping adjacent extents counted once)
+    "dedup_apply_span_cuts" -> ((s, dir) =>
+      Dedup.applySpanCuts(docs(s, dir), "doc_id", "text", 3,
+        minOcc = 2L, minSpanTokens = 10L)),
+
+    // BM25 top-20 retrieval for a fixed query-term bag — the
+    // targeted-slice puller (seed-set expansion, eval-adjacent
+    // mining); idf integer-quantized, scores engine-reproducible
+    "text_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(docs(s, dir), "doc_id", "text", bm25Terms,
+        k1 = 1.2, b = 0.75, topK = 20)),
+
+    // per-doc token-distribution Shannon entropy — the diversity
+    // axis of quality filtering, one compiled map-side scan
+    "text_token_entropy" -> ((s, dir) =>
+      Retrieval.tokenEntropy(docs(s, dir), "doc_id", "text")),
 
     // sequence packing: concat-then-chunk documents into 512-token
     // training bins within each source, parallel across sources
@@ -841,6 +861,98 @@ object LlmExtras {
          FROM sp WHERE n_grams + 2 >= 10
          ORDER BY doc_id, start_pos"""
 
+  /** BM25 query-term bag — a rare term (df≈5%) plus common ones, so
+    * idf spread and tf/dl normalization both show in the top-k.
+    */
+  private[queries] val bm25Terms =
+    Seq("dup", "spark", "vector", "customer", "merge", "stream")
+
+  /** Mirrors [[Retrieval.bm25TopK]] op for op: same tokenization
+    * (single-space split, empties dropped), same integer-quantized
+    * idf, same left-associated contribution chain — scores agree
+    * bit-for-bit before the final round.
+    */
+  private def bm25Sql(terms: Seq[String], k1: Double, b: Double,
+      topK: Int): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    val contribs = terms.indices.map { i =>
+      val idf = s"CAST(round(ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE)" +
+        s" + 0.5) / (CAST(df$i AS DOUBLE) + 0.5) + 1.0) * 1000000.0)" +
+        " AS BIGINT)"
+      s"($idf * (CAST(tf$i AS DOUBLE) / (CAST(tf$i AS DOUBLE) + " +
+        s"CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE) + " +
+        s"CAST($b AS DOUBLE) * (CAST(dl AS DOUBLE) / $avgdl)))))"
+    }.mkString(" + ")
+    val matched = terms.indices.map(i =>
+      s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+         st AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, $tfCols
+                FROM t),
+         corpus AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfCols
+                    FROM st)
+         SELECT doc_id, round(($contribs) / 1000000.0, 4) AS bm25,
+                CAST($matched AS BIGINT) AS matched_terms
+         FROM st, corpus
+         ORDER BY bm25 DESC, doc_id LIMIT $topK"""
+  }
+
+  /** Mirrors [[Retrieval.tokenEntropy]]: per-(doc, token) counts,
+    * each ln quantized to integer milli-micro-nats, one double
+    * division at the end.
+    */
+  private val tokenEntropySql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS c FROM w
+               WHERE tok <> '' GROUP BY doc_id, tok),
+         s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tokens,
+                 CAST(count(*) AS BIGINT) AS distinct_tokens,
+                 CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE))
+                   * 1000000.0) AS BIGINT)) AS BIGINT) AS mln_sum
+               FROM c GROUP BY doc_id)
+         SELECT doc_id, tokens, distinct_tokens,
+                round((CAST(CAST(round(ln(CAST(tokens AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS DOUBLE)
+                  - CAST(mln_sum AS DOUBLE) / CAST(tokens AS DOUBLE))
+                  / 1000000.0, 4) AS entropy
+         FROM s WHERE tokens > 0 ORDER BY doc_id"""
+
+  /** The span-cut APPLY act — [[duplicatedSpansSql]]'s islands, the
+    * lag-overlap union correction, and the per-doc token budget.
+    */
+  private val applySpanCutsSql =
+    s"""WITH $posGramCtes,
+         d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         p AS (SELECT id, pos, pos - row_number()
+                 OVER (PARTITION BY id ORDER BY pos) AS grp
+               FROM g WHERE gram IN (SELECT gram FROM d)),
+         sp AS (SELECT id, min(pos) AS p0, count(*) AS ng
+                FROM p GROUP BY id, grp),
+         q AS (SELECT id, p0, ng + 2 AS span_tokens,
+                 p0 + ng + 1 AS end_pos
+               FROM sp WHERE ng + 2 >= 10),
+         o AS (SELECT id, span_tokens - greatest(0,
+                 coalesce(lag(end_pos)
+                   OVER (PARTITION BY id ORDER BY p0), -1)
+                 - p0 + 1) AS cut
+               FROM q),
+         cut AS (SELECT id, sum(cut) AS tokens_cut FROM o GROUP BY id),
+         nt AS (SELECT doc_id AS id,
+                  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                    AS n_tokens
+                FROM documents)
+         SELECT id AS doc_id, n_tokens,
+                CAST(tokens_cut AS BIGINT) AS tokens_cut,
+                CAST(n_tokens - tokens_cut AS BIGINT) AS clean_tokens
+         FROM cut JOIN nt USING (id) ORDER BY doc_id"""
+
   private val dupFractionSql =
     s"""WITH $posGramCtes,
          o AS (SELECT gram, count(*) AS occ FROM g GROUP BY gram)
@@ -858,6 +970,9 @@ object LlmExtras {
     "text_boilerplate_filter" -> boilerplateFilterSql,
     "dedup_duplicated_spans" -> duplicatedSpansSql,
     "dedup_dup_fraction_by_source" -> dupFractionSql,
+    "dedup_apply_span_cuts" -> applySpanCutsSql,
+    "text_bm25_topk" -> bm25Sql(bm25Terms, 1.2, 0.75, 20),
+    "text_token_entropy" -> tokenEntropySql,
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_decontaminate" -> decontaminateSql,
     "dedup_near_cluster" -> nearClusterSql,

@@ -421,6 +421,46 @@ class DedupSpec extends SparkSpec {
       ("srcB", 14L, 8L, math.rint(8.0 / 14 * 1e4) / 1e4)), rows)
   }
 
+  test("applySpanCuts reports the surviving token budget per " +
+      "affected doc and drops unaffected docs") {
+    val cuts = Dedup
+      .applySpanCuts(spanCorpus, "doc_id", "text", 3, 2L, 10L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // docs 10/11: 13 tokens each, one 10-token span → 3 survive;
+    // docs 12/13 have no qualifying span (6 < 10) and are absent
+    assert(cuts == Seq((10L, 13L, 10L, 3L), (11L, 13L, 10L, 3L)), cuts)
+  }
+
+  test("applySpanCuts counts overlapping adjacent span extents " +
+      "once (union-exact)") {
+    // doc 20: grams 0..3 duplicated (island tokens 0..5), gram 4
+    // ("e f G") unique, grams 5..9 duplicated (island tokens 5..11) —
+    // the two extents share token 5, so the union is ALL 12 tokens,
+    // not 6 + 7 = 13
+    val docs = Seq(
+      (20L, "a b c d e f G h i j k l"),
+      (21L, "a b c d e f"),
+      (22L, "f G h i j k l")
+    ).toDF("doc_id", "text")
+    val cuts = Dedup.applySpanCuts(docs, "doc_id", "text", 3, 2L, 6L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(cuts == Seq((20L, 12L, 12L, 0L), (21L, 6L, 6L, 0L),
+      (22L, 7L, 7L, 0L)), cuts)
+  }
+
+  test("applySpanCuts is keyed by doc id end to end: no " +
+      "single-partition window, no self-join, no position explode") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val p = Dedup.applySpanCuts(docs, "doc_id", "text", 3, 2L, 10L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(id"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(gh"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the union correction is the lag window, not an explode+distinct
+    assert(!p.contains("Generate explode(sequence"), p)
+  }
+
   test("duplicatedSpans island merge is window-partitioned by doc " +
       "id, never a global sort; no self-join anywhere") {
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")
