@@ -2783,20 +2783,41 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       reading: Set[String]): Column = {
     val memoKey = (metric, keys.map(_.toString).mkString(""), siteIdx,
       reading.toSeq.sorted.mkString(","))
-    metricReadMemo.getOrElseUpdate(memoKey, {
-      val name = stableName("__mrd", memoKey.toString)
-      readNameMetric(name) = metric
-      val impl = metricReadColumnImpl(metric, keys, frames, tReg,
-        siteIdx, reading, memoKey.toString)
-      if (resolvedSites.isEmpty) { kpfxProvisional(name) = impl }
-      else {
-        pending(name) = impl
-        seqReadInfo(name) =
-          SeqReadInfo(metric, siteIdx, keys, frames, tReg, reading)
-      }
-      col(name)
-    })
+    val name = stableName("__mrd", memoKey.toString)
+    metricReadMemo.get(memoKey) match {
+      case Some(c) => c
+      case None if metricReadInFlight(memoKey) =>
+        // re-entrant request while THIS read's impl is on the compile
+        // stack (a value/key-mediated cycle rerouted here by the
+        // canonical redirect in metricReadColumnImpl): the in-flight
+        // computation registers the name; referencing it defers
+        // resolution to the flush loop like any other pending read
+        col(name)
+      case None =>
+        metricReadInFlight += memoKey
+        try {
+          readNameMetric(name) = metric
+          val impl = metricReadColumnImpl(metric, keys, frames, tReg,
+            siteIdx, reading, memoKey.toString)
+          if (resolvedSites.isEmpty) { kpfxProvisional(name) = impl }
+          else {
+            pending(name) = impl
+            seqReadInfo(name) =
+              SeqReadInfo(metric, siteIdx, keys, frames, tReg, reading)
+          }
+          val c = col(name)
+          metricReadMemo(memoKey) = c
+          c
+        } finally metricReadInFlight -= memoKey
+    }
   }
+
+  /** memo keys whose impl compilation is on the stack right now — the
+    * re-entrancy guard that lets value/key-mediated metric cycles
+    * compile to deferred names instead of overflowing or rejecting.
+    */
+  private lazy val metricReadInFlight =
+    mutable.Set[(String, String, Int, String)]()
 
   /** the full write-site program of `metric` in the replayable form
     * [[SeqCycleEval]] consumes. Compiled through the same exprColumn
@@ -2838,8 +2859,21 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
       reading: Set[String], nameKey: String): Column = {
     readMetricsBuf += metric
     if (reading.contains(metric))
-      throw new IllegalArgumentException(
-        s"cyclic metric read through $metric")
+      // a value/key-mediated cycle: this read of `metric` sits inside
+      // machinery already compiling a read of `metric` (e.g.
+      // `a = b[string(a)]` — a's write value probes b keyed by a, so
+      // compiling a's write relation re-reads a). The reading set is
+      // compile CONTEXT, not semantics: the value denoted is exactly
+      // the canonical read of (metric, keys, siteIdx), so compile to
+      // ITS deferred content-name — the flush loop then sees the
+      // cycle as ordinary pending-name dependence and routes it to
+      // the exact sequential automaton (SeqCycleEval binds state
+      // names inside key/cond/value expressions already; before r19
+      // this threw and REJECTED reference-legal programs — only
+      // cond-mediated cycles, whose site conds are compiled once at
+      // walk time with deferred names, ever reached the automaton).
+      return metricReadColumn(metric, keys, frames, tReg, siteIdx,
+        Set.empty)
     val vt = metricType(metric)
 
     val keyCols = keys.map(k =>

@@ -58,8 +58,8 @@ class ApproxHuntSpec extends SparkSpec {
         System.err.println(s"[approx-hunt] iteration $i/$iters")
       val rnd = new Random(base + i)
       val src = FuzzPool.genProgramAbort(rnd)
+      FuzzPool.parseAccepted(src, "approxhunt.mtail").foreach { prog =>
       try {
-        val prog = Frontend.parse(src, "approxhunt.mtail")
         val lines = FuzzPool.genLines(rnd)
         val pb = new PlanBuilder(prog,
           LogLines.fromLines(lines.toDF("line"), "line"), 2020)
@@ -86,9 +86,9 @@ class ApproxHuntSpec extends SparkSpec {
              |$src""".stripMargin)
       } catch {
         case e: org.scalatest.exceptions.TestFailedException => throw e
-        case _: IllegalArgumentException => ()
         case e: Throwable => fail(
           s"iteration $i crashed: ${e.getMessage}\n--- program:\n$src", e)
+      }
       }
     }
     System.err.println(s"[approx-hunt] $checked/$iters checked; " +

@@ -16,6 +16,20 @@ import scala.util.Random
   */
 object FuzzPool {
 
+  /** Parse + reference-check a generated program. `None` = the
+    * CHECKER rejected it (reference-faithful, a legal pool outcome).
+    * Every net routes rejections through here so that an exception
+    * thrown AFTER acceptance — the engine refusing or crashing on a
+    * checker-legal program — FAILS the sweep instead of counting as
+    * a skip. (Round-19 fourth session: value/key-mediated metric
+    * cycles were rejected by PlanBuilder for rounds under the old
+    * blanket IllegalArgumentException skip; the reference runs them.)
+    */
+  def parseAccepted(src: String, name: String)
+      : Option[graft.mtail.Ir.Program] =
+    try Some(graft.mtail.Frontend.parse(src, name))
+    catch { case _: IllegalArgumentException => None }
+
   val decls: String =
     """counter c0
       |counter c1 by a
@@ -383,6 +397,25 @@ object FuzzPool {
       "c1[$s] += int(hids)",
       "$x > 3 && c1[\"sc\"] > 0 { c0++ }",
       "del c1[\"zz\"]",
+      // consumption-chain shapes (round 19, fourth session): reads of
+      // cycle-capable metrics CONSUMED by other metrics' machinery —
+      // as write keys, probe keys, and exported values — hunting the
+      // one remaining declarable corner (a premixed group read whose
+      // materialized column other materialized machinery consumed,
+      // lastResortSeqResolve's mixed-semantics note). Each leaf feeds
+      // one metric's read into ANOTHER metric's key/value so that a
+      // cycle formed by a LATER block can trap an already-consumed
+      // read inside the replay group.
+      "hid1[string(hidc)][$s] = $x",
+      "g0 = hid1[string(hidc)][\"w\"]",
+      "hidc1[string(hid0)]++",
+      "hid0 = hidc1[string(hid0)] % 3",
+      "c1[$s] += hidc",
+      "hidc1[$s] < hidc { hidc1[$s]++ }",
+      "hid0 = hid1[\"w\"][$s] - 1",
+      "hid1[\"w\"][$s] = hid0 + hidc",
+      "g1[$s][string(hidc)] = int(hids)",
+      "c0 += hid1[string(hidc1[$s])][\"w\"]",
       "stop")
     pool(rnd.nextInt(pool.length))
   }

@@ -62,11 +62,10 @@ class StreamEquivalenceSpec extends SparkSpec {
       try runOne(i, rnd, src)
       catch {
         case e: org.scalatest.exceptions.TestFailedException => throw e
-        // the typed compile error is a legal outcome (e.g. the pool
-        // can combine a hid0 self-write with a hid0 read elsewhere →
-        // the documented cyclic-read rejection); equivalence only
-        // applies to programs the engine accepts
-        case _: IllegalArgumentException => ()
+        // checker rejections are skipped inside runOne; anything
+        // thrown here is the engine failing a checker-legal program
+        // (value/key-mediated cycles used to be rejected that way
+        // for rounds — r19 fourth session made them execute)
         case e: Throwable => fail(
           s"iteration $i crashed: ${e.getMessage}\n--- program:\n$src", e)
       }
@@ -86,7 +85,6 @@ class StreamEquivalenceSpec extends SparkSpec {
       try runOne(i, rnd, src)
       catch {
         case e: org.scalatest.exceptions.TestFailedException => throw e
-        case _: IllegalArgumentException => ()
         case e: Throwable => fail(
           s"ext iteration $i crashed: ${e.getMessage}\n--- program:\n$src",
           e)
@@ -95,7 +93,10 @@ class StreamEquivalenceSpec extends SparkSpec {
   }
 
   private def runOne(i: Int, rnd: Random, src: String): Unit = {
-      val prog = Frontend.parse(src, "eq.mtail")
+      // checker rejections skip; an engine exception AFTER acceptance
+      // fails the sweep (see FuzzPool.parseAccepted)
+      val prog = FuzzPool.parseAccepted(src, "eq.mtail")
+        .getOrElse(return)
       val lines = FuzzPool.genLines(rnd)
 
       val oneShot = norm(Snapshot.collect(new PlanBuilder(prog,

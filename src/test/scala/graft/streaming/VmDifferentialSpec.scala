@@ -54,8 +54,8 @@ class VmDifferentialSpec extends SparkSpec {
       if (i % 50 == 0) System.err.println(s"[vmdiff] iteration $i/$iters")
       val rnd = new Random(base + i)
       val src = FuzzPool.genProgram(rnd)
+      FuzzPool.parseAccepted(src, "vmdiff.mtail").foreach { prog =>
       try {
-        val prog = Frontend.parse(src, "vmdiff.mtail")
         val lines = FuzzPool.genLines(rnd)
         val pb = new PlanBuilder(prog,
           LogLines.fromLines(lines.toDF("line"), "line"), 2020)
@@ -79,11 +79,12 @@ class VmDifferentialSpec extends SparkSpec {
         }
       } catch {
         case e: org.scalatest.exceptions.TestFailedException => throw e
-        // rejected programs (typed compile errors) are a legal pool
-        // outcome, same as StreamEquivalenceSpec
-        case _: IllegalArgumentException => ()
+        // checker rejections were already skipped by parseAccepted —
+        // anything thrown here is the engine refusing or crashing on
+        // a checker-LEGAL program, which is a net failure
         case e: Throwable => fail(
           s"iteration $i crashed: ${e.getMessage}\n--- program:\n$src", e)
+      }
       }
     }
     System.err.println(s"[vmdiff] $checked programs VM-checked, " +
@@ -120,8 +121,8 @@ class VmDifferentialSpec extends SparkSpec {
         System.err.println(s"[vmdiff-r18] iteration $i/$iters")
       val rnd = new Random(base + i)
       val src = FuzzPool.genProgramR18(rnd)
+      FuzzPool.parseAccepted(src, "vmdiffr18.mtail").foreach { prog =>
       try {
-        val prog = Frontend.parse(src, "vmdiffr18.mtail")
         val lines = FuzzPool.genLines(rnd)
         val pb = new PlanBuilder(prog,
           LogLines.fromLines(lines.toDF("line"), "line",
@@ -153,10 +154,10 @@ class VmDifferentialSpec extends SparkSpec {
              |$src""".stripMargin)
       } catch {
         case e: org.scalatest.exceptions.TestFailedException => throw e
-        case _: IllegalArgumentException => ()
         case e: Throwable => fail(
           s"r18 iteration $i crashed: ${e.getMessage}\n--- program:\n$src",
           e)
+      }
       }
     }
     System.err.println(s"[vmdiff-r18] $checked/$iters VM-checked; " +
@@ -182,8 +183,8 @@ class VmDifferentialSpec extends SparkSpec {
         System.err.println(s"[vmdiff-ext] iteration $i/$iters")
       val rnd = new Random(base + i)
       val src = FuzzPool.genProgram(rnd, FuzzPool.leafExt)
+      FuzzPool.parseAccepted(src, "vmdiffext.mtail").foreach { prog =>
       try {
-        val prog = Frontend.parse(src, "vmdiffext.mtail")
         val lines = FuzzPool.genLines(rnd)
         val pb = new PlanBuilder(prog,
           LogLines.fromLines(lines.toDF("line"), "line"), 2020)
@@ -197,10 +198,10 @@ class VmDifferentialSpec extends SparkSpec {
              |$src""".stripMargin)
       } catch {
         case e: org.scalatest.exceptions.TestFailedException => throw e
-        case _: IllegalArgumentException => ()
         case e: Throwable => fail(
           s"ext iteration $i crashed: ${e.getMessage}\n--- program:\n$src",
           e)
+      }
       }
     }
   }
