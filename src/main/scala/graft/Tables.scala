@@ -14,6 +14,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Widen-only spread for compute-heavy text scans (r19 optimization
+    * round). The bench-scale `documents.parquet` is a single row group
+    * → ONE scan partition, so the gram/signature/minhash compute of
+    * every text operator fed from it runs as a single task while the
+    * other cores idle (optimization guide §2.5: input skew from an
+    * unsplittable input — "repartition immediately after the read").
+    * Round-robin repartition to `defaultParallelism` when — and only
+    * when — the scan is narrower: a real multi-file corpus is already
+    * parallel and never pays the extra text shuffle, so the knob is
+    * scale-adaptive, not a local[32] constant. Callers must only feed
+    * operators whose results are partitioning-independent (hash/gram
+    * set algebra; no layout-derived ids — `shuffleShards` keeps the
+    * raw scan).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // Cap the spread at 8: every task pays a fixed ~40-150 ms of
+    // per-task codegen source regeneration (measured via stage
+    // metrics: runMs≈constant per task across 3 k-row and 100 k-row
+    // partitions), so tasks beyond "real compute ÷ fixed cost" are
+    // pure overhead. 8 tasks captured the full wall win of the
+    // quadratic gram joins at 4-6× less CPU than defaultParallelism
+    // (A/B in OPTIMIZATION_r19.md); a wider box still gets 8-way
+    // relief, and a real multi-file corpus never reaches this branch.
+    if (df.rdd.getNumPartitions < par)
+      df.repartition(math.min(par, 8))
+    else df
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     // (micros) cannot represent natively; read it as a long and convert.

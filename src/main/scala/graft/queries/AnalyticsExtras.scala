@@ -55,7 +55,7 @@ object AnalyticsExtras {
     // per-document top-3 TF-IDF terms (ties broken by term; the oracle
     // recomputes the same ln((N+1)/(df+1)) weights)
     "text_tfidf_top_terms" -> ((s, dir) =>
-      tfidfTopTerms(Tables(s, dir, "documents"), "doc_id", "text", 3)
+      tfidfTopTerms(Tables.spread(Tables(s, dir, "documents")), "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("score").desc, col("term"))),
 
     // TPC-H Q1-shaped pricing summary over lineitem.

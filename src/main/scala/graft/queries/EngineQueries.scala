@@ -17,17 +17,26 @@ import graft.plan.PlanBuilder
 object EngineQueries {
 
   private def lines(s: SparkSession, dir: String, lineExpr:
-      org.apache.spark.sql.Column): DataFrame =
+      org.apache.spark.sql.Column): DataFrame = {
     // arrival order := event_id, EXPLICITLY, as the ord key — no sort,
     // no shuffle, no layout assumption. fromLines' default derives
     // `ord` from partition enumeration, which equals row order only
     // for a single-file scan (the driver's events.parquet); a
     // multi-file/scaled layout enumerates splits in size order and
     // would scramble last-write-wins vs the oracle's max_by(event_id).
+    // NOTE (r19 optimization round): spreading the single-row-group
+    // scan across cores (repartition to defaultParallelism) was
+    // measured and REJECTED — per-task cost in the as-of/probe stages
+    // is ~120 ms fixed regardless of rows, so 32× tasks made the
+    // battery query 0.6 s SLOWER and 10× the CPU. The engine queries
+    // are bounded by per-stage fixed overhead, not by data volume, at
+    // bench scale; at real scale the multi-file layout parallelizes
+    // the scan by itself.
     LogLines.fromLines(
       Tables(s, dir, "events")
         .select(lineExpr.as("line"), col("event_id")), "line",
       ordCol = Some(col("event_id")))
+  }
 
   private def run(s: SparkSession, dir: String, src: String,
       lineExpr: org.apache.spark.sql.Column): DataFrame = {

@@ -20,6 +20,11 @@ object LlmExtras {
 
   private def docs(s: SparkSession, dir: String) =
     Tables(s, dir, "documents")
+  /** spread docs — for the gram/signature-heavy operators whose
+    * results are partitioning-independent (see [[Tables.spread]]).
+    */
+  private def sdocs(s: SparkSession, dir: String) =
+    Tables.spread(docs(s, dir))
   private def embs(s: SparkSession, dir: String) =
     Tables(s, dir, "embeddings")
 
@@ -35,7 +40,7 @@ object LlmExtras {
 
     // exact n-gram Jaccard near-dup pairs (integer-exact threshold 1/2)
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.exactJaccardPairs(docs(s, dir), "doc_id", "text", 3, 1, 2)
+      Dedup.exactJaccardPairs(sdocs(s, dir), "doc_id", "text", 3, 1, 2)
         .orderBy("doc_a", "doc_b")),
 
     // MinHash+LSH candidates verified by exact Jaccard — the scale path
@@ -44,7 +49,7 @@ object LlmExtras {
     // signatures are deterministic, with 100% recall on this fixture
     // (pinned by DedupSpec's recall test).
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text")
+      Dedup.minhashLshPairs(sdocs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
     // near-dup canonicalization: connected components over the exact
@@ -54,7 +59,7 @@ object LlmExtras {
     // hash-verified.
     "dedup_near_cluster" -> ((s, dir) =>
       Dedup.canonicalIds(docs(s, dir), "doc_id",
-          Dedup.exactJaccardPairs(docs(s, dir), "doc_id", "text",
+          Dedup.exactJaccardPairs(sdocs(s, dir), "doc_id", "text",
             3, 1, 2))
         .orderBy("doc_id")),
 
@@ -62,7 +67,7 @@ object LlmExtras {
     // family is computable in DuckDB, so the oracle reproduces the
     // fingerprints bit-for-bit.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
+      Dedup.simhashPairs(sdocs(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
     // banded hyperplane LSH near-dup (the ANN scale path): candidates
@@ -129,7 +134,8 @@ object LlmExtras {
 
     // embedding near-dup pairs (exact twin of the LSH path)
     "ann_near_dup" -> ((s, dir) =>
-      Ann.exactNearDupPairs(embs(s, dir), "embedding", "vec_id", 0.4)
+      Ann.exactNearDupPairs(Tables.spread(embs(s, dir)),
+          "embedding", "vec_id", 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
         .orderBy("id_a", "id_b")),
 
@@ -156,7 +162,7 @@ object LlmExtras {
     // positions whose 3-gram occurs ≥2 times corpus-wide) of ≥10
     // tokens — the ExactSubstr-style cut list at region granularity
     "dedup_duplicated_spans" -> ((s, dir) =>
-      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", 3,
+      Dedup.duplicatedSpans(sdocs(s, dir), "doc_id", "text", 3,
         minOcc = 2L, minSpanTokens = 10L)),
 
     // per-source duplicated-gram mass: how much of each source's
@@ -169,7 +175,7 @@ object LlmExtras {
     // mass after removing every qualifying duplicated span
     // (union-exact — overlapping adjacent extents counted once)
     "dedup_apply_span_cuts" -> ((s, dir) =>
-      Dedup.applySpanCuts(docs(s, dir), "doc_id", "text", 3,
+      Dedup.applySpanCuts(sdocs(s, dir), "doc_id", "text", 3,
         minOcc = 2L, minSpanTokens = 10L)),
 
     // BM25 top-20 retrieval for a fixed query-term bag — the
@@ -291,7 +297,7 @@ object LlmExtras {
           i => array_join(
             slice(ws, (i * 8 + 1).cast("int"), lit(8)), " ")), "\n")
       Dedup.paragraphOccurrences(
-          docs(s, dir).withColumn("para_doc", paraDoc),
+          sdocs(s, dir).withColumn("para_doc", paraDoc),
           "doc_id", "para_doc", "\\n", keepCols = Seq("source"))
         .groupBy("source")
         .agg(count(lit(1)).as("paras_total"),

@@ -131,8 +131,8 @@ object TrainExtras {
     // test-SF only)
     "dedup_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(docs(s, dir), "doc_id", "source",
-        Dedup.exactJaccardPairs(docs(s, dir), "doc_id", "text",
-          3, 1, 2))),
+        Dedup.exactJaccardPairs(Tables.spread(docs(s, dir)),
+          "doc_id", "text", 3, 1, 2))),
 
     // the same report over the BANDED pair leg — the 100 TB route:
     // map-side minhash signatures, bucket-capped band self-join,
@@ -142,7 +142,8 @@ object TrainExtras {
     // scale factor.
     "dedup_source_overlap_banded" -> ((s, dir) =>
       Dedup.sourceOverlap(docs(s, dir), "doc_id", "source",
-        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        Dedup.minhashLshPairs(Tables.spread(docs(s, dir)),
+          "doc_id", "text",
           n = 3, bands = 16, rowsPerBand = 4, num = 1, den = 2))))
 
   /** the oracle's mirror of [[WordStats]]' tokenization contract */
