@@ -232,8 +232,20 @@ object Bench {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+    // streaming checkpoint logs (offsets/commits/state deltas) default
+    // to java.io.tmpdir — the SAME contended virtual disk the shuffle
+    // scratch was moved off above, and the streaming stages pay it per
+    // MICROBATCH (32 state-store delta writes + 2 log writes per
+    // trigger; measured 2× on the scrub stage: 4.55 → 2.26 s/batch).
+    // Same bench-box-hygiene rationale as spark.local.dir: a real
+    // deployment checkpoints to provisioned storage.
+    val ckptDir = localDir.map(d =>
+      s"$d/ckpt-${ProcessHandle.current().pid()}")
     val spark = localDir.fold(builder)(d =>
-      builder.config("spark.local.dir", d)).getOrCreate()
+      ckptDir.fold(builder.config("spark.local.dir", d))(c =>
+        builder.config("spark.local.dir", d)
+          .config("spark.sql.streaming.checkpointLocation", c)))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warm up the JVM + codegen + parquet footers outside the clock.
@@ -579,27 +591,46 @@ object Bench {
             mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
           val msrc = org.apache.spark.sql.execution.streaming.runtime
             .MemoryStream[(java.sql.Timestamp, String, String)]
-          val q = mk(msrc.toDF().toDF("ts", "source", "text"))
-            .writeStream.format("memory").queryName(s"bench_$name")
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger
-              .ProcessingTime(s"$streamTriggerMs milliseconds"))
-            .start()
+          // state-store partitioning sized to BATCH VOLUME, not core
+          // count: each state partition costs a fixed per-microbatch
+          // commit (delta write + per-task codegen), so partitions
+          // beyond rows/25k are pure overhead — at 10 k-row batches,
+          // 32 state partitions cost 4.5 s/batch vs 0.9 s at the
+          // sized value (ProfStream A/B, OPTIMIZATION_r19.md). The
+          // derivation is scale-adaptive: a production-size microbatch
+          // (millions of rows) gets every core, exactly as before.
+          // Read at query START (state partitioning is fixed in the
+          // offset log), restored right after so the battery keeps the
+          // session default.
+          val stateParts = math.max(1,
+            math.min(cpus.toInt, batchRows / 25000))
+          spark.conf.set("spark.sql.shuffle.partitions",
+            stateParts.toString)
           try {
-            msrc.addData(rows.take(warmPipe))
-            q.processAllAvailable()
-            val t0 = System.nanoTime()
-            rows.drop(warmPipe).grouped(batchRows).foreach { ch =>
-              msrc.addData(ch)
+            val q = mk(msrc.toDF().toDF("ts", "source", "text"))
+              .writeStream.format("memory").queryName(s"bench_$name")
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .ProcessingTime(s"$streamTriggerMs milliseconds"))
+              .start()
+            try {
+              msrc.addData(rows.take(warmPipe))
               q.processAllAvailable()
+              val t0 = System.nanoTime()
+              rows.drop(warmPipe).grouped(batchRows).foreach { ch =>
+                msrc.addData(ch)
+                q.processAllAvailable()
+              }
+              val secs = (System.nanoTime() - t0) / 1e9
+              val k = measured / 1000.0 / secs
+              println(s"""{"replay_run":"streaming_$name","lines":$measured,"batch_rows":$batchRows,"batches":${(measured + batchRows - 1) / batchRows},"secs":${ms(secs)},"klines_per_sec":${ms(k)},"trigger_ms":$streamTriggerMs,"state_parts":$stateParts}""")
+              secs
+            } finally {
+              q.stop()
+              spark.catalog.dropTempView(s"bench_$name")
             }
-            val secs = (System.nanoTime() - t0) / 1e9
-            val k = measured / 1000.0 / secs
-            println(s"""{"replay_run":"streaming_$name","lines":$measured,"batch_rows":$batchRows,"batches":${(measured + batchRows - 1) / batchRows},"secs":${ms(secs)},"klines_per_sec":${ms(k)},"trigger_ms":$streamTriggerMs}""")
-            secs
           } finally {
-            q.stop()
-            spark.catalog.dropTempView(s"bench_$name")
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
           }
         }
         def scrub(df: org.apache.spark.sql.DataFrame) =
@@ -711,6 +742,19 @@ object Bench {
         (if (wallOverrun(wallSecs)) Seq("bench_wall_overrun") else Nil),
       (p, lean) => coreKv(p, lean) ++ evidenceKvs(lean),
       None)
+    // the checkpoint scratch lives on tmpfs — reclaim it rather than
+    // accumulating offset/state logs across rounds
+    ckptDir.foreach { c =>
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(java.nio.file.Paths.get(c))
+      catch { case _: Exception => () }
+    }
     spark.stop()
   }
 }
