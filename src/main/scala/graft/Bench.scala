@@ -232,6 +232,15 @@ object Bench {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the default 100-entry generated-class cache cannot hold even
+      // ONE engine query's ~130 codegen units, so every pass re-ran
+      // janino (JFR: jar-classpath resource scans + UnitCompiler in
+      // the top frames; condgate steady-state taskTime halved,
+      // 3.5 → 1.6 s, once the cache fit). 5000 entries ≈ the whole
+      // battery's distinct units at ~200 MB worst case inside the
+      // pinned 8 GiB bench heap. Same win applies off-bench: any
+      // long-running daemon re-plans identical sources per microbatch.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
     // streaming checkpoint logs (offsets/commits/state deltas) default
     // to java.io.tmpdir — the SAME contended virtual disk the shuffle
     // scratch was moved off above, and the streaming stages pay it per
@@ -254,6 +263,14 @@ object Bench {
     // in round 8) before any measured window.
     Tables(spark, sfDir, "lineitem").agg(count(lit(1))).collect()
     spark.sql("SELECT lower('Warm'), upper('warm')").collect()
+    // Spark 4.1's CollationAwareUTF8String builds a one-to-many
+    // titlecase lookup table over ALL 1 114 111 Unicode codepoints in
+    // its static init (~2-3 s of CPU, JFR-confirmed) — force the class
+    // load here so it lands in warmup, not inside whichever measured
+    // query first touches a collation-aware string op.
+    try Class.forName(
+      "org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+    catch { case _: Throwable => () }
     SparkEntry.queries("mt_line_count")(spark, sfDir).count()
 
     def time[A](f: => A): Double = {
