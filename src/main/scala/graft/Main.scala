@@ -522,6 +522,13 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // a tailing daemon re-plans the SAME program every microbatch;
+      // the default 100-entry generated-class cache cannot hold one
+      // non-trivial program's codegen units, so every batch re-ran
+      // janino (r19 optimization round, JFR-measured: recompilation
+      // was a top-frame cost). 5000 entries ≈ hundreds of MB worst
+      // case, bounded, and amortized forever in a daemon.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
     // under spark-submit the master (and parallelism) come from the
     // submit command; standalone falls back to every local core
     val withMaster =
