@@ -37,9 +37,12 @@ object Tables {
     // pure overhead. 8 tasks captured the full wall win of the
     // quadratic gram joins at 4-6× less CPU than defaultParallelism
     // (A/B in OPTIMIZATION_r19.md); a wider box still gets 8-way
-    // relief, and a real multi-file corpus never reaches this branch.
-    if (df.rdd.getNumPartitions < par)
-      df.repartition(math.min(par, 8))
+    // relief. Fire only when the scan is narrower than the TARGET
+    // (not than the core count): a scan that already has ≥8 splits —
+    // e.g. the ×100 set's multi-file layout — gains nothing from a
+    // same-width repartition and would pay a full text shuffle for it.
+    val target = math.min(par, 8)
+    if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }
 
