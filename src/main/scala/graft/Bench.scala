@@ -605,7 +605,13 @@ object Bench {
           * Returns wall secs over the measured rows.
           */
         def runStage(name: String, batchRows: Int,
-            mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
+            mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            // the fixed-vs-marginal split compares a 9-batch and a
+            // 1-batch run of the SAME rows; r19 let each derive its
+            // own stateParts (1 vs 3), conflating per-batch overhead
+            // with partition-count effects (ADVICE r19) — the split
+            // callers now pin both runs to one value
+            statePartsPin: Option[Int] = None): Double = {
           val msrc = org.apache.spark.sql.execution.streaming.runtime
             .MemoryStream[(java.sql.Timestamp, String, String)]
           // state-store partitioning sized to BATCH VOLUME, not core
@@ -618,18 +624,27 @@ object Bench {
           // (millions of rows) gets every core, exactly as before.
           // Read at query START (state partitioning is fixed in the
           // offset log), restored right after so the battery keeps the
-          // session default.
-          val stateParts = math.max(1,
-            math.min(cpus.toInt, batchRows / 25000))
+          // session default. Production surfaces get the same sizing
+          // via graft.streaming.Streaming.sessionDefaults.
+          val stateParts = statePartsPin.getOrElse(math.max(1,
+            math.min(cpus.toInt, batchRows / 25000)))
           spark.conf.set("spark.sql.shuffle.partitions",
             stateParts.toString)
           try {
-            val q = mk(msrc.toDF().toDF("ts", "source", "text"))
+            val w0 = mk(msrc.toDF().toDF("ts", "source", "text"))
               .writeStream.format("memory").queryName(s"bench_$name")
               .outputMode("append")
               .trigger(org.apache.spark.sql.streaming.Trigger
                 .ProcessingTime(s"$streamTriggerMs milliseconds"))
-              .start()
+            // per-start unique checkpoint path: with a session-level
+            // checkpointLocation a repeated queryName would RESUME the
+            // previous start's persistent checkpoint against a fresh
+            // MemoryStream (ADVICE r19 latent footgun). Without the
+            // session conf, Spark's own temp checkpoint (deleted on
+            // stop) is already fresh per start.
+            val q = ckptDir.fold(w0)(c => w0.option(
+              "checkpointLocation",
+              s"$c/bench_${name}_${System.nanoTime()}")).start()
             try {
               msrc.addData(rows.take(warmPipe))
               q.processAllAvailable()
@@ -653,8 +668,17 @@ object Bench {
         def scrub(df: org.apache.spark.sql.DataFrame) =
           operators.StreamingPipeline.streamingScrubMonitor(
             df, "ts", "source", "text", "10 seconds", "30 seconds")
-        val tSmall = runStage("pipeline", warmPipe, scrub)
-        val tBig = runStage("pipeline_bigbatch", measured, scrub)
+        // BOTH split runs pinned to the small-batch stateParts value
+        // (1): r19 derived each independently (1 vs 3), so the split's
+        // subtraction conflated per-batch overhead with a partition-
+        // count difference (ADVICE r19). Measurement-methodology fix,
+        // called out in OPTIMIZATION_r20.md with the old numbers.
+        val splitParts = math.max(1,
+          math.min(cpus.toInt, warmPipe / 25000))
+        val tSmall = runStage("pipeline", warmPipe, scrub,
+          statePartsPin = Some(splitParts))
+        val tBig = runStage("pipeline_bigbatch", measured, scrub,
+          statePartsPin = Some(splitParts))
         val batches = measured / warmPipe // 9
         val fixedPerBatch =
           math.max(0.0, (tSmall - tBig) / (batches - 1))
@@ -668,7 +692,7 @@ object Bench {
             df, "ts", "source",
             length(col("text")).between(20, 100000), "10 seconds",
             "30 seconds"))
-        println(s"""{"streaming_pipeline_split":{"rows":$measured,"small_batch_rows":$warmPipe,"small_secs":${ms(tSmall)},"big_secs":${ms(tBig)},"fixed_secs_per_microbatch":${ms(fixedPerBatch)},"row_us_marginal":${ms(rowUs)},"note":"fixed = (T_9x25k - T_1x225k)/8; marginal from the 1-batch run net of one fixed cost"}}""")
+        println(s"""{"streaming_pipeline_split":{"rows":$measured,"small_batch_rows":$warmPipe,"small_secs":${ms(tSmall)},"big_secs":${ms(tBig)},"fixed_secs_per_microbatch":${ms(fixedPerBatch)},"row_us_marginal":${ms(rowUs)},"note":"fixed = (T_9x10k - T_1x90k)/8, both runs at the same state-partition count; marginal from the 1-batch run net of one fixed cost"}}""")
         streamPipeKvs = Seq(
           s""""streaming_pipeline_klines_per_sec":${ms(measured / 1000.0 / tSmall)}""",
           s""""streaming_pipeline_bigbatch_klines_per_sec":${ms(measured / 1000.0 / tBig)}""",
@@ -706,10 +730,14 @@ object Bench {
       name -> (if (samples.exists(!_._3)) -1.0 else samples.map(_._2).min)
     }
     val all = results :+ ("mtail_replay_1m_lines" -> replaySecs)
+    // battery steal survives EVERY lean rung (r19 verdict: the r19
+    // 32-core run was flagged bench_wall_overrun and its lean headline
+    // had shed exactly the number that would have settled noise-vs-
+    // regression — the ~30 bytes are worth more than any kv they
+    // displace)
     def coreKv(p: Double => String, lean: Int): Seq[String] =
-      replayKv(p, lean) ++
-        (if (lean >= 1) Seq.empty else Seq(
-          s""""battery_steal_cpu_secs_sum":${p(rawPasses.flatten.map(_._4).sum)}"""))
+      replayKv(p, lean) :+
+        s""""battery_steal_cpu_secs_sum":${p(rawPasses.flatten.map(_._4).sum)}"""
     // stage boundary: battery + replay + streaming complete; only the
     // fingerprint and detail line remain at risk past this point
     emitHeadline(all, failed ++ scaleDriverFailed ++ streamFailed ++

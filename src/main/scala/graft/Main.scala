@@ -540,6 +540,18 @@ object Main {
           .config("spark.ui.enabled", "false")
       }
     val spark = withMaster.getOrCreate()
+    // checkpoint-location hygiene for the tailing daemon (same rule as
+    // graft.streaming.Streaming.sessionDefaults): when the deployment
+    // provisioned a scratch disk (spark.local.dir) and no explicit
+    // streaming checkpoint location, put the per-microbatch offset/
+    // commit logs there instead of silently on java.io.tmpdir
+    if (spark.conf.getOption(
+        "spark.sql.streaming.checkpointLocation").forall(_.isEmpty))
+      spark.conf.getOption("spark.local.dir")
+        .map(_.split(",").head)
+        .foreach(d => spark.conf.set(
+          "spark.sql.streaming.checkpointLocation",
+          s"$d/graft-ckpt-${ProcessHandle.current().pid()}"))
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -19,6 +19,9 @@ object ProfStream {
     val rowsPer = if (args.length > 2) args(2).toInt else 10000
     val parts = if (args.length > 3) args(3) else "32"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val ckptDir = sys.env.getOrElse("PROFSTREAM_CKPT",
+      System.getProperty("java.io.tmpdir")) +
+      s"/profstream-ckpt-${System.nanoTime()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
@@ -26,10 +29,7 @@ object ProfStream {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.streaming.checkpointLocation",
-        sys.env.getOrElse("PROFSTREAM_CKPT",
-          System.getProperty("java.io.tmpdir")) +
-          s"/profstream-ckpt-${System.nanoTime()}")
+      .config("spark.sql.streaming.checkpointLocation", ckptDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -60,10 +60,8 @@ object ProfStream {
         in, "ts", "text", "30 seconds")
       case "ident" => in.select(col("ts"), col("source"))
     }
-    val mode = if (stage == "scrub" || stage == "quality") "append"
-      else "append"
     val q = out.writeStream.format("memory").queryName("profstream")
-      .outputMode(mode).start()
+      .outputMode("append").start()
     try {
       msrc.addData(rows.take(rowsPer))
       q.processAllAvailable()
@@ -82,6 +80,17 @@ object ProfStream {
     } finally {
       q.stop()
       spark.stop()
+      // the per-run checkpoint dir (offset/state logs) otherwise
+      // accumulates across profiling runs — mirror Bench's cleanup
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(java.nio.file.Paths.get(ckptDir))
+      catch { case _: Exception => () }
     }
   }
 }

@@ -41,10 +41,33 @@ object Tables {
     // (not than the core count): a scan that already has ≥8 splits —
     // e.g. the ×100 set's multi-file layout — gains nothing from a
     // same-width repartition and would pay a full text shuffle for it.
+    // The split count is probed from the LAZY physical scan
+    // (sparkPlan.execute() builds the scan RDD without running it, the
+    // same probe PlanBuilder's spreadNarrowInput uses) — `df.rdd`
+    // would instantiate the plan through the AQE path once per call
+    // site, double-planning the scan on the driver (r19 verdict #7).
+    // Sound here because every caller passes a narrow frame (a
+    // Tables() scan, possibly under projections — no exchanges).
     val target = math.min(par, 8)
-    if (df.rdd.getNumPartitions < target) df.repartition(target)
+    val n = scala.util.Try(
+      df.queryExecution.sparkPlan.execute().getNumPartitions)
+      .getOrElse(df.rdd.getNumPartitions)
+    if (n < target) df.repartition(target)
     else df
   }
+
+  /** Session-level plan-fragment cache: the resolved scan DataFrame per
+    * (session, dir, table). `spark.read.parquet` re-lists the path and
+    * re-reads footers to infer the schema on EVERY call — ~17 mt_* and
+    * 80 battery queries each re-paid that driver work per run (r19
+    * verdict #5: per-query planning floor). The cached object is a
+    * LOGICAL PLAN (relation + file index + schema), not data: every
+    * action against it still scans parquet, so this is plan reuse, not
+    * result caching. Keyed on the session so Verify's pooled threads
+    * and multi-session tests never cross-wire.
+    */
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
@@ -55,6 +78,12 @@ object Tables {
     // the engine's dialect is mtail's: conversion errors null out and
     // drop the line (vm.go:97-129), never fail the job
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    planCache.computeIfAbsent((spark, sfDir, name), _ => load(spark,
+      sfDir, name))
+  }
+
+  private def load(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._
