@@ -241,6 +241,19 @@ object Bench {
       // pinned 8 GiB bench heap. Same win applies off-bench: any
       // long-running daemon re-plans identical sources per microbatch.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // let AQE coalesce INSIDE cached-plan materialization: the
+      // engine's shared-extraction cache (PlanBuilder.persistNow) is
+      // otherwise pinned at the static shuffle-partition count —
+      // Spark's default false disables AQE under InMemoryRelation —
+      // so a keyed-window extraction cached at bench scale ran 32
+      // one-row partitions, each paying the ~100 ms fixed task cost
+      // (mtail_engine_sessions: 198 tasks / 9 cpu-s → 30 tasks /
+      // 1.4 cpu-s, r20 ProfQ A/B). Scale-adaptive by construction:
+      // AQE targets its advisory partition size, so big state keeps
+      // full parallelism.
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
     // streaming checkpoint logs (offsets/commits/state deltas) default
     // to java.io.tmpdir — the SAME contended virtual disk the shuffle
     // scratch was moved off above, and the streaming stages pay it per

@@ -529,6 +529,15 @@ object Main {
       // was a top-frame cost). 5000 entries ≈ hundreds of MB worst
       // case, bounded, and amortized forever in a daemon.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // AQE inside cached-plan materialization: the per-batch shared
+      // extraction cache is otherwise pinned at the static shuffle
+      // partition count — a keyed-window extraction caches one
+      // near-empty partition per shuffle partition, each paying the
+      // fixed per-task cost (r20: mtail_engine_sessions 198 → 30
+      // tasks). AQE's advisory size keeps real volume parallel.
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
     // under spark-submit the master (and parallelism) come from the
     // submit command; standalone falls back to every local core
     val withMaster =

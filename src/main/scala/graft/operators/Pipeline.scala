@@ -466,25 +466,25 @@ object Pipeline {
       val leftCounts = pairCounts
         .groupBy(substring_index(col("pair"), " ", 1).as("left"))
         .agg(sum(col("c")).as("c"))
-      val topLefts = leftCounts
-        .orderBy(col("c").desc, col("left"))
-        .limit(topV).collect()
-        .map(r => r.getString(0) -> UnigramLogProb.mln(r.getLong(1)))
-        .toMap
       // leftVocab must COVER every in-vocab pair's left word: a pair
       // scoring mln(c_pair) against a truncated-away marginal would
       // yield ln P > 0 (an impossible probability that REWARDS the
-      // document). Both collects stay bounded by topV.
-      val missingLefts = pairVocab.keySet
-        .map(_.split(" ", 2)(0)) -- topLefts.keySet
-      val extraLefts =
-        if (missingLefts.isEmpty) Map.empty[String, Long]
-        else leftCounts
-          .filter(col("left").isin(missingLefts.toSeq: _*))
+      // document). ONE bounded collect serves both needs (top-V lefts
+      // ∪ every pair-vocab left) — the in-vocab lefts are known after
+      // the pair collect, so the coverage probe unions into the top-V
+      // query instead of running as a third sequential driver action;
+      // duplicate lefts carry identical counts, so toMap dedup is
+      // value-exact. Both legs stay bounded by topV.
+      val pvLefts = pairVocab.keySet.map(_.split(" ", 2)(0)).toSeq
+      val topLeftsQ = leftCounts
+        .orderBy(col("c").desc, col("left")).limit(topV)
+      val leftVocab =
+        (if (pvLefts.isEmpty) topLeftsQ
+         else topLeftsQ.unionAll(
+           leftCounts.filter(col("left").isin(pvLefts: _*))))
           .collect()
           .map(r => r.getString(0) -> UnigramLogProb.mln(r.getLong(1)))
           .toMap
-      val leftVocab = topLefts ++ extraLefts
       val st = BigramLogProb(col(textCol), pairVocab, leftVocab)
       docs
         .withColumn("__pairs", st.getField("pairs"))

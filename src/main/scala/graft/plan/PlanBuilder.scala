@@ -82,6 +82,14 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
   // arrive well-partitioned and skip this. repartition(N) with an
   // explicit N is exempt from AQE coalescing, so the parallelism
   // survives tiny inputs too.
+  /** estimated input bytes (Catalyst stats of the optimized line
+    * plan) under the spread floor — shared by the narrow-input spread
+    * below and the direct-keyless-window gate
+    * ([[keylessPrefix]]): both decisions derive from DATA VOLUME, so
+    * they are scale-adaptive rather than core-count constants.
+    */
+  private var inputUnderSpreadFloor: Boolean = false
+
   private val baseLines: DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
       Deduplicate, Join, RepartitionOperation, Window => LWindow}
@@ -125,6 +133,7 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
     val bigEnough =
       lines.queryExecution.optimizedPlan.stats.sizeInBytes >=
         BigInt(minBytes)
+    inputUnderSpreadFloor = !bigEnough
     if (enabled && bigEnough && n * 2 <= target)
       lines.repartition(target)
     else lines
@@ -447,6 +456,27 @@ final class PlanBuilder(program: Ir.Program, lines: DataFrame,
           case "sum" => coalesce(sum(value).over(wg), zeroOf(vt))
           case _ => last(value, ignoreNulls = true).over(wg)
         }
+      } else if (inputUnderSpreadFloor && lines.sparkSession.conf
+          .getOption("spark.graft.keylessRead.direct")
+          .forall(_ != "false")) {
+        // Input below the spread floor (the SAME size gate that keeps
+        // tiny inputs unspread): the two-phase bucket decomposition
+        // would pay an extra full offsets pass + join to parallelize a
+        // window whose single-partition sort costs ~tens of ms — and
+        // the input arrives in ≤2 partitions anyway, so there is no
+        // parallelism to protect. Use the exact global window
+        // directly; big inputs keep the distributed two-phase scan.
+        // Semantics identical (the decomposition exists to PARALLELIZE
+        // this exact expression — see the scaladoc above).
+        pending(name) = mode match {
+          case "sum" => coalesce(sum(value).over(
+            Window.partitionBy().orderBy(col("ord"))
+              .rowsBetween(Window.unboundedPreceding, -1)), zeroOf(vt))
+          case _ => last(value, ignoreNulls = true).over(
+            Window.partitionBy().orderBy(col("ord"))
+              .rowsBetween(Window.unboundedPreceding, -1))
+        }
+        col(name)
       } else {
         val v = value
         val wb = Window.partitionBy(bucketOf(ordT, col("ord")))

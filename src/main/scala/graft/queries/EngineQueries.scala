@@ -51,148 +51,200 @@ object EngineQueries {
     finally pb.unpersistExtraction()
   }
 
+  /** The UNMATERIALIZED snapshot plan (no extraction cache, no
+    * checkpoint): every window/offsets-join/as-of subtree inline — the
+    * optimization rounds' internal-plan evidence surface
+    * ([[graft.PlanDumpEngine]]). The declared queries go through
+    * [[run]]'s checkpointing lifecycle, whose final explain shows only
+    * the checkpoint scan.
+    */
+  def internalPlan(s: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val (src, lineExpr) = specs(name)
+    val program = Frontend.parse(src, "engine_query.mtail")
+    new PlanBuilder(program, lines(s, dir, lineExpr), 0).snapshot()
+  }
+
+  /** (program source, line expression) per engine query. */
+  val specs: Map[String, (String, org.apache.spark.sql.Column)] = Map(
+    "mtail_engine_counters" -> (
+      """counter events_total
+        |counter by_type by t
+        |gauge last_value by t
+        |/^(?P<ts>\S+) type=(?P<t>\w+) value=(?P<v>\d+\.\d+)$/ {
+        |  strptime($ts, "2006-01-02T15:04:05")
+        |  events_total++
+        |  by_type[$t]++
+        |  last_value[$t] = $v
+        |}
+        |""".stripMargin,
+      concat_ws(" ",
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+        concat(lit("type="), col("event_type")),
+        concat(lit("value="), col("value").cast("string")))),
+    "mtail_engine_sessions" -> (
+      """hidden gauge signup_at by u
+        |counter pairs
+        |counter delay_total
+        |/^(?P<ts>\d+) (?P<t>\w+) (?P<u>\d+)$/ {
+        |  settime($ts)
+        |  $t == "signup" { signup_at[$u] = timestamp() }
+        |  $t == "purchase" && signup_at[$u] > 0 {
+        |    delay_total += timestamp() - signup_at[$u]
+        |    pairs++
+        |  }
+        |}
+        |""".stripMargin,
+      concat_ws(" ",
+        unix_timestamp(date_trunc("second", col("ts"))).cast("string"),
+        col("event_type"), col("user_id").cast("string"))),
+    "mtail_engine_opfolds" -> (
+      """counter lastv
+        |gauge nlines
+        |hidden counter seen
+        |gauge snap
+        |/^id=(?P<i>\d+)$/ {
+        |  lastv = $i
+        |  nlines++
+        |  seen++
+        |  snap = seen
+        |}
+        |""".stripMargin,
+      concat(lit("id="), col("event_id").cast("string"))),
+    "mtail_engine_readmix" -> (
+      """hidden counter seen by u
+        |counter resets
+        |gauge snap by u
+        |hidden text trail by u
+        |gauge errlen by u
+        |text mix by u
+        |/^(?P<t>\w+) (?P<u>\d+)$/ {
+        |  $t == "purchase" {
+        |    del seen[$u]
+        |    resets++
+        |    mix[$u] += "p"
+        |  }
+        |  otherwise {
+        |    seen[$u]++
+        |  }
+        |  $t == "signup" { mix[$u] = $t }
+        |  $t == "error" { trail[$u] += $t }
+        |  snap[$u] = seen[$u]
+        |  errlen[$u] = len(trail[$u])
+        |}
+        |""".stripMargin,
+      concat_ws(" ",
+        col("event_type"), col("user_id").cast("string"))),
+    "mtail_engine_condgate" -> (
+      """gauge out
+        |gauge uout by u
+        |hidden gauge m
+        |hidden counter k
+        |hidden gauge um by u
+        |hidden counter uk by u
+        |/^(?P<t>\w+) (?P<u>\d+)$/ {
+        |  k > 3 { m = k }
+        |  out = m
+        |  k++
+        |  uk[$u] > 1 { um[$u] = uk[$u] }
+        |  uout[$u] = um[$u]
+        |  uk[$u]++
+        |}
+        |""".stripMargin,
+      concat_ws(" ",
+        col("event_type"), col("user_id").cast("string"))),
+    "mtail_engine_seqcycle" -> (
+      """counter cap
+        |counter resets
+        |counter ucap by u
+        |counter uresets by u
+        |hidden gauge armed
+        |hidden gauge uarmed by u
+        |/^(?P<t>\w+) (?P<u>\d+)$/ {
+        |  cap < 100 { cap++ }
+        |  ucap[$u] < 3 { ucap[$u]++ }
+        |  $t == "signup" {
+        |    armed = 1
+        |    uarmed[$u] = 1
+        |  }
+        |  $t == "purchase" && armed == 1 {
+        |    armed = 0
+        |    resets++
+        |  }
+        |  $t == "purchase" && uarmed[$u] == 1 {
+        |    uarmed[$u] = 0
+        |    uresets[$u]++
+        |  }
+        |}
+        |""".stripMargin,
+      concat_ws(" ",
+        col("event_type"), col("user_id").cast("string"))),
+    "mtail_engine_histogram" -> (
+      """histogram lat by t buckets 10, 50, 100, 200
+        |/^type=(?P<t>\w+) value=(?P<v>\d+\.\d+)$/ {
+        |  lat[$t] = $v
+        |}
+        |""".stripMargin,
+      concat_ws(" ",
+        concat(lit("type="), col("event_type")),
+        concat(lit("value="), col("value").cast("string")))))
+
+  private def runSpec(s: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val (src, lineExpr) = specs(name)
+    run(s, dir, src, lineExpr)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // counters + dimensioned counters + gauge last-write through the
     // full engine
-    "mtail_engine_counters" -> ((s, dir) => {
-      val src =
-        """counter events_total
-          |counter by_type by t
-          |gauge last_value by t
-          |/^(?P<ts>\S+) type=(?P<t>\w+) value=(?P<v>\d+\.\d+)$/ {
-          |  strptime($ts, "2006-01-02T15:04:05")
-          |  events_total++
-          |  by_type[$t]++
-          |  last_value[$t] = $v
-          |}
-          |""".stripMargin
-      val lineExpr = concat_ws(" ",
-        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
-        concat(lit("type="), col("event_type")),
-        concat(lit("value="), col("value").cast("string")))
-      run(s, dir, src, lineExpr)
+    "mtail_engine_counters" -> ((s, dir) =>
+      runSpec(s, dir, "mtail_engine_counters")
         .select(col("name"),
           coalesce(element_at(col("labels"), "t"), lit("")).as("label"),
           coalesce(col("ival").cast("double"), col("fval")).as("val"))
-        .orderBy("name", "label")
-    }),
+        .orderBy("name", "label")),
 
     // hidden-metric cross-line session pairing through the engine
     // (rsyncd.mtail's shape over the events stream)
-    "mtail_engine_sessions" -> ((s, dir) => {
-      val src =
-        """hidden gauge signup_at by u
-          |counter pairs
-          |counter delay_total
-          |/^(?P<ts>\d+) (?P<t>\w+) (?P<u>\d+)$/ {
-          |  settime($ts)
-          |  $t == "signup" { signup_at[$u] = timestamp() }
-          |  $t == "purchase" && signup_at[$u] > 0 {
-          |    delay_total += timestamp() - signup_at[$u]
-          |    pairs++
-          |  }
-          |}
-          |""".stripMargin
-      val lineExpr = concat_ws(" ",
-        unix_timestamp(date_trunc("second", col("ts"))).cast("string"),
-        col("event_type"), col("user_id").cast("string"))
-      run(s, dir, src, lineExpr)
+    "mtail_engine_sessions" -> ((s, dir) =>
+      runSpec(s, dir, "mtail_engine_sessions")
         .select(col("name"), col("ival").as("val"))
-        .orderBy("name")
-    }),
+        .orderBy("name")),
 
     // op-aware per-datum folds through the engine: `=` on a counter is
     // last-write (Iset replaces), `++` on a gauge accumulates (Inc
     // adds), and a read of an increment-built hidden counter sees the
     // running total (Iget)
-    "mtail_engine_opfolds" -> ((s, dir) => {
-      val src =
-        """counter lastv
-          |gauge nlines
-          |hidden counter seen
-          |gauge snap
-          |/^id=(?P<i>\d+)$/ {
-          |  lastv = $i
-          |  nlines++
-          |  seen++
-          |  snap = seen
-          |}
-          |""".stripMargin
-      val lineExpr = concat(lit("id="), col("event_id").cast("string"))
-      run(s, dir, src, lineExpr)
+    "mtail_engine_opfolds" -> ((s, dir) =>
+      runSpec(s, dir, "mtail_engine_opfolds")
         .select(col("name"), col("ival").as("val"))
-        .orderBy("name")
-    }),
+        .orderBy("name")),
 
     // round-13 lifted read rejections, end-to-end: a del-mixed counter
     // read (del barriers the running total), a `+=`-built text read
     // (running concat length), and a text metric mixing `=` and `+=`
     // (Iset replaces, ADD_ASSIGN appends) — all against plain SQL
-    "mtail_engine_readmix" -> ((s, dir) => {
-      val src =
-        """hidden counter seen by u
-          |counter resets
-          |gauge snap by u
-          |hidden text trail by u
-          |gauge errlen by u
-          |text mix by u
-          |/^(?P<t>\w+) (?P<u>\d+)$/ {
-          |  $t == "purchase" {
-          |    del seen[$u]
-          |    resets++
-          |    mix[$u] += "p"
-          |  }
-          |  otherwise {
-          |    seen[$u]++
-          |  }
-          |  $t == "signup" { mix[$u] = $t }
-          |  $t == "error" { trail[$u] += $t }
-          |  snap[$u] = seen[$u]
-          |  errlen[$u] = len(trail[$u])
-          |}
-          |""".stripMargin
-      val lineExpr = concat_ws(" ",
-        col("event_type"), col("user_id").cast("string"))
-      run(s, dir, src, lineExpr)
+    "mtail_engine_readmix" -> ((s, dir) =>
+      runSpec(s, dir, "mtail_engine_readmix")
         .select(col("name"),
           coalesce(element_at(col("labels"), "u"), lit("")).as("label"),
           coalesce(col("sval"), col("ival").cast("string")).as("val"))
-        .orderBy("name", "label")
-    }),
+        .orderBy("name", "label")),
 
-    // histogram observation through the engine: per-label bucket counts
     // text-order state gating through the engine: exported values READ
     // hidden metrics whose write conds read OTHER hidden metrics whose
     // only write sites appear LATER in the block — the two-level shape
     // the deferred cross-pass read binding (round 15) makes exact.
     // VM semantics per line (statement order): the cond sees the
     // PRIOR-line count, the export reads the same-line write.
-    "mtail_engine_condgate" -> ((s, dir) => {
-      val src =
-        """gauge out
-          |gauge uout by u
-          |hidden gauge m
-          |hidden counter k
-          |hidden gauge um by u
-          |hidden counter uk by u
-          |/^(?P<t>\w+) (?P<u>\d+)$/ {
-          |  k > 3 { m = k }
-          |  out = m
-          |  k++
-          |  uk[$u] > 1 { um[$u] = uk[$u] }
-          |  uout[$u] = um[$u]
-          |  uk[$u]++
-          |}
-          |""".stripMargin
-      val lineExpr = concat_ws(" ",
-        col("event_type"), col("user_id").cast("string"))
-      run(s, dir, src, lineExpr)
+    "mtail_engine_condgate" -> ((s, dir) =>
+      runSpec(s, dir, "mtail_engine_condgate")
         .select(col("name"),
           coalesce(element_at(col("labels"), "u"), lit("")).as("label"),
           col("ival").as("val"))
-        .orderBy("name", "label")
-    }),
+        .orderBy("name", "label")),
 
     // genuinely CYCLIC reads through the engine: writes whose own
     // conditions read the written metric — the sequential-automaton
@@ -203,56 +255,20 @@ object EngineQueries {
     // without recursion because the automaton is absorbing: a
     // purchase fires iff the latest signup-or-purchase before it
     // (within its scope) is a signup.
-    "mtail_engine_seqcycle" -> ((s, dir) => {
-      val src =
-        """counter cap
-          |counter resets
-          |counter ucap by u
-          |counter uresets by u
-          |hidden gauge armed
-          |hidden gauge uarmed by u
-          |/^(?P<t>\w+) (?P<u>\d+)$/ {
-          |  cap < 100 { cap++ }
-          |  ucap[$u] < 3 { ucap[$u]++ }
-          |  $t == "signup" {
-          |    armed = 1
-          |    uarmed[$u] = 1
-          |  }
-          |  $t == "purchase" && armed == 1 {
-          |    armed = 0
-          |    resets++
-          |  }
-          |  $t == "purchase" && uarmed[$u] == 1 {
-          |    uarmed[$u] = 0
-          |    uresets[$u]++
-          |  }
-          |}
-          |""".stripMargin
-      val lineExpr = concat_ws(" ",
-        col("event_type"), col("user_id").cast("string"))
-      run(s, dir, src, lineExpr)
+    "mtail_engine_seqcycle" -> ((s, dir) =>
+      runSpec(s, dir, "mtail_engine_seqcycle")
         .select(col("name"),
           coalesce(element_at(col("labels"), "u"), lit("")).as("label"),
           col("ival").as("val"))
-        .orderBy("name", "label")
-    }),
+        .orderBy("name", "label")),
 
-    "mtail_engine_histogram" -> ((s, dir) => {
-      val src =
-        """histogram lat by t buckets 10, 50, 100, 200
-          |/^type=(?P<t>\w+) value=(?P<v>\d+\.\d+)$/ {
-          |  lat[$t] = $v
-          |}
-          |""".stripMargin
-      val lineExpr = concat_ws(" ",
-        concat(lit("type="), col("event_type")),
-        concat(lit("value="), col("value").cast("string")))
-      run(s, dir, src, lineExpr)
+    // histogram observation through the engine: per-label bucket counts
+    "mtail_engine_histogram" -> ((s, dir) =>
+      runSpec(s, dir, "mtail_engine_histogram")
         .select(element_at(col("labels"), "t").as("label"),
           explode(col("buckets")).as(Seq("le", "cnt")))
         .filter(col("cnt") > 0)
-        .orderBy("label", "le")
-    })
+        .orderBy("label", "le"))
   )
 
   val oracle: Map[String, String] = Map(
