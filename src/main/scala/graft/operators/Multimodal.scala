@@ -262,7 +262,11 @@ object Multimodal {
     */
   def demoMedia(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.Tables(spark, sfDir, "documents")
+    // spread the single-row-group scan (r20): the typed map below is
+    // a Scala closure (ser/deser per row, no codegen) and dominated
+    // the query single-task; the synthesis is a pure per-row function
+    // of (doc_id, length) — partitioning-independent by construction
+    graft.Tables.spread(graft.Tables(spark, sfDir, "documents"))
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
